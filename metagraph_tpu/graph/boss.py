@@ -1,0 +1,217 @@
+"""The BOSS table as dense device tensors with batched navigation.
+
+TPU-native re-design of the reference BOSS class
+(metagraph/src/graph/representation/succinct/boss.hpp:27,
+boss.cpp:567-596). The representation keeps the same logical arrays —
+
+    W    : edge labels with +alph_size "minus" flags on non-representative
+           incoming edges (boss.hpp:483-514)
+    last : 1 marks the final outgoing edge of each source node
+    F[c] : #edges whose source node ends in a char < c
+
+— but replaces wavelet-tree/bit-vector rank/select with dense prefix
+tables (common/ranksel.py) so that *batches* of fwd/bwd/map operations
+compile to gathers and vectorized binary searches. Optionally holds the
+sorted packed edge-kmer tensor itself (``edge_lanes``) as a search
+accelerator: ``map_to_edges`` is then one searchsorted over the lanes
+instead of the reference's per-character range tightening
+(boss.cpp:908-975).
+
+Indexing is 1-based over edges like the reference (position 0 is a
+sentinel row; index 0 == npos).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, replace
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..common import packed
+from ..common.ranksel import BitRank, SymbolRank
+from ..kmer import packing
+from ..kmer.alphabets import Alphabet, DNA
+
+
+@dataclass(frozen=True)
+class Boss:
+    # static metadata
+    k: int                      # node length (edge k-mer has k+1 chars)
+    alph_size: int
+    bits_per_char: int
+    # core arrays, length num_edges+1 (index 0 = sentinel row)
+    W: jax.Array                # (m,) int32, values in [0, 2*alph_size)
+    last: jax.Array             # (m,) bool
+    F: jax.Array                # (alph_size,) int32
+    # derived rank structures
+    last_rank: BitRank
+    W_rank: SymbolRank
+    NF: jax.Array               # (alph_size,) int32: rank_last(F[c])
+    # optional accelerators / extensions
+    edge_lanes: Optional[jax.Array] = None   # (L, m-1) sorted packed edge kmers
+    weights: Optional[jax.Array] = None      # (m,) int32 k-mer counts
+
+    # -- construction ------------------------------------------------------
+
+    @staticmethod
+    def from_arrays(k: int, alph_size: int, bits_per_char: int,
+                    W: jax.Array, last: jax.Array, F: jax.Array,
+                    edge_lanes: Optional[jax.Array] = None,
+                    weights: Optional[jax.Array] = None) -> "Boss":
+        W = W.astype(jnp.int32)
+        last = last.astype(bool)
+        last_rank = BitRank.build(last)
+        W_rank = SymbolRank.build(W, 2 * alph_size)
+        NF = last_rank.rank1(F.astype(jnp.int32))
+        return Boss(k=k, alph_size=alph_size, bits_per_char=bits_per_char,
+                    W=W, last=last, F=F.astype(jnp.int32),
+                    last_rank=last_rank, W_rank=W_rank, NF=NF,
+                    edge_lanes=edge_lanes, weights=weights)
+
+    # -- basic accessors ---------------------------------------------------
+
+    @property
+    def num_edges(self) -> int:
+        return int(self.W.shape[0]) - 1
+
+    def num_nodes(self) -> jax.Array:
+        return self.last_rank.num_set
+
+    @property
+    def K(self) -> int:
+        """Edge k-mer length."""
+        return self.k + 1
+
+    def get_W(self, i: jax.Array) -> jax.Array:
+        return self.W[i]
+
+    def get_last(self, i: jax.Array) -> jax.Array:
+        return self.last[i]
+
+    # -- rank / select (1-based semantics, matching boss.hpp) --------------
+
+    def rank_last(self, i: jax.Array) -> jax.Array:
+        """#set bits in last[1..i]."""
+        return self.last_rank.rank1(i)  # last[0] == 0
+
+    def select_last(self, r: jax.Array) -> jax.Array:
+        return self.last_rank.select1(r)
+
+    def succ_last(self, i: jax.Array) -> jax.Array:
+        return self.last_rank.next1(i)
+
+    def pred_last(self, i: jax.Array) -> jax.Array:
+        p = self.last_rank.prev1(jnp.maximum(i, 0))
+        return jnp.where((i <= 0) | (p >= self.last_rank.n), 0, p)
+
+    def rank_W(self, i: jax.Array, c: jax.Array) -> jax.Array:
+        """#occurrences of c in W[1..i] (W[0] = 0 excluded)."""
+        r = self.W_rank.rank(c, i)
+        return r - jnp.where((c == 0) & (i >= 0), 1, 0)
+
+    def select_W(self, r: jax.Array, c: jax.Array) -> jax.Array:
+        """Position of the r-th occurrence of c in W[1..]."""
+        return self.W_rank.select(c, r + (c == 0))
+
+    def succ_W(self, i: jax.Array, c: jax.Array) -> jax.Array:
+        """Smallest j >= i with W[j] == c, else m (num_edges+1)."""
+        total = self.rank_W(self.num_edges, c)
+        r = self.rank_W(i - 1, c) + 1
+        pos = self.select_W(r, c)
+        return jnp.where(r <= total, pos, self.num_edges + 1)
+
+    # -- navigation (boss.cpp:567-596) -------------------------------------
+
+    def get_node_last_value(self, i: jax.Array) -> jax.Array:
+        """Last character of the source node of edge i (via F offsets)."""
+        c = jnp.searchsorted(self.F, i.astype(jnp.int32), side="left") - 1
+        return jnp.where(i == 0, 0, jnp.clip(c, 0, self.alph_size - 1))
+
+    def fwd(self, i: jax.Array, c: jax.Array) -> jax.Array:
+        """Edge row of the target node of edge i (label c, unflagged)."""
+        target_node = self.NF[c] + self.rank_W(i, c)
+        return self.select_last(target_node)
+
+    def bwd(self, i: jax.Array) -> jax.Array:
+        """Row of the first incoming edge of the source node of edge i."""
+        target_node = self.rank_last(i - 1) + 1
+        c = self.get_node_last_value(i)
+        res = self.select_W(target_node - self.NF[c], c)
+        return jnp.where(target_node == 1, 1, res)
+
+    # -- searching ---------------------------------------------------------
+
+    def map_to_edges(self, query_lanes: jax.Array) -> jax.Array:
+        """Map packed edge k-mers (BOSS layout, sentinel codes) to 1-based
+        edge indexes; 0 = not present.
+
+        One batched binary search over the stored sorted edge-kmer tensor
+        (replaces BOSS::map_to_edges / index_range, boss.cpp:908-975).
+        """
+        assert self.edge_lanes is not None, "edge_lanes accelerator required"
+        n = self.edge_lanes.shape[1]
+        pos = packed.searchsorted(self.edge_lanes, query_lanes, side="left")
+        pos_c = jnp.minimum(pos, n - 1)
+        hit = packed.eq(self.edge_lanes[:, pos_c], query_lanes)
+        return jnp.where(hit, pos_c + 1, 0)
+
+    def index_range_nodes(self, node_lanes: jax.Array, full_mask_bits: int
+                          ) -> Tuple[jax.Array, jax.Array]:
+        """[lo, hi) edge-row range of all edges whose source node matches the
+        given packed node prefix (low ``full_mask_bits`` bits meaningful)."""
+        assert self.edge_lanes is not None
+        lo = packed.searchsorted(self.edge_lanes, node_lanes, side="left")
+        # upper bound: node prefix + 1 in the masked domain
+        hi_query = _increment_masked(node_lanes, full_mask_bits)
+        hi = packed.searchsorted(self.edge_lanes, hi_query, side="left")
+        return lo + 1, hi + 1  # 1-based rows
+
+    # -- statistics --------------------------------------------------------
+
+    def char_counts_W(self) -> jax.Array:
+        """(alph_size,) total W occurrences folding minus flags."""
+        m = self.num_edges
+        cs = jnp.arange(self.alph_size)
+        base = self.rank_W(jnp.full_like(cs, m), cs)
+        flagged = self.rank_W(jnp.full_like(cs, m), cs + self.alph_size)
+        return base + jnp.where(cs == 0, 0, flagged)
+
+    def num_dummy_edges(self) -> Tuple[jax.Array, jax.Array]:
+        """(#dummy source edges, #dummy sink edges) from the kmer tensor."""
+        assert self.edge_lanes is not None
+        B = self.bits_per_char
+        first = packing.first_char(self.edge_lanes, B)
+        lab = packing.label(self.edge_lanes, B)
+        is_src = first == 0
+        is_sink = (lab == 0) & ~is_src
+        return jnp.sum(is_src.astype(jnp.int32)), jnp.sum(is_sink.astype(jnp.int32))
+
+
+def _increment_masked(lanes: jax.Array, nbits: int) -> jax.Array:
+    """Add 1 at bit position 0 of the masked (low nbits) big integer.
+
+    Used to form exclusive upper bounds for prefix range searches. Works
+    because queries never overflow nbits (node keys use < nbits bits).
+    """
+    L = lanes.shape[0]
+    carry = jnp.ones_like(lanes[0])
+    out = []
+    for j in range(L - 1, -1, -1):
+        s = lanes[j] + carry
+        carry = (s < lanes[j]).astype(lanes.dtype)
+        out.append(s)
+    return jnp.stack(out[::-1])
+
+
+def register_pytrees():
+    jax.tree_util.register_dataclass(
+        Boss,
+        ["W", "last", "F", "last_rank", "W_rank", "NF", "edge_lanes", "weights"],
+        ["k", "alph_size", "bits_per_char"],
+    )
+
+
+register_pytrees()

@@ -1,0 +1,332 @@
+"""BOSS construction as a host-orchestrated pipeline of device kernels.
+
+TPU-native re-design of the reference construction engine
+(metagraph/src/graph/representation/succinct/boss_chunk_construct.cpp:55-356
+and boss_chunk.cpp:33-130). The reference's sequential iterator algorithms
+become set algebra over sorted packed k-mer tensors:
+
+  stage                reference                      here
+  -------------------  -----------------------------  -------------------------
+  collect k-mers       KmerCollector + SortedSet      extractor + lax.sort +
+                       (ips4o sort, dedupe)           neighbor-compare dedupe
+  reverse complements  add_reverse_complements        vectorized rc + concat
+  dummy sink k-mers    add_dummy_sink_kmers           to_next + batched set-
+                       (per-char iterators)           membership (searchsorted)
+  dummy source k-mers  add_dummy_source_kmers         to_prev + membership on
+                                                      target-node keys
+  dummy levels 2..k    per-level loop + ips4o         same loop, sort per level
+  merge + emit W/last  initialize_chunk scan          neighbor-compare masks +
+                       (minus flags via memo array)   second sort for first-
+                                                      occurrence minus flags
+
+Sizes are data-dependent, so the driver runs jitted stages at power-of-two
+capacities (PAD-filled) and fetches only scalar counts between stages;
+all O(N) work happens on device.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..common import packed
+from ..kmer import packing
+from ..kmer.alphabets import Alphabet, DNA, INVALID_CODE
+from ..kmer.extractor import encode_sequences, extract_packed_kmers
+from .boss import Boss
+
+MODE_BASIC = "basic"
+MODE_CANONICAL = "canonical"
+MODE_PRIMARY = "primary"
+
+
+def _bucket(n: int, lo: int = 1024) -> int:
+    """Round capacity up to a power of two to bound recompilation."""
+    n = max(int(n), 1)
+    return max(lo, 1 << (n - 1).bit_length())
+
+
+# ---------------------------------------------------------------------------
+# jitted stages
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("K", "B", "suffix", "canonical", "complement"))
+def _extract_stage(codes, K: int, B: int, suffix, canonical: bool, complement):
+    lanes, count = extract_packed_kmers(codes, K, B, suffix=suffix or None)
+    if canonical:
+        rc = packing.reverse_complement(lanes, K, B, complement)
+        take_rc = packed.lt(rc, lanes)
+        # PAD entries: rc(PAD) may compare below PAD; keep PAD rows intact
+        valid = packed.valid_mask(lanes.shape[1], count)
+        take_rc = take_rc & valid
+        lanes = jnp.where(take_rc[None, :], rc, lanes)
+    return lanes, count
+
+
+@jax.jit
+def _sort_unique_stage(lanes, counts, count):
+    """Sort, dedupe, and aggregate counts (saturating add done at emit)."""
+    cap = lanes.shape[1]
+    valid = packed.valid_mask(cap, count)
+    counts = jnp.where(valid, counts, 0)
+    lanes_s, (counts_s,) = packed.sort(lanes, counts)
+    first = packed.neighbor_ne(lanes_s)
+    valid_s = packed.valid_mask(cap, count)  # PADs sorted to the back
+    umask = first & valid_s
+    seg = jnp.cumsum(umask.astype(jnp.int32)) - 1
+    ucounts = jax.ops.segment_sum(counts_s, seg, num_segments=cap)
+    ulanes, ucount, _ = packed.compact(lanes_s, umask, cap)
+    return ulanes, ucounts.astype(jnp.int32), ucount
+
+
+@functools.partial(jax.jit, static_argnames=("K", "B", "complement"))
+def _add_rc_stage(lanes, counts, count, K: int, B: int, complement):
+    """Append reverse complements of all (unique, canonical-form) k-mers;
+    palindromic k-mers double their count with saturation handled at emit
+    (reference: boss_chunk_construct.cpp:181-214)."""
+    cap = lanes.shape[1]
+    valid = packed.valid_mask(cap, count)
+    rc = packing.reverse_complement(lanes, K, B, complement)
+    pal = packed.eq(rc, lanes) & valid
+    counts = jnp.where(pal, counts * 2, counts)  # int32; emit saturates
+    add_mask = valid & ~pal
+    n_add = jnp.sum(add_mask.astype(jnp.int32))
+    rc_comp, _, (rc_counts,) = packed.compact(rc, add_mask, cap, counts)
+    out = jnp.concatenate(
+        [jnp.where(valid[None, :], lanes, packed.full_pad(cap, lanes.shape[0])),
+         rc_comp], axis=1)
+    out_counts = jnp.concatenate([jnp.where(valid, counts, 0), rc_counts])
+    out_s, (counts_s,) = packed.sort(out, out_counts)
+    return out_s, counts_s, count + n_add
+
+
+@functools.partial(jax.jit, static_argnames=("K", "B"))
+def _dummy_sink_stage(real, n_real, K: int, B: int):
+    """Candidate dummy sink edges (node = e_2..e_K, label $), keeping only
+    those whose node has no real outgoing edge
+    (reference: add_dummy_sink_kmers, boss_chunk_construct.cpp:55-98)."""
+    cap = real.shape[1]
+    valid = packed.valid_mask(cap, n_real)
+    shifted = packing.to_next(real, K, B, 0)
+    # membership: does any real edge leave node(shifted)?
+    real_nodes = packing.node_key(real, B)           # sorted (order-preserving proj.)
+    q_nodes = packing.node_key(shifted, B)
+    present = packed.isin_sorted(real_nodes, q_nodes)
+    keep = valid & ~present
+    cand, n_cand, _ = packed.compact(shifted, keep, cap)
+    cand_s, _ = packed.sort(cand)
+    first = packed.neighbor_ne(cand_s) & packed.valid_mask(cap, n_cand)
+    out, n_out, _ = packed.compact(cand_s, first, cap)
+    return out, n_out
+
+
+@functools.partial(jax.jit, static_argnames=("K", "B"))
+def _dummy_source_stage(real, n_real, K: int, B: int):
+    """Dummy-1 source edges ($ e_1..e_{K-2}, label e_{K-1}) for source nodes
+    with no real incoming edge
+    (reference: add_dummy_source_kmers, boss_chunk_construct.cpp:100-166)."""
+    cap = real.shape[1]
+    valid = packed.valid_mask(cap, n_real)
+    node_first = packed.neighbor_ne(packing.node_key(real, B)) & valid
+    prev = packing.to_prev(real, K, B, 0)
+    # redundancy: source node of the real edge has an incoming real edge
+    tkeys = packing.target_key(real, B)
+    tkeys_s, _ = packed.sort(tkeys)
+    has_incoming = packed.isin_sorted(tkeys_s, packing.target_key(prev, B))
+    keep = node_first & ~has_incoming
+    cand, n_cand, _ = packed.compact(prev, keep, cap)
+    cand_s, _ = packed.sort(cand)
+    return cand_s, n_cand
+
+
+@functools.partial(jax.jit, static_argnames=("K", "B"))
+def _dummy_level_stage(cur, n_cur, K: int, B: int):
+    """Next dummy-source level: prepend one more $ to each distinct source
+    node (reference: boss_chunk_construct.cpp:286-306)."""
+    cap = cur.shape[1]
+    valid = packed.valid_mask(cap, n_cur)
+    node_first = packed.neighbor_ne(packing.node_key(cur, B)) & valid
+    nxt = packing.to_prev(cur, K, B, 0)
+    cand, n_cand, _ = packed.compact(nxt, node_first, cap)
+    cand_s, _ = packed.sort(cand)
+    return cand_s, n_cand
+
+
+@functools.partial(jax.jit, static_argnames=("K", "B", "alph_size", "max_count"))
+def _emit_stage(merged, counts, n_total, K: int, B: int, alph_size: int,
+                max_count: int):
+    """The initialize_chunk scan (reference: boss_chunk.cpp:33-130),
+    vectorized: last bits and redundant-sink skips from neighbor node-key
+    compares; minus flags from a first-occurrence pass over target keys."""
+    cap = merged.shape[1]
+    valid = packed.valid_mask(cap, n_total)
+    nodes = packing.node_key(merged, B)
+    same_next = jnp.concatenate([
+        packed.eq(nodes[:, :-1], nodes[:, 1:]), jnp.zeros((1,), bool)])
+    same_next = same_next & valid & jnp.concatenate([valid[1:], jnp.zeros((1,), bool)])
+    labels = packing.label(merged, B)
+    topc = packing.top_char(merged, K, B)
+    skip = same_next & (labels == 0) & (topc != 0)
+    keep = valid & ~skip
+    kept, n_kept, (kcounts,) = packed.compact(merged, keep, cap, counts)
+
+    kvalid = packed.valid_mask(cap, n_kept)
+    knodes = packing.node_key(kept, B)
+    ksame_next = jnp.concatenate([
+        packed.eq(knodes[:, :-1], knodes[:, 1:]), jnp.zeros((1,), bool)])
+    next_valid = jnp.concatenate([kvalid[1:], jnp.zeros((1,), bool)])
+    last = kvalid & ~(ksame_next & next_valid)
+
+    klabels = packing.label(kept, B)
+    ktopc = packing.top_char(kept, K, B)
+
+    # minus flags: not the first occurrence of the (target node, label) key
+    tkeys = packing.target_key(kept, B)
+    idx = jnp.arange(cap, dtype=jnp.int32)
+    tk_s, (idx_s,) = packed.sort(tkeys, idx)
+    first_s = packed.neighbor_ne(tk_s)
+    minus = jnp.zeros((cap,), bool).at[idx_s].set(~first_s)
+    minus = minus & (klabels != 0) & kvalid
+
+    W = jnp.where(minus, klabels + alph_size, klabels).astype(jnp.int32)
+    W = jnp.where(kvalid, W, 0)
+
+    hist = jnp.bincount(jnp.where(kvalid, ktopc, alph_size).astype(jnp.int32),
+                        length=alph_size + 1)[:alph_size]
+    F = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                         jnp.cumsum(hist)[:-1].astype(jnp.int32)])
+
+    kfirst = packing.first_char(kept, B)
+    weights = jnp.where((kcounts > 0) & (klabels != 0) & (kfirst != 0),
+                        jnp.minimum(kcounts, max_count), 0).astype(jnp.int32)
+    return kept, n_kept, W, last, F, weights
+
+
+# ---------------------------------------------------------------------------
+# driver
+# ---------------------------------------------------------------------------
+
+def collect_kmers(
+    seqs: Sequence[bytes | str],
+    K: int,
+    alphabet: Alphabet = DNA,
+    canonical: bool = False,
+    suffix: Tuple[int, ...] = (),
+    extra_codes: Optional[np.ndarray] = None,
+) -> Tuple[jax.Array, jax.Array, int]:
+    """Extract, sort, dedupe and count all k-mers of the input.
+
+    Returns (sorted unique lanes, per-kmer counts, n_unique) at a
+    power-of-two capacity. ``extra_codes`` allows feeding pre-encoded
+    sequence codes directly (e.g. from KMC input).
+    """
+    B = alphabet.bits_per_char
+    codes_np = encode_sequences(seqs, alphabet) if extra_codes is None else extra_codes
+    if codes_np.shape[0] < K:
+        codes_np = np.concatenate(
+            [codes_np, np.full(K - codes_np.shape[0], INVALID_CODE, np.uint8)])
+    # pad to bucket so the extract kernel compiles per size class
+    target = _bucket(codes_np.shape[0])
+    if codes_np.shape[0] < target:
+        codes_np = np.concatenate(
+            [codes_np, np.full(target - codes_np.shape[0], INVALID_CODE, np.uint8)])
+    codes = jnp.asarray(codes_np)
+    lanes, count = _extract_stage(codes, K, B, tuple(suffix), canonical,
+                                  alphabet.complement)
+    counts = jnp.ones((lanes.shape[1],), jnp.int32)
+    ulanes, ucounts, ucount = _sort_unique_stage(lanes, counts, count)
+    n_u = int(ucount)
+    cap = _bucket(n_u)
+    return ulanes[:, :max(cap, 1)], ucounts[:max(cap, 1)], n_u
+
+
+def build_boss_from_kmers(
+    real: jax.Array,
+    counts: jax.Array,
+    n_real: int,
+    K: int,
+    alphabet: Alphabet = DNA,
+    mode: str = MODE_BASIC,
+    bits_per_count: int = 0,
+    keep_kmer_index: bool = True,
+) -> Boss:
+    """Generate dummy edges, merge, and emit the BOSS arrays."""
+    B = alphabet.bits_per_char
+    if mode == MODE_CANONICAL:
+        real, counts, n2 = _add_rc_stage(real, counts, jnp.int32(n_real), K, B,
+                                         alphabet.complement)
+        n_real = int(n2)
+
+    sinks, n_sinks = _dummy_sink_stage(real, jnp.int32(n_real), K, B)
+    n_sinks = int(n_sinks)
+    src, n_src = _dummy_source_stage(real, jnp.int32(n_real), K, B)
+    n_src = int(n_src)
+
+    levels: List[Tuple[jax.Array, int]] = [(src[:, :_bucket(n_src)], n_src)]
+    cur, n_cur = levels[0]
+    for _c in range(2, K):
+        if n_cur == 0:
+            break
+        cur, n_cur_j = _dummy_level_stage(cur, jnp.int32(n_cur), K, B)
+        n_cur = int(n_cur_j)
+        levels.append((cur, n_cur))
+
+    n_dummy = n_sinks + sum(n for _, n in levels) + 1
+    n_total = n_real + n_dummy
+
+    parts = [jnp.where(packed.valid_mask(real.shape[1], n_real)[None, :],
+                       real, packed.full_pad(real.shape[1], real.shape[0]))]
+    cparts = [jnp.where(packed.valid_mask(real.shape[1], n_real), counts, 0)]
+    for lanes_i, n_i in [(sinks, n_sinks)] + levels:
+        parts.append(jnp.where(packed.valid_mask(lanes_i.shape[1], n_i)[None, :],
+                               lanes_i, packed.full_pad(lanes_i.shape[1], lanes_i.shape[0])))
+        cparts.append(jnp.zeros((lanes_i.shape[1],), jnp.int32))
+    # the all-$ main dummy edge
+    parts.append(packed.zeros(1, real.shape[0]))
+    cparts.append(jnp.zeros((1,), jnp.int32))
+
+    # concat keeps each part's PAD tail; the sort pushes all PADs to the end
+    merged = jnp.concatenate(parts, axis=1)
+    mcounts = jnp.concatenate(cparts)
+    merged, (mcounts,) = packed.sort(merged, mcounts)
+
+    max_count = (1 << bits_per_count) - 1 if bits_per_count else (1 << 31) - 1
+    kept, n_kept, W, last, F, weights = _emit_stage(
+        merged, mcounts, jnp.int32(n_total), K, B, alphabet.size, max_count)
+    n_kept = int(n_kept)
+
+    zero_row = jnp.zeros((1,), jnp.int32)
+    W_full = jnp.concatenate([zero_row, W[:n_kept]])
+    last_full = jnp.concatenate([zero_row.astype(bool), last[:n_kept]])
+    weights_full = (jnp.concatenate([zero_row, weights[:n_kept]])
+                    if bits_per_count else None)
+    edge_lanes = kept[:, :n_kept] if keep_kmer_index else None
+
+    return Boss.from_arrays(
+        k=K - 1, alph_size=alphabet.size, bits_per_char=B,
+        W=W_full, last=last_full, F=F,
+        edge_lanes=edge_lanes, weights=weights_full)
+
+
+def build_boss(
+    seqs: Sequence[bytes | str],
+    k: int,
+    alphabet: Alphabet = DNA,
+    mode: str = MODE_BASIC,
+    bits_per_count: int = 0,
+    suffix: Tuple[int, ...] = (),
+) -> Boss:
+    """End-to-end single-shard BOSS build for DBG k-mer size ``k``
+    (edge k-mers have K = k characters; BOSS node length k-1, matching
+    DBGSuccinct's k = BOSS k + 1, dbg_succinct.hpp:113)."""
+    canonical = mode in (MODE_CANONICAL, MODE_PRIMARY)
+    real, counts, n_real = collect_kmers(
+        seqs, k, alphabet, canonical=canonical, suffix=suffix)
+    return build_boss_from_kmers(
+        real, counts, n_real, k, alphabet,
+        mode=MODE_CANONICAL if canonical else MODE_BASIC,
+        bits_per_count=bits_per_count)
