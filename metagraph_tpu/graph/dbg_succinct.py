@@ -1,0 +1,180 @@
+"""DBGSuccinct: the node-level de Bruijn graph facade over a BOSS table.
+
+Re-design of the reference DBGSuccinct
+(metagraph/src/graph/representation/succinct/dbg_succinct.hpp:113-190):
+a DBG node of k-mer size k is a BOSS *edge* (k = boss.k + 1); dummy edges
+(containing ``$``) are masked out of the node index space via a rank over
+the valid-edge mask, so node indexes are contiguous 1..num_nodes
+(the reference's ``valid_edges_`` + rank trick).
+
+Mapping and traversal are *batched*: ``map_to_nodes`` maps every window
+of a whole read batch with one searchsorted; ``successors``/
+``predecessors`` compute adjacency for a node batch with vectorized
+range searches on the sorted edge-kmer tensor — no per-node pointer
+chasing.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..common import packed
+from ..common.ranksel import BitRank
+from ..kmer import packing
+from ..kmer.alphabets import Alphabet, DNA, INVALID_CODE
+from ..kmer.extractor import encode_sequences, window_validity
+from .boss import Boss
+
+MODE_BASIC = "basic"
+MODE_CANONICAL = "canonical"
+MODE_PRIMARY = "primary"
+
+
+@dataclass(frozen=True)
+class DbgSuccinct:
+    boss: Boss
+    alphabet: Alphabet
+    mode: str
+    valid_rank: BitRank          # over (m,) incl. sentinel row 0
+
+    @staticmethod
+    def from_boss(boss: Boss, alphabet: Alphabet = DNA,
+                  mode: str = MODE_BASIC) -> "DbgSuccinct":
+        B = alphabet.bits_per_char
+        assert boss.edge_lanes is not None
+        is_dummy = packing.contains_sentinel(boss.edge_lanes, boss.K, B)
+        valid = jnp.concatenate([jnp.zeros((1,), bool), ~is_dummy])
+        return DbgSuccinct(boss=boss, alphabet=alphabet, mode=mode,
+                           valid_rank=BitRank.build(valid))
+
+    # -- sizes -------------------------------------------------------------
+
+    @property
+    def k(self) -> int:
+        return self.boss.K
+
+    def num_nodes(self) -> int:
+        return int(self.valid_rank.num_set)
+
+    # -- index mapping -----------------------------------------------------
+
+    def edge_to_node(self, edge: jax.Array) -> jax.Array:
+        """BOSS edge row -> DBG node index (0 if dummy/absent)."""
+        valid = self.valid_rank.prefix[jnp.maximum(edge, 0) + 1] \
+            - self.valid_rank.prefix[jnp.maximum(edge, 0)]
+        return jnp.where((edge > 0) & (valid > 0),
+                         self.valid_rank.rank1(edge), 0)
+
+    def node_to_edge(self, node: jax.Array) -> jax.Array:
+        """DBG node index -> BOSS edge row."""
+        return jnp.where(node > 0, self.valid_rank.select1(node), 0)
+
+    def node_lanes(self, node: jax.Array) -> jax.Array:
+        """Packed edge k-mers of a node batch."""
+        edge = self.node_to_edge(node)
+        return self.boss.edge_lanes[:, jnp.maximum(edge - 1, 0)]
+
+    # -- sequence mapping (reference map_to_nodes, sequence_graph.hpp:166) --
+
+    def map_codes_to_nodes(self, codes: jax.Array) -> jax.Array:
+        """Map every k-window of a code array to its node id (0 = absent
+        or invalid window). Returns (len(codes) - k + 1,) int32."""
+        K = self.k
+        B = self.alphabet.bits_per_char
+        ok = window_validity(codes, K)
+        idx = jnp.arange(codes.shape[0] - K + 1, dtype=jnp.int32)
+        fields = [codes[idx + (K - 1)].astype(jnp.uint32)]
+        for j in range(1, K):
+            fields.append(codes[idx + (j - 1)].astype(jnp.uint32))
+        lanes = packed.from_fields(jnp.stack(fields), B)
+        if self.mode in (MODE_CANONICAL, MODE_PRIMARY):
+            rc = packing.reverse_complement(lanes, K, B, self.alphabet.complement)
+            lanes = jnp.where(packed.lt(rc, lanes)[None, :], rc, lanes)
+        edges = self.boss.map_to_edges(lanes)
+        nodes = self.edge_to_node(edges)
+        return jnp.where(ok, nodes, 0)
+
+    def map_to_nodes(self, seq: bytes | str) -> np.ndarray:
+        codes = encode_sequences([seq], self.alphabet)[:-1]  # drop separator
+        if len(codes) < self.k:
+            return np.zeros((max(0, len(codes) - self.k + 1),), np.int32)
+        return np.asarray(self.map_codes_to_nodes(jnp.asarray(codes)))
+
+    # -- adjacency ---------------------------------------------------------
+
+    def _row_range_for_suffix(self, node_batch_lanes: jax.Array
+                              ) -> Tuple[jax.Array, jax.Array]:
+        """[lo, hi) 0-based rows of edges whose source node equals the
+        (k-1)-suffix of each input edge k-mer."""
+        B = self.alphabet.bits_per_char
+        K = self.k
+        # successor source node = e_2..e_K: that's node_key(to_next(x, 0))
+        shifted = packing.to_next(node_batch_lanes, K, B, 0)
+        lo = packed.searchsorted(self.boss.edge_lanes, shifted, side="left")
+        # upper bound: same node, label = max -> shifted + (alph-1) in field 0
+        hi_q = packed.set_field(
+            shifted, 0,
+            jnp.full((shifted.shape[1],), self.alphabet.size - 1, jnp.uint32), B)
+        hi = packed.searchsorted(self.boss.edge_lanes, hi_q, side="right")
+        return lo, hi
+
+    def successors(self, nodes: jax.Array, max_degree: Optional[int] = None
+                   ) -> jax.Array:
+        """(N, sigma-1) node ids of successors (0-padded), one column per
+        possible next character c in 1..sigma-1."""
+        B = self.alphabet.bits_per_char
+        K = self.k
+        lanes = self.node_lanes(nodes)
+        shifted = packing.to_next(lanes, K, B, 0)
+        cols = []
+        for c in range(1, self.alphabet.size):
+            q = packed.set_field(
+                shifted, 0, jnp.full((shifted.shape[1],), c, jnp.uint32), B)
+            edges = self.boss.map_to_edges(q)
+            cols.append(self.edge_to_node(edges))
+        out = jnp.stack(cols, axis=1)
+        return jnp.where((nodes > 0)[:, None], out, 0)
+
+    def predecessors(self, nodes: jax.Array) -> jax.Array:
+        """(N, sigma-1) node ids of predecessors (0-padded)."""
+        B = self.alphabet.bits_per_char
+        K = self.k
+        lanes = self.node_lanes(nodes)
+        cols = []
+        for c in range(1, self.alphabet.size):
+            q = packing.to_prev(lanes, K, B, c)
+            edges = self.boss.map_to_edges(q)
+            cols.append(self.edge_to_node(edges))
+        out = jnp.stack(cols, axis=1)
+        return jnp.where((nodes > 0)[:, None], out, 0)
+
+    def outdegree(self, nodes: jax.Array) -> jax.Array:
+        return jnp.sum(self.successors(nodes) > 0, axis=1)
+
+    def indegree(self, nodes: jax.Array) -> jax.Array:
+        return jnp.sum(self.predecessors(nodes) > 0, axis=1)
+
+    # -- node decoding -----------------------------------------------------
+
+    def node_kmers_chars(self, nodes: np.ndarray) -> np.ndarray:
+        """(N, k) char codes of the node k-mers."""
+        lanes = self.node_lanes(jnp.asarray(nodes))
+        return np.asarray(packing.unpack_to_chars(lanes, self.k,
+                                                  self.alphabet.bits_per_char))
+
+    def node_sequence(self, node: int) -> str:
+        chars = self.node_kmers_chars(np.array([node]))[0]
+        return self.alphabet.decode(chars)
+
+
+def register_pytrees():
+    jax.tree_util.register_dataclass(
+        DbgSuccinct, ["boss", "valid_rank"], ["alphabet", "mode"])
+
+
+register_pytrees()
