@@ -1,0 +1,127 @@
+"""Benchmark: BOSS graph construction throughput on the real TPU.
+
+Config: the reference's own test dataset (transcripts_1000.fa, k=20,
+BASELINE.json config #1). Metric: k-mers/sec through the full build
+pipeline (extract -> sort-unique -> dummy generation -> W/last/F emit),
+measured on a warm run (compiles cached by the first run).
+
+Baseline (BASELINE.md measurement plan — the reference publishes no
+numbers): the same pipeline in single-threaded numpy on this host
+(window extract + lexsort + unique), the same algorithmic class as the
+reference's ips4o sort-based collection, measured once and cached in
+bench_baseline.json.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+DATA = "/root/reference/metagraph/tests/data/transcripts_1000.fa"
+K = 20
+BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "bench_baseline.json")
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def read_fasta(path):
+    seqs, cur = [], []
+    for line in open(path, "rb"):
+        if line.startswith(b">"):
+            if cur:
+                seqs.append(b"".join(cur))
+            cur = []
+        else:
+            cur.append(line.strip())
+    if cur:
+        seqs.append(b"".join(cur))
+    return seqs
+
+
+def numpy_baseline_kmers_per_sec(seqs):
+    """Single-threaded numpy build-collection pipeline (the reference's
+    algorithmic core: encode, window, pack, sort, dedupe)."""
+    code = np.full(256, 255, np.uint8)
+    for i, ch in enumerate(b"ACGT"):
+        code[ch] = i
+    t0 = time.time()
+    packed_all = []
+    total_windows = 0
+    for s in seqs:
+        a = code[np.frombuffer(s, np.uint8)]
+        if len(a) < K:
+            continue
+        w = np.lib.stride_tricks.sliding_window_view(a, K)
+        ok = np.all(w != 255, axis=1)
+        total_windows += len(w)
+        w = w[ok].astype(np.uint64)
+        p = np.zeros(len(w), np.uint64)
+        for j in range(K):
+            p = (p << np.uint64(2)) | w[:, j]
+        packed_all.append(p)
+    allk = np.concatenate(packed_all)
+    allk.sort(kind="stable")
+    uniq = np.concatenate([[True], allk[1:] != allk[:-1]])
+    n_unique = int(uniq.sum())
+    dt = time.time() - t0
+    return total_windows / dt, n_unique, total_windows
+
+
+def tpu_build_seconds(seqs):
+    from metagraph_tpu.graph.boss_construct import build_boss
+
+    # warm-up run compiles all stage kernels
+    t0 = time.time()
+    boss = build_boss(seqs, K)
+    log(f"cold build (incl. compile): {time.time() - t0:.2f} s, "
+        f"num_edges={boss.num_edges}")
+    # warm run
+    t0 = time.time()
+    boss = build_boss(seqs, K)
+    _ = np.asarray(boss.W[:1])  # sync
+    dt = time.time() - t0
+    return dt, boss
+
+
+def main():
+    seqs = read_fasta(DATA)
+    total_bp = sum(map(len, seqs))
+    log(f"{len(seqs)} sequences, {total_bp/1e6:.2f} Mbp")
+
+    if os.path.exists(BASELINE_CACHE):
+        with open(BASELINE_CACHE) as f:
+            base = json.load(f)
+    else:
+        rate, n_unique, total_windows = numpy_baseline_kmers_per_sec(seqs)
+        base = {"kmers_per_sec": rate, "n_unique": n_unique,
+                "total_windows": total_windows}
+        with open(BASELINE_CACHE, "w") as f:
+            json.dump(base, f)
+    log(f"baseline (numpy 1-thread collection): "
+        f"{base['kmers_per_sec']/1e6:.2f} Mk-mers/s")
+
+    dt, boss = tpu_build_seconds(seqs)
+    total_windows = base["total_windows"]
+    value = total_windows / dt
+    log(f"warm TPU full build: {dt:.3f} s -> {value/1e6:.2f} Mk-mers/s "
+        f"(full pipeline incl. dummy gen + emit)")
+
+    print(json.dumps({
+        "metric": "build_kmers_per_sec",
+        "value": round(value, 1),
+        "unit": "kmers/sec (transcripts_1000.fa k=20 full BOSS build)",
+        "vs_baseline": round(value / base["kmers_per_sec"], 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

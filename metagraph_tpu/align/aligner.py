@@ -1,0 +1,320 @@
+"""Sequence-to-graph alignment: seed & extend.
+
+Covers the reference aligner stack (metagraph/src/graph/alignment/):
+DBGAlignerConfig scoring (aligner_config.hpp:18-96 — match/transition/
+transversion + affine gaps + x-drop), ExactSeeder (aligner_seeder_methods
+.hpp:16), and a column extender (aligner_extender_methods.hpp:43) that
+walks graph successors from the seed end with banded affine-gap DP and
+x-drop + beam pruning.
+
+Round-1 layering: seeding is fully batched on device (one map_to_nodes
+over all query windows); path search scores whole DP columns with numpy
+vector ops per expanded node; the final CIGAR is recovered by re-aligning
+the query tail against the winning path spelling (small, per-read). The
+Pallas anti-diagonal wavefront kernel replaces the column inner loop in a
+later round — the semantics here define its spec.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+NEG = -(10 ** 9)
+
+
+@dataclass
+class AlignerConfig:
+    match_score: int = 2
+    mm_transition_penalty: int = 3
+    mm_transversion_penalty: int = 3
+    gap_opening_penalty: int = 5      # positive penalties, subtracted
+    gap_extension_penalty: int = 2
+    xdrop: int = 27
+    min_seed_length: int = 0
+    min_exact_match: float = 0.7
+    beam_width: int = 32
+
+    def score_matrix(self) -> np.ndarray:
+        """(5, 5) substitution scores over codes $ACGT
+        (reference dna scoring: transitions A<->G, C<->T)."""
+        s = np.full((5, 5), -self.mm_transversion_penalty, np.int32)
+        for a, b in [(1, 3), (3, 1), (2, 4), (4, 2)]:  # A<->G, C<->T
+            s[a, b] = -self.mm_transition_penalty
+        for c in range(1, 5):
+            s[c, c] = self.match_score
+        s[0, :] = -self.mm_transversion_penalty
+        s[:, 0] = -self.mm_transversion_penalty
+        return s
+
+
+@dataclass
+class GraphAlignment:
+    score: int
+    cigar: str
+    query_begin: int
+    query_end: int                     # exclusive
+    sequence: bytes                    # matched path spelling
+    nodes: List[int]
+    orientation: bool = False          # True = reverse complement
+
+    def to_json(self, name: str = "") -> dict:
+        return {
+            "name": name,
+            "score": int(self.score),
+            "cigar": self.cigar,
+            "query_begin": self.query_begin,
+            "query_end": self.query_end,
+            "sequence": self.sequence.decode(),
+            "orientation": "-" if self.orientation else "+",
+        }
+
+
+def _compress_cigar(ops: Sequence[str]) -> str:
+    out: List[List] = []
+    for op in ops:
+        if out and out[-1][1] == op:
+            out[-1][0] += 1
+        else:
+            out.append([1, op])
+    return "".join(f"{n}{o}" for n, o in out)
+
+
+def affine_semiglobal(query: np.ndarray, ref: np.ndarray, sub: np.ndarray,
+                      open_p: int, ext_p: int
+                      ) -> Tuple[int, int, int, List[str]]:
+    """Affine-gap DP: query prefix vs ref prefix, free ends (best cell
+    anywhere). Returns (score, q_end, r_end, ops). Small host routine used
+    for CIGAR reconstruction on the winning path."""
+    Lq, Lr = len(query), len(ref)
+    H = np.full((Lr + 1, Lq + 1), NEG, np.int64)
+    I = np.full_like(H, NEG)   # gap in ref (consumes query)
+    D = np.full_like(H, NEG)   # gap in query (consumes ref)
+    H[0, 0] = 0
+    for j in range(1, Lq + 1):
+        I[0, j] = -open_p - (j - 1) * ext_p
+        H[0, j] = I[0, j]
+    for t in range(1, Lr + 1):
+        D[t, 0] = max(H[t - 1, 0] - open_p, D[t - 1, 0] - ext_p)
+        H[t, 0] = D[t, 0]
+        subs = sub[query, ref[t - 1]]
+        for j in range(1, Lq + 1):
+            D[t, j] = max(H[t - 1, j] - open_p, D[t - 1, j] - ext_p)
+            I[t, j] = max(H[t, j - 1] - open_p, I[t, j - 1] - ext_p)
+            H[t, j] = max(H[t - 1, j - 1] + subs[j - 1], D[t, j], I[t, j])
+    t, j = np.unravel_index(np.argmax(H), H.shape)
+    best = int(H[t, j])
+    ops: List[str] = []
+    while t > 0 or j > 0:
+        if t > 0 and j > 0 and H[t, j] == H[t - 1, j - 1] \
+                + sub[query[j - 1], ref[t - 1]]:
+            ops.append("=" if query[j - 1] == ref[t - 1] else "X")
+            t -= 1
+            j -= 1
+        elif t > 0 and H[t, j] == D[t, j]:
+            while t > 0 and D[t, j] == D[t - 1, j] - ext_p:
+                ops.append("D")
+                t -= 1
+            ops.append("D")
+            t -= 1
+        elif j > 0:
+            if H[t, j] == I[t, j]:
+                while j > 0 and I[t, j] == I[t, j - 1] - ext_p:
+                    ops.append("I")
+                    j -= 1
+            ops.append("I")
+            j -= 1
+        else:
+            ops.append("D")
+            t -= 1
+    return best, int(np.unravel_index(np.argmax(H), H.shape)[1]), int(
+        np.unravel_index(np.argmax(H), H.shape)[0]), ops[::-1]
+
+
+class Aligner:
+    """Seed & extend against a DbgSuccinct (reference DBGAligner,
+    dbg_aligner.hpp:60-215)."""
+
+    def __init__(self, graph, config: Optional[AlignerConfig] = None):
+        self.graph = graph
+        self.config = config or AlignerConfig()
+        self.sub = self.config.score_matrix()
+        self._tbl = graph.alphabet.encode_table()
+
+    # -- seeding -----------------------------------------------------------
+
+    def _exact_runs(self, nodes: np.ndarray) -> List[Tuple[int, int]]:
+        """Maximal runs [start, end) of consecutive present windows."""
+        runs = []
+        i, n = 0, len(nodes)
+        while i < n:
+            if nodes[i] > 0:
+                j = i
+                while j < n and nodes[j] > 0:
+                    j += 1
+                runs.append((i, j))
+                i = j
+            else:
+                i += 1
+        return runs
+
+    # -- path search -------------------------------------------------------
+
+    def _search(self, query_codes: np.ndarray, start_node: int,
+                forward: bool) -> Tuple[int, List[int], np.ndarray]:
+        """Beam/x-drop search over graph paths maximizing the affine DP
+        score of ``query_codes`` (already reversed when forward=False)
+        against the path spelling. Returns (best score, best path beyond
+        the start node, path char codes)."""
+        import jax.numpy as jnp
+        g = self.graph
+        cfg = self.config
+        Lq = len(query_codes)
+        if Lq == 0:
+            return 0, [], np.zeros(0, np.int32)
+        open_p, ext_p = cfg.gap_opening_penalty, cfg.gap_extension_penalty
+        jj = np.arange(Lq + 1, dtype=np.int64)
+        H0 = np.concatenate([[0], -open_p - (jj[1:] - 1) * ext_p])
+        D0 = np.full(Lq + 1, NEG, np.int64)
+        # frontier entries: (H, D, node, chars list)
+        frontier = [(H0, D0, start_node, [])]
+        best_score, best_chars = 0, []
+        max_steps = Lq + max(4, Lq // 4)
+        for _ in range(max_steps):
+            if not frontier:
+                break
+            # batch successor lookup over the frontier
+            nodes_arr = np.array([f[2] for f in frontier], np.int32)
+            succs = np.asarray(
+                (g.successors if forward else g.predecessors)(
+                    jnp.asarray(nodes_arr)))
+            new_frontier = []
+            for fi, (H, D, node, chars) in enumerate(frontier):
+                for ci in range(succs.shape[1]):
+                    v = int(succs[fi, ci])
+                    if v <= 0:
+                        continue
+                    c = ci + 1
+                    subs = self.sub[query_codes, c]
+                    Dn = np.maximum(H - open_p, D - ext_p)
+                    Hn = np.empty(Lq + 1, np.int64)
+                    Hn[0] = Dn[0]
+                    Hn[1:] = np.maximum(H[:-1] + subs, Dn[1:])
+                    # in-column insertions: prefix-max over j' < j
+                    aug = Hn + jj * ext_p
+                    run = np.maximum.accumulate(aug)
+                    I = np.full(Lq + 1, NEG, np.int64)
+                    I[1:] = run[:-1] - jj[1:] * ext_p - (open_p - ext_p)
+                    Hn = np.maximum(Hn, I)
+                    colmax = int(Hn.max())
+                    if colmax < best_score - cfg.xdrop:
+                        continue
+                    nchars = chars + [c]
+                    if colmax > best_score:
+                        best_score = colmax
+                        best_chars = nchars
+                        self._best_path_cache = None
+                    new_frontier.append((Hn, Dn, v, nchars))
+            if len(new_frontier) > cfg.beam_width:
+                new_frontier.sort(key=lambda e: int(e[0].max()), reverse=True)
+                new_frontier = new_frontier[:cfg.beam_width]
+            frontier = new_frontier
+        # walk the graph again along best_chars to get node ids
+        path = []
+        node = start_node
+        for c in best_chars:
+            import jax.numpy as jnp
+            nxt = np.asarray(
+                (g.successors if forward else g.predecessors)(
+                    jnp.asarray(np.array([node], np.int32))))[0][c - 1]
+            node = int(nxt)
+            path.append(node)
+        return best_score, path, np.array(best_chars, np.int32)
+
+    # -- top level ---------------------------------------------------------
+
+    def align(self, sequence: bytes, num_alternative_paths: int = 1
+              ) -> List[GraphAlignment]:
+        results = []
+        for orientation in (False, True):
+            seq = sequence if not orientation else _revcomp(sequence)
+            aln = self._align_one(seq, orientation)
+            if aln is not None:
+                results.append(aln)
+        results.sort(key=lambda a: -a.score)
+        return results[:num_alternative_paths]
+
+    def _align_one(self, seq: bytes, orientation: bool
+                   ) -> Optional[GraphAlignment]:
+        g = self.graph
+        k = g.k
+        cfg = self.config
+        if len(seq) < k:
+            return None
+        nodes = np.asarray(g.map_to_nodes(seq))
+        runs = self._exact_runs(nodes)
+        if not runs:
+            return None
+        codes = self._tbl[np.frombuffer(seq, np.uint8)].astype(np.int32)
+        codes = np.where(codes == 255, 0, codes)
+        runs.sort(key=lambda r: (r[1] - r[0]), reverse=True)
+        start, end = runs[0]
+        seed_nodes = [int(x) for x in nodes[start:end]]
+        seed_len = (end - start) + k - 1
+        score = cfg.match_score * seed_len
+        ops = ["="] * seed_len
+        path = list(seed_nodes)
+        qb, qe = start, start + seed_len
+        # forward extension
+        fwd = codes[qe:]
+        if len(fwd):
+            ds, dpath, dchars = self._search(fwd, path[-1], forward=True)
+            if ds > 0:
+                s2, q_end, r_end, dops = affine_semiglobal(
+                    fwd, dchars, self.sub, cfg.gap_opening_penalty,
+                    cfg.gap_extension_penalty)
+                score += s2
+                path += dpath[:r_end]
+                ops += dops
+                qe += q_end
+        # backward extension on reversed prefix
+        bwd = codes[:qb][::-1].copy()
+        if len(bwd):
+            ds, dpath, dchars = self._search(bwd, path[0], forward=False)
+            if ds > 0:
+                s2, q_end, r_end, dops = affine_semiglobal(
+                    bwd, dchars, self.sub, cfg.gap_opening_penalty,
+                    cfg.gap_extension_penalty)
+                score += s2
+                path = dpath[:r_end][::-1] + path
+                ops = dops[::-1] + ops
+                qb -= q_end
+        # soft clips
+        full_ops = ops
+        cig = _compress_cigar(full_ops)
+        if qb > 0:
+            cig = f"{qb}S" + cig
+        if qe < len(seq):
+            cig = cig + f"{len(seq) - qe}S"
+        return GraphAlignment(score=int(score), cigar=cig,
+                              query_begin=qb, query_end=qe,
+                              sequence=self._spell(path), nodes=path,
+                              orientation=orientation)
+
+    def _spell(self, path: List[int]) -> bytes:
+        g = self.graph
+        chars = g.node_kmers_chars(np.array(path, np.int64))
+        letters = np.frombuffer(g.alphabet.letters.encode(), np.uint8)
+        out = list(letters[chars[0]])
+        for i in range(1, len(path)):
+            out.append(letters[chars[i][-1]])
+        return bytes(out)
+
+
+_COMP = bytes.maketrans(b"ACGTacgt", b"TGCAtgca")
+
+
+def _revcomp(seq: bytes) -> bytes:
+    return seq.translate(_COMP)[::-1]

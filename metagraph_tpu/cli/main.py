@@ -1,0 +1,541 @@
+"""The ``metagraph`` CLI: subcommand dispatch + reference-compatible outputs.
+
+Mirrors the reference CLI surface (metagraph/src/cli/main.cpp:37-91,
+config/config.cpp): build / clean / extend / merge / concatenate /
+compare / align / stats / annotate / transform / transform_anno /
+assemble / query / server_query, with the same flag names for the
+common options and the same stdout formats for `stats` and `query`
+(the cross-implementation behavioural contract asserted by the
+reference's own integration tests).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+
+def log(msg: str):
+    print(f"[{time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr, flush=True)
+
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+def _load_graph(path):
+    from ..graph import io as graph_io
+    return graph_io.load_graph(path)
+
+
+def _read_input_sequences(files: Sequence[str]):
+    from ..seqio.fasta import parse_records
+    records = []
+    for f in files:
+        records.extend(parse_records(f))
+    return records
+
+
+# ---------------------------------------------------------------------------
+# build
+# ---------------------------------------------------------------------------
+
+def cmd_build(args):
+    from ..graph.boss_construct import build_boss
+    from ..graph.dbg_succinct import DbgSuccinct
+    from ..graph import io as graph_io
+    from ..kmer.alphabets import DNA
+    from ..parallel.sharded_build import build_boss_sharded
+
+    records = _read_input_sequences(args.fnames)
+    seqs = [r.seq for r in records]
+    log(f"Read {len(seqs)} sequences "
+        f"({sum(map(len, seqs)) / 1e6:.1f} Mbp)")
+    mode = args.mode
+    bits_per_count = args.count_width if args.count_kmers else 0
+    t0 = time.time()
+    if args.suffix_len > 0 or args.num_shards > 1:
+        boss = build_boss_sharded(
+            seqs, args.k, mode=mode, bits_per_count=bits_per_count,
+            suffix_len=max(args.suffix_len, 1))
+    else:
+        boss = build_boss(seqs, args.k, mode=mode,
+                          bits_per_count=bits_per_count)
+    log(f"Graph construction: {time.time() - t0:.2f} s")
+    graph = DbgSuccinct.from_boss(boss, DNA, mode)
+    out = graph_io.save_graph(args.outfile_base, graph)
+    log(f"Serialized to {out}")
+
+
+# ---------------------------------------------------------------------------
+# stats
+# ---------------------------------------------------------------------------
+
+def cmd_stats(args):
+    from ..kmer import packing
+    for f in args.fnames:
+        if f.endswith(".annodbg.npz") or "anno" in os.path.basename(f):
+            _print_annotation_stats(f)
+            continue
+        g = _load_graph(f)
+        log(f"Statistics for graph '{f}'")
+        print("====================== GRAPH STATS =====================")
+        print(f"k: {g.k}")
+        print(f"nodes (k): {g.num_nodes()}")
+        print(f"mode: {g.mode}")
+        if g.boss.weights is not None:
+            w = np.asarray(g.boss.weights)
+            nnz = int((w != 0).sum())
+            print(f"nnz weights: {nnz}")
+            print(f"avg weight: {w.sum() / max(nnz, 1)}")
+        print("========================================================")
+        boss = g.boss
+        print("====================== BOSS STATS ======================")
+        print(f"k: {boss.k + 1}")
+        print(f"nodes (k-1): {int(boss.num_nodes())}")
+        print(f"edges ( k ): {boss.num_edges}")
+        print("state: fast")
+        counts = np.asarray(boss.char_counts_W())
+        letters = g.alphabet.letters
+        pairs = ", ".join(f"'{letters[i]}': {int(counts[i])}"
+                          for i in range(boss.alph_size))
+        print("W stats: {" + pairs + "}")
+        F = np.asarray(boss.F)
+        fparts = []
+        for i in range(1, boss.alph_size):
+            fparts.append(f"'{letters[i - 1]}': {int(F[i] - F[i - 1])}")
+        fparts.append(f"'{letters[-1]}': {boss.num_edges - int(F[-1])}")
+        print("F stats: {" + ", ".join(fparts) + "}")
+        if args.count_dummy:
+            nsrc, nsink = boss.num_dummy_edges()
+            print(f"dummy source edges: {int(nsrc)}")
+            print(f"dummy sink edges: {int(nsink)}")
+            print(f"real edges: {boss.num_edges - int(nsrc) - int(nsink)}")
+        print("indexed suffix length: 0")
+        print("========================================================")
+
+
+def _print_annotation_stats(f):
+    from ..anno.annotator import Annotation
+    ann = Annotation.load(f)
+    log(f"Statistics for annotation '{f}'")
+    print("=================== ANNOTATION STATS ===================")
+    print(f"labels:  {ann.num_labels}")
+    print(f"objects: {ann.matrix.num_rows}")
+    density = ann.matrix.nnz / max(ann.matrix.num_rows, 1) \
+        / max(ann.num_labels, 1)
+    print(f"density: {density:.6g}")
+    print("representation: column")
+    print("========================================================")
+
+
+# ---------------------------------------------------------------------------
+# annotate
+# ---------------------------------------------------------------------------
+
+def cmd_annotate(args):
+    from ..engine.annotated_dbg import annotate_sequences
+    from ..anno.annotator import ColumnAnnotator
+
+    g = _load_graph(args.infile_base)
+    annotator = ColumnAnnotator(num_rows=g.num_nodes())
+    items = []
+    for f in args.fnames:
+        from ..seqio.fasta import parse_records
+        for rec in parse_records(f):
+            labels: List[str] = []
+            if args.anno_filename:
+                labels.append(f)
+            if args.anno_header:
+                labels.append(rec.name.decode())
+            labels.extend(args.anno_label or [])
+            items.append((rec.seq, labels))
+    annotate_sequences(g, items, annotator, with_counts=args.count_kmers)
+    ann = annotator.finalize()
+    out = args.outfile_base or args.infile_base
+    if not out.endswith(".annodbg.npz"):
+        out = out + ".column.annodbg.npz"
+    ann.save(out)
+    log(f"Serialized annotation to {out} "
+        f"({ann.num_labels} labels, {ann.matrix.nnz} relations)")
+
+
+# ---------------------------------------------------------------------------
+# query
+# ---------------------------------------------------------------------------
+
+def format_query_result(idx: int, name: str, adbg, seq: bytes, args) -> str:
+    """One output line per sequence (reference query.cpp:54-155,927)."""
+    seq_name = f"{idx}\t{name}"
+    if args.print_signature:
+        tops = adbg.get_top_label_signatures(
+            seq, args.num_top_labels, args.discovery_fraction)
+        if not tops and args.suppress_unlabeled:
+            return ""
+        parts = [seq_name]
+        for label, mask in tops:
+            bits = "".join("1" if b else "0" for b in mask)
+            parts.append(f"<{label}>:{int(mask.sum())}:{bits}:"
+                         f"{adbg.score_kmer_presence_mask(mask)}")
+        return "\t".join(parts) + "\n"
+    elif args.count_labels or args.query_counts:
+        tops = adbg.get_top_labels(seq, args.num_top_labels,
+                                   args.discovery_fraction,
+                                   with_kmer_counts=args.query_counts)
+        if not tops and args.suppress_unlabeled:
+            return ""
+        parts = [seq_name]
+        for label, count in tops:
+            parts.append(f"<{label}>:{count}")
+        return "\t".join(parts) + "\n"
+    else:
+        labels = adbg.get_labels(seq, args.discovery_fraction)
+        if not labels and args.suppress_unlabeled:
+            return ""
+        return seq_name + "\t" + args.anno_labels_delimiter.join(labels) + "\n"
+
+
+def cmd_query(args):
+    from ..anno.annotator import Annotation
+    from ..engine.annotated_dbg import AnnotatedDbg
+    from ..seqio.fasta import parse_records
+
+    g = _load_graph(args.infile_base)
+    ann = Annotation.load(args.annotation)
+    adbg = AnnotatedDbg(graph=g, annotation=ann)
+    t0 = time.time()
+    n = 0
+    out = sys.stdout
+    for f in args.fnames:
+        for i, rec in enumerate(parse_records(f)):
+            line = format_query_result(i, rec.name.decode(), adbg, rec.seq,
+                                       args)
+            out.write(line)
+            n += 1
+    log(f"Queried {n} sequences in {time.time() - t0:.2f} s")
+
+
+# ---------------------------------------------------------------------------
+# assemble / clean
+# ---------------------------------------------------------------------------
+
+def cmd_assemble(args):
+    from ..graph.traversal import contig_sequences, unitig_sequences
+    from ..seqio.fasta import FastaWriter
+
+    g = _load_graph(args.infile_base)
+    if args.label_mask_in or args.label_mask_out:
+        from ..anno.annotator import Annotation
+        from ..engine.annotated_dbg import AnnotatedDbg
+        from ..engine.diff_assembly import differential_assembly
+        ann = Annotation.load(args.annotation)
+        adbg = AnnotatedDbg(graph=g, annotation=ann)
+        g = differential_assembly(
+            adbg, args.label_mask_in or [], args.label_mask_out or [],
+            unitig_mode=args.unitigs,
+            label_mask_in_fraction=args.label_mask_in_fraction,
+            label_mask_out_fraction=args.label_mask_out_fraction,
+            label_other_fraction=args.label_other_fraction)
+    seqs = (unitig_sequences(g, min_length=args.min_length) if args.unitigs
+            else contig_sequences(g))
+    with FastaWriter(args.outfile_base + ".fasta.gz", header="",
+                     enumerate_sequences=True) as w:
+        for s in seqs:
+            w.write(s)
+    log(f"Assembled {len(seqs)} sequences -> {args.outfile_base}.fasta.gz")
+
+
+def cmd_clean(args):
+    from ..graph.cleaning import clean_node_mask, estimate_min_kmer_abundance
+    from ..graph.masked import MaskedDbg
+    from ..graph.traversal import unitig_sequences
+    from ..seqio.fasta import FastaWriter
+
+    g = _load_graph(args.infile_base)
+    min_count = args.min_count
+    if args.min_count_auto:
+        est = estimate_min_kmer_abundance(g)
+        if est < 0:
+            log("Automatic threshold estimation failed; using --min-count")
+        else:
+            min_count = est
+            log(f"Estimated k-mer abundance threshold: {min_count}")
+    mask = clean_node_mask(g, min_count, unitig_mode=True,
+                           min_tip_size=args.prune_tips)
+    mg = MaskedDbg(base=g, mask=mask)
+    seqs = unitig_sequences(mg)
+    with FastaWriter(args.outfile_base + ".fasta.gz") as w:
+        for s in seqs:
+            w.write(s)
+    log(f"Cleaned graph: kept {mg.num_masked_nodes()}/{g.num_nodes()} nodes, "
+        f"{len(seqs)} unitigs -> {args.outfile_base}.fasta.gz")
+
+
+# ---------------------------------------------------------------------------
+# align
+# ---------------------------------------------------------------------------
+
+def cmd_align(args):
+    from ..align.aligner import Aligner, AlignerConfig
+    from ..seqio.fasta import parse_records
+
+    g = _load_graph(args.infile_base)
+    cfg = AlignerConfig(
+        match_score=args.match_score,
+        mm_transition_penalty=args.mm_transition_penalty,
+        mm_transversion_penalty=args.mm_transversion_penalty,
+        gap_opening_penalty=args.gap_opening_penalty,
+        gap_extension_penalty=args.gap_extension_penalty,
+        xdrop=args.align_xdrop,
+        min_seed_length=args.align_min_seed_length or g.k,
+    )
+    aligner = Aligner(g, cfg)
+    for f in args.fnames:
+        for rec in parse_records(f):
+            if args.map_only:
+                nodes = g.map_to_nodes(rec.seq)
+                nmatch = int((nodes > 0).sum())
+                print(f"{rec.name.decode()}\t{nmatch}/{len(nodes)}")
+                continue
+            results = aligner.align(rec.seq, num_alternative_paths=args.num_alternative_paths)
+            if not results:
+                print(f"{rec.name.decode()}\t*\t*\t0\t*")
+                continue
+            for r in results:
+                print(f"{rec.name.decode()}\t{r.sequence.decode()}\t"
+                      f"{r.score}\t{r.cigar}\t{r.orientation:d}")
+
+
+# ---------------------------------------------------------------------------
+# misc graph ops
+# ---------------------------------------------------------------------------
+
+def cmd_compare(args):
+    g1 = _load_graph(args.fnames[0])
+    g2 = _load_graph(args.fnames[1])
+    same = (g1.k == g2.k
+            and g1.num_nodes() == g2.num_nodes()
+            and np.array_equal(np.asarray(g1.boss.W), np.asarray(g2.boss.W))
+            and np.array_equal(np.asarray(g1.boss.last),
+                               np.asarray(g2.boss.last)))
+    print("Graphs are identical" if same else "Graphs are not identical")
+
+
+def cmd_transform(args):
+    from ..graph.traversal import contig_sequences
+    g = _load_graph(args.infile_base)
+    if args.to_fasta:
+        from ..seqio.fasta import FastaWriter
+        with FastaWriter(args.outfile_base + ".fasta.gz") as w:
+            for s in contig_sequences(g):
+                w.write(s)
+        log(f"Wrote contigs to {args.outfile_base}.fasta.gz")
+    elif args.to_gfa:
+        _write_gfa(g, args.outfile_base + ".gfa")
+        log(f"Wrote GFA to {args.outfile_base}.gfa")
+
+
+def _write_gfa(g, path):
+    from ..graph.traversal import unitig_decomposition, unitig_sequences
+    import jax.numpy as jnp
+    u = unitig_decomposition(g)
+    seqs = unitig_sequences(g, u, apply_mask=False)
+    with open(path, "w") as fh:
+        fh.write("H\tVN:Z:1.0\n")
+        for c, s in enumerate(seqs):
+            fh.write(f"S\t{c + 1}\t{s.decode()}\n")
+        # links between unitig ends (k-1 overlap)
+        last_nodes = np.zeros(u.num_unitigs, np.int32)
+        nodes = np.arange(1, g.num_nodes() + 1)
+        sel = u.pos[1:] == (u.lengths[u.chain_id[1:]] - 1)
+        last_nodes[u.chain_id[1:][sel]] = nodes[sel]
+        succ = np.asarray(g.successors(jnp.asarray(last_nodes)))
+        start_chain = {int(u.starts[c]): c for c in range(u.num_unitigs)}
+        for c in range(u.num_unitigs):
+            for s in succ[c]:
+                cn = start_chain.get(int(s))
+                if cn is not None:
+                    fh.write(f"L\t{c + 1}\t+\t{cn + 1}\t+\t{g.k - 1}M\n")
+
+
+def cmd_concatenate(args):
+    # merge chunked graphs produced by sharded builds
+    from ..parallel.sharded_build import concatenate_chunks
+    concatenate_chunks(args.fnames, args.outfile_base)
+    log(f"Concatenated {len(args.fnames)} chunks -> {args.outfile_base}")
+
+
+def cmd_merge(args):
+    from ..graph.boss_construct import build_boss_from_kmers
+    from ..graph.dbg_succinct import DbgSuccinct
+    from ..graph import io as graph_io
+    from ..common import packed
+    from ..kmer import packing as kp
+    import jax.numpy as jnp
+    graphs = [_load_graph(f) for f in args.fnames]
+    k = graphs[0].k
+    alphabet = graphs[0].alphabet
+    B = alphabet.bits_per_char
+    # merge = union of real edge k-mers, then rebuild dummies
+    all_lanes = []
+    for g in graphs:
+        lanes = g.boss.edge_lanes
+        real = ~kp.contains_sentinel(lanes, k, B)
+        comp, cnt, _ = packed.compact(lanes, real, lanes.shape[1])
+        all_lanes.append(comp[:, :int(cnt)])
+    merged = jnp.concatenate(all_lanes, axis=1)
+    counts = jnp.ones((merged.shape[1],), jnp.int32)
+    from ..graph.boss_construct import _sort_unique_stage
+    u, ucounts, ucount = _sort_unique_stage(merged, counts,
+                                            jnp.int32(merged.shape[1]))
+    boss = build_boss_from_kmers(u, ucounts, int(ucount), k, alphabet)
+    out = graph_io.save_graph(args.outfile_base,
+                              DbgSuccinct.from_boss(boss, alphabet,
+                                                    graphs[0].mode))
+    log(f"Merged {len(graphs)} graphs -> {out}")
+
+
+def cmd_server_query(args):
+    from ..server.http_server import run_server
+    run_server(args)
+
+
+# ---------------------------------------------------------------------------
+# argument parsing
+# ---------------------------------------------------------------------------
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="metagraph",
+                                description="TPU-native MetaGraph")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    def common_out(sp):
+        sp.add_argument("-o", "--outfile-base", default="graph")
+
+    sp = sub.add_parser("build")
+    sp.add_argument("-k", "--kmer-length", dest="k", type=int, required=True)
+    sp.add_argument("--mode", choices=["basic", "canonical", "primary"],
+                    default="basic")
+    sp.add_argument("--count-kmers", action="store_true")
+    sp.add_argument("--count-width", type=int, default=8)
+    sp.add_argument("--mask-dummy", action="store_true")  # always on
+    sp.add_argument("--suffix-len", type=int, default=0)
+    sp.add_argument("--num-shards", type=int, default=1)
+    sp.add_argument("--graph", default="succinct")
+    sp.add_argument("--disk-swap", default="")
+    common_out(sp)
+    sp.add_argument("fnames", nargs="+")
+    sp.set_defaults(func=cmd_build)
+
+    sp = sub.add_parser("stats")
+    sp.add_argument("--count-dummy", action="store_true")
+    sp.add_argument("-a", "--annotation", default=None)
+    sp.add_argument("fnames", nargs="+")
+    sp.set_defaults(func=cmd_stats)
+
+    sp = sub.add_parser("annotate")
+    sp.add_argument("-i", "--infile-base", required=True)
+    sp.add_argument("-o", "--outfile-base", default=None)
+    sp.add_argument("--anno-filename", action="store_true")
+    sp.add_argument("--anno-header", action="store_true")
+    sp.add_argument("--anno-label", action="append")
+    sp.add_argument("--count-kmers", action="store_true")
+    sp.add_argument("--separately", action="store_true")
+    sp.add_argument("fnames", nargs="+")
+    sp.set_defaults(func=cmd_annotate)
+
+    sp = sub.add_parser("query")
+    sp.add_argument("-i", "--infile-base", required=True)
+    sp.add_argument("-a", "--annotation", required=True)
+    sp.add_argument("--count-labels", action="store_true")
+    sp.add_argument("--query-counts", action="store_true")
+    sp.add_argument("--print-signature", action="store_true")
+    sp.add_argument("--suppress-unlabeled", action="store_true")
+    sp.add_argument("--num-top-labels", type=int, default=2 ** 62)
+    sp.add_argument("--discovery-fraction", type=float, default=0.7)
+    sp.add_argument("--labels-delimiter", dest="anno_labels_delimiter",
+                    default=":")
+    sp.add_argument("--fast", action="store_true")  # batch mode (default path)
+    sp.add_argument("fnames", nargs="+")
+    sp.set_defaults(func=cmd_query)
+
+    sp = sub.add_parser("assemble")
+    sp.add_argument("-i", "--infile-base", required=True)
+    common_out(sp)
+    sp.add_argument("--unitigs", action="store_true")
+    sp.add_argument("--min-length", type=int, default=0)
+    sp.add_argument("-a", "--annotation", default=None)
+    sp.add_argument("--label-mask-in", action="append")
+    sp.add_argument("--label-mask-out", action="append")
+    sp.add_argument("--label-mask-in-fraction", type=float, default=1.0)
+    sp.add_argument("--label-mask-out-fraction", type=float, default=0.0)
+    sp.add_argument("--label-other-fraction", type=float, default=1.0)
+    sp.set_defaults(func=cmd_assemble)
+
+    sp = sub.add_parser("clean")
+    sp.add_argument("-i", "--infile-base", required=True)
+    common_out(sp)
+    sp.add_argument("--min-count", type=int, default=1)
+    sp.add_argument("--min-count-auto", action="store_true")
+    sp.add_argument("--prune-tips", type=int, default=1)
+    sp.add_argument("--unitigs", action="store_true")
+    sp.set_defaults(func=cmd_clean)
+
+    sp = sub.add_parser("align")
+    sp.add_argument("-i", "--infile-base", required=True)
+    sp.add_argument("--map", dest="map_only", action="store_true")
+    sp.add_argument("--align-min-seed-length", type=int, default=0)
+    sp.add_argument("--match-score", type=int, default=2)
+    sp.add_argument("--mm-transition-penalty", type=int, default=3)
+    sp.add_argument("--mm-transversion-penalty", type=int, default=3)
+    sp.add_argument("--gap-opening-penalty", type=int, default=5)
+    sp.add_argument("--gap-extension-penalty", type=int, default=2)
+    sp.add_argument("--align-xdrop", type=int, default=27)
+    sp.add_argument("--num-alternative-paths", type=int, default=1)
+    sp.add_argument("fnames", nargs="+")
+    sp.set_defaults(func=cmd_align)
+
+    sp = sub.add_parser("compare")
+    sp.add_argument("fnames", nargs=2)
+    sp.set_defaults(func=cmd_compare)
+
+    sp = sub.add_parser("transform")
+    sp.add_argument("-i", "--infile-base", required=True)
+    common_out(sp)
+    sp.add_argument("--to-fasta", action="store_true")
+    sp.add_argument("--to-gfa", action="store_true")
+    sp.set_defaults(func=cmd_transform)
+
+    sp = sub.add_parser("concatenate")
+    common_out(sp)
+    sp.add_argument("fnames", nargs="+")
+    sp.set_defaults(func=cmd_concatenate)
+
+    sp = sub.add_parser("merge")
+    common_out(sp)
+    sp.add_argument("fnames", nargs="+")
+    sp.set_defaults(func=cmd_merge)
+
+    sp = sub.add_parser("server_query")
+    sp.add_argument("-i", "--infile-base", required=True)
+    sp.add_argument("-a", "--annotation", required=True)
+    sp.add_argument("--port", type=int, default=5555)
+    sp.add_argument("--host", default="127.0.0.1")
+    sp.set_defaults(func=cmd_server_query)
+
+    return p
+
+
+def main(argv: Optional[Sequence[str]] = None):
+    args = build_parser().parse_args(argv)
+    args.func(args)
+
+
+if __name__ == "__main__":
+    main()

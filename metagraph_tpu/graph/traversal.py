@@ -1,0 +1,214 @@
+"""Unitig / contig extraction by parallel list ranking.
+
+The reference extracts unitigs with a sequential DFS over the BOSS table
+(metagraph/src/graph/representation/succinct/boss.cpp:2042+,
+sequence_graph.cpp call_unitigs). That is inherently serial; the TPU
+formulation exploits that unitigs are *chains* of the unique-successor
+function:
+
+  1. build ``next[v]`` = unique successor w of v with indeg(w) == 1 and
+     outdeg(v) == 1 (0 otherwise) — one vectorized adjacency pass;
+  2. pointer-double over ``prev`` (the inverse of ``next``) to find each
+     node's chain start and position: O(log N) rounds of gathers;
+  3. pure cycles (no start) are broken at their minimum node id, found by
+     min-propagation during the same doubling;
+  4. unitig strings are materialized with two scatters (start k-mers +
+     one char per interior node) into one flat char buffer.
+
+Every step is a dense map/gather/scatter/segment op — the DFS is gone.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..kmer import packing
+from .dbg_succinct import DbgSuccinct
+
+
+@dataclass
+class Unitigs:
+    """Unitig decomposition: per-node chain id + position, per-chain data."""
+    chain_id: np.ndarray      # (N+1,) int32; 0 unused
+    pos: np.ndarray           # (N+1,) int32 position within chain
+    starts: np.ndarray        # (num_chains,) start node per chain
+    lengths: np.ndarray       # (num_chains,) nodes per chain
+    is_cycle: np.ndarray      # (num_chains,) bool
+
+    @property
+    def num_unitigs(self) -> int:
+        return len(self.starts)
+
+
+def _next_links(g: DbgSuccinct) -> Tuple[jax.Array, jax.Array]:
+    """(next, prev) arrays over 1..N (0 = chain boundary)."""
+    N = g.num_nodes()
+    nodes = jnp.arange(1, N + 1, dtype=jnp.int32)
+    succ = g.successors(nodes)                      # (N, sigma-1)
+    outdeg = jnp.sum(succ > 0, axis=1)
+    uniq_succ = jnp.sum(succ, axis=1)               # valid when outdeg == 1
+    indeg = jax.ops.segment_sum(
+        jnp.ones_like(succ).reshape(-1),
+        succ.reshape(-1), num_segments=N + 1)
+    nxt_body = jnp.where(
+        (outdeg == 1) & (uniq_succ > 0) & (indeg[uniq_succ] == 1),
+        uniq_succ, 0)
+    nxt = jnp.concatenate([jnp.zeros((1,), jnp.int32), nxt_body.astype(jnp.int32)])
+    prv = jnp.zeros((N + 1,), jnp.int32)
+    # next is injective on its support -> scatter builds the inverse
+    prv = prv.at[nxt].set(jnp.arange(N + 1, dtype=jnp.int32))
+    prv = prv.at[0].set(0)
+    return nxt, prv
+
+
+@jax.jit
+def _rank_chains(prv: jax.Array):
+    """Pointer doubling over ``prv``: chain start, position, cycle leaders."""
+    N1 = prv.shape[0]
+    steps = max(1, int(np.ceil(np.log2(max(N1, 2)))))
+    ids = jnp.arange(N1, dtype=jnp.int32)
+    parent = jnp.where(prv > 0, prv, ids)
+    mins = jnp.minimum(ids, parent)
+
+    def body(_, state):
+        parent, mins = state
+        pp = parent[parent]
+        mins = jnp.minimum(mins, mins[parent])
+        return pp, mins
+
+    parent, mins = jax.lax.fori_loop(0, steps, body, (parent, mins))
+    in_cycle = prv[parent] > 0          # final parent is not a root
+    leader = jnp.where(in_cycle, mins, parent)
+    # break each cycle at its leader, then re-rank positions
+    prv2 = jnp.where(in_cycle & (ids == leader), 0, prv)
+    parent2 = jnp.where(prv2 > 0, prv2, ids)
+    dist = jnp.where(prv2 > 0, 1, 0).astype(jnp.int32)
+
+    def body2(_, state):
+        parent, dist = state
+        dist = dist + dist[parent]
+        parent = parent[parent]
+        return parent, dist
+
+    parent2, dist = jax.lax.fori_loop(0, steps, body2, (parent2, dist))
+    return parent2, dist, in_cycle
+
+
+def unitig_decomposition(g: DbgSuccinct) -> Unitigs:
+    nxt, prv = _next_links(g)
+    start_of, pos, in_cycle = _rank_chains(prv)
+    start_of = np.asarray(start_of)
+    pos = np.asarray(pos)
+    in_cycle = np.asarray(in_cycle)
+    N = g.num_nodes()
+    is_start = np.zeros(N + 1, bool)
+    is_start[start_of[1:]] = True
+    is_start[0] = False
+    starts = np.nonzero(is_start)[0].astype(np.int32)
+    chain_rank = np.zeros(N + 1, np.int32)
+    chain_rank[starts] = np.arange(len(starts), dtype=np.int32)
+    chain_id = chain_rank[start_of]
+    lengths = np.zeros(len(starts), np.int32)
+    np.maximum.at(lengths, chain_id[1:], pos[1:] + 1)
+    cyc = np.zeros(len(starts), bool)
+    cyc[chain_id[1:]] = in_cycle[1:]
+    return Unitigs(chain_id=chain_id, pos=pos, starts=starts,
+                   lengths=lengths, is_cycle=cyc)
+
+
+def unitig_sequences(g: DbgSuccinct, u: Optional[Unitigs] = None,
+                     min_length: int = 0, apply_mask: bool = True) -> List[bytes]:
+    """Materialize unitig strings (node path of length n -> n + k - 1 chars)."""
+    if u is None:
+        u = unitig_decomposition(g)
+    k = g.k
+    if u.num_unitigs == 0:
+        return []
+    out_lens = u.lengths + k - 1
+    offsets = np.concatenate([[0], np.cumsum(out_lens)]).astype(np.int64)
+    total = int(offsets[-1])
+    buf = np.zeros(total, np.uint8)
+    # chars of every node's k-mer
+    N = g.num_nodes()
+    nodes = np.arange(1, N + 1, dtype=np.int32)
+    chars = g.node_kmers_chars(nodes)              # (N, k)
+    cid = u.chain_id[1:]
+    pos = u.pos[1:]
+    # interior nodes contribute their final char at offset + pos + k - 1
+    buf[offsets[cid] + pos + k - 1] = chars[:, k - 1]
+    # start nodes contribute their full k-mer
+    smask = pos == 0
+    srows = np.nonzero(smask)[0]
+    for j in range(k):
+        buf[offsets[cid[srows]] + j] = chars[srows, j]
+    letters = np.frombuffer(g.alphabet.letters.encode(), np.uint8)
+    decoded = letters[buf]
+    # on a masked graph, masked-out nodes are isolated singleton chains: skip
+    mask = getattr(g, "mask", None) if apply_mask else None
+    out = []
+    for c in range(u.num_unitigs):
+        if mask is not None and not mask[u.starts[c]]:
+            continue
+        if u.lengths[c] + k - 1 >= max(min_length, k):
+            out.append(decoded[offsets[c]:offsets[c + 1]].tobytes())
+    return out
+
+
+def contig_sequences(g: DbgSuccinct) -> List[bytes]:
+    """Contigs (call_sequences): greedy node-disjoint path cover that may
+    run through branches (reference sequence_graph.cpp:call_sequences).
+
+    Round-1 approach: start from the unitig decomposition and greedily
+    join unitigs end-to-start on the host when the joint is unused —
+    contigs are a covering, not canonical, so any valid cover matches the
+    reference's guarantees (every node appears exactly once)."""
+    u = unitig_decomposition(g)
+    if u.num_unitigs == 0:
+        return []
+    k = g.k
+    mask = getattr(g, "mask", None)
+    seqs = unitig_sequences(g, u, apply_mask=False)
+    ends = np.array([u.starts[c] for c in range(u.num_unitigs)])
+    # map: last node of each chain
+    last_nodes = np.zeros(u.num_unitigs, np.int32)
+    last_nodes[u.chain_id[1:]] = 0
+    # compute last node = node with pos == len-1 per chain
+    for_nodes = np.arange(1, g.num_nodes() + 1)
+    sel = u.pos[1:] == (u.lengths[u.chain_id[1:]] - 1)
+    last_nodes[u.chain_id[1:][sel]] = for_nodes[sel]
+    succ = np.asarray(g.successors(jnp.asarray(last_nodes)))
+    start_chain = {int(u.starts[c]): c for c in range(u.num_unitigs)}
+    used_head = np.zeros(u.num_unitigs, bool)
+    next_chain = np.full(u.num_unitigs, -1, np.int64)
+    for c in range(u.num_unitigs):
+        if u.is_cycle[c] or (mask is not None and not mask[u.starts[c]]):
+            continue
+        for s in succ[c]:
+            cn = start_chain.get(int(s), -1)
+            if cn >= 0 and cn != c and not used_head[cn] and not u.is_cycle[cn]:
+                next_chain[c] = cn
+                used_head[cn] = True
+                break
+    out = []
+    emitted = np.zeros(u.num_unitigs, bool)
+    for c in range(u.num_unitigs):
+        if used_head[c] or emitted[c] or \
+                (mask is not None and not mask[u.starts[c]]):
+            continue
+        parts = [seqs[c]]
+        emitted[c] = True
+        cn = next_chain[c]
+        while cn >= 0 and not emitted[cn]:
+            parts.append(seqs[cn][k - 1:])
+            emitted[cn] = True
+            cn = next_chain[cn]
+        out.append(b"".join(parts))
+    for c in range(u.num_unitigs):
+        if not emitted[c] and (mask is None or mask[u.starts[c]]):
+            out.append(seqs[c])
+    return out

@@ -1,0 +1,106 @@
+"""Aligner tests: exact, mismatch, indel, reverse-complement reads."""
+
+import numpy as np
+import pytest
+
+from conftest import random_dna
+from metagraph_tpu.align.aligner import (Aligner, AlignerConfig,
+                                         affine_semiglobal, _revcomp)
+from metagraph_tpu.graph.boss_construct import build_boss
+from metagraph_tpu.graph.dbg_succinct import DbgSuccinct
+from metagraph_tpu.kmer.alphabets import DNA
+
+
+@pytest.fixture(scope="module")
+def ref_graph():
+    rng = np.random.default_rng(7)
+    ref = bytes(rng.choice(np.frombuffer(b"ACGT", np.uint8), size=600))
+    g = DbgSuccinct.from_boss(build_boss([ref], 15), DNA, "basic")
+    return g, ref
+
+
+def test_exact_read(ref_graph):
+    g, ref = ref_graph
+    read = ref[100:200]
+    aln = Aligner(g).align(read)[0]
+    assert aln.score == 2 * len(read)
+    assert aln.cigar == f"{len(read)}="
+    assert aln.sequence == read
+    assert not aln.orientation
+
+
+def test_reverse_complement_read(ref_graph):
+    g, ref = ref_graph
+    read = _revcomp(ref[100:200])
+    aln = Aligner(g).align(read)[0]
+    assert aln.orientation
+    assert aln.score == 2 * len(read)
+    assert aln.sequence == ref[100:200]
+
+
+def test_single_mismatch(ref_graph):
+    g, ref = ref_graph
+    read = bytearray(ref[100:200])
+    old = read[50]
+    # transversion substitution
+    sub = {65: 67, 67: 65, 71: 84, 84: 71}  # A<->C, G<->T
+    read[50] = sub[old]
+    aln = Aligner(g).align(bytes(read))[0]
+    # 99 matches, 1 transversion mismatch
+    assert aln.score == 2 * 99 - 3
+    assert "X" in aln.cigar
+    assert aln.cigar.count("X") == 1
+    assert aln.sequence == ref[100:200]
+
+
+def test_prefix_mismatch_extension(ref_graph):
+    """Mismatch near the read start exercises backward extension."""
+    g, ref = ref_graph
+    read = bytearray(ref[100:180])
+    old = read[5]
+    sub = {65: 67, 67: 65, 71: 84, 84: 71}
+    read[5] = sub[old]
+    aln = Aligner(g).align(bytes(read))[0]
+    assert aln.score == 2 * 79 - 3
+    assert aln.query_begin == 0
+
+
+def test_unmappable_read(ref_graph):
+    g, ref = ref_graph
+    read = b"A" * 60
+    res = Aligner(g).align(read)
+    # homopolymer absent from random reference (with high probability)
+    assert not res or res[0].score < 2 * 30
+
+
+def test_map_fraction(ref_graph):
+    g, ref = ref_graph
+    nodes = g.map_to_nodes(ref[50:150])
+    assert (nodes > 0).all()
+
+
+def test_affine_semiglobal_gold():
+    sub = AlignerConfig().score_matrix()
+    q = np.array([1, 2, 3, 4, 1, 2], np.int32)       # ACGTAC
+    r = np.array([1, 2, 3, 4, 1, 2], np.int32)
+    score, qe, re_, ops = affine_semiglobal(q, r, sub, 5, 2)
+    assert score == 12 and ops == ["="] * 6
+    # deletion in query: ref has an extra char
+    r2 = np.array([1, 2, 3, 3, 4, 1, 2], np.int32)   # ACG G TAC
+    score2, _, _, ops2 = affine_semiglobal(q, r2, sub, 5, 2)
+    assert score2 == 12 - 5
+    assert "".join(ops2).count("D") == 1
+    # insertion in query
+    q3 = np.array([1, 2, 3, 3, 4, 1, 2], np.int32)
+    score3, _, _, ops3 = affine_semiglobal(q3, r, sub, 5, 2)
+    assert score3 == 12 - 5
+    assert "".join(ops3).count("I") == 1
+
+
+def test_insertion_read(ref_graph):
+    g, ref = ref_graph
+    read = ref[100:150] + b"G" + ref[150:200]  # 1-bp insertion
+    aln = Aligner(g).align(read)[0]
+    # expected: 100 matches + gap open (or 99+X..X depending on context)
+    assert aln.score >= 2 * 100 - 5 - 4  # allow suboptimal tie
+    assert aln.sequence == ref[100:200] or len(aln.sequence) >= 90

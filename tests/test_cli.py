@@ -1,0 +1,173 @@
+"""Integration tests driving the CLI in-process (mirrors the reference's
+integration_tests/ approach of asserting on stats/query stdout)."""
+
+import gzip
+import os
+
+import numpy as np
+import pytest
+
+from conftest import REFERENCE_DATA, random_dna
+from metagraph_tpu.cli.main import main
+
+
+def read_fasta_gz(path):
+    out, cur = [], []
+    with gzip.open(path, "rb") as f:
+        for line in f.read().decode().splitlines():
+            if line.startswith(">"):
+                if cur:
+                    out.append("".join(cur))
+                cur = []
+            else:
+                cur.append(line)
+    if cur:
+        out.append("".join(cur))
+    return out
+
+
+def write_fasta(path, seqs, names=None):
+    with open(path, "w") as f:
+        for i, s in enumerate(seqs):
+            name = names[i] if names else f"seq{i}"
+            f.write(f">{name}\n{s.decode() if isinstance(s, bytes) else s}\n")
+
+
+@pytest.fixture
+def workdir(tmp_path, rng):
+    seqs = [random_dna(rng, 150) for _ in range(4)]
+    fa = str(tmp_path / "input.fa")
+    write_fasta(fa, seqs)
+    return tmp_path, fa, seqs
+
+
+def test_build_stats(workdir, capsys):
+    tmp, fa, seqs = workdir
+    out = str(tmp / "graph")
+    main(["build", "-k", "11", "-o", out, fa])
+    main(["stats", out])
+    captured = capsys.readouterr().out
+    lines = captured.splitlines()
+    assert lines[0].startswith("================")
+    assert lines[1] == "k: 11"
+    nodes = int(lines[2].split(": ")[1])
+    gold = set()
+    for s in seqs:
+        for i in range(len(s) - 11 + 1):
+            gold.add(s[i:i + 11])
+    assert nodes == len(gold)
+    assert lines[3] == "mode: basic"
+    assert any(l.startswith("W stats:") for l in lines)
+    assert any(l.startswith("F stats:") for l in lines)
+
+
+def test_build_canonical_stats(workdir, capsys):
+    tmp, fa, seqs = workdir
+    out = str(tmp / "graph")
+    main(["build", "-k", "11", "--mode", "canonical", "-o", out, fa])
+    main(["stats", out])
+    lines = capsys.readouterr().out.splitlines()
+    assert lines[3] == "mode: canonical"
+
+
+def test_annotate_query(workdir, capsys):
+    tmp, fa, seqs = workdir
+    out = str(tmp / "graph")
+    main(["build", "-k", "11", "-o", out, fa])
+    # per-sequence labels via separate files
+    fas = []
+    for i, s in enumerate(seqs[:2]):
+        p = str(tmp / f"part{i}.fa")
+        write_fasta(p, [s])
+        fas.append(p)
+    main(["annotate", "-i", out, "-o", str(tmp / "anno"),
+          "--anno-filename"] + fas)
+    anno = str(tmp / "anno.column.annodbg.npz")
+    assert os.path.exists(anno)
+    qfa = str(tmp / "q.fa")
+    write_fasta(qfa, [seqs[0][20:80], seqs[1][10:50], b"GGGG" + bytes(60 * b"A")],
+                names=["a", "b", "c"])
+    main(["query", "-i", out, "-a", anno, "--discovery-fraction", "1.0", qfa])
+    out_lines = capsys.readouterr().out.splitlines()
+    assert out_lines[0].split("\t") == ["0", "a", fas[0]]
+    assert out_lines[1].split("\t") == ["1", "b", fas[1]]
+    assert out_lines[2].split("\t") == ["2", "c", ""]
+
+
+def test_query_counts(workdir, capsys):
+    tmp, fa, seqs = workdir
+    out = str(tmp / "graph")
+    main(["build", "-k", "11", "-o", out, fa])
+    main(["annotate", "-i", out, "-o", str(tmp / "anno"),
+          "--anno-label", "all", fa])
+    anno = str(tmp / "anno.column.annodbg.npz")
+    qfa = str(tmp / "q.fa")
+    q = seqs[0][:40]
+    write_fasta(qfa, [q], names=["r0"])
+    main(["query", "-i", out, "-a", anno, "--count-labels",
+          "--discovery-fraction", "0.0", qfa])
+    line = capsys.readouterr().out.strip()
+    assert line == f"0\tr0\t<all>:{len(q) - 11 + 1}"
+
+
+def test_assemble_unitigs_roundtrip(workdir, capsys):
+    tmp, fa, seqs = workdir
+    out = str(tmp / "graph")
+    main(["build", "-k", "11", "-o", out, fa])
+    main(["assemble", "-i", out, "-o", str(tmp / "contigs"), "--unitigs"])
+    unitigs = read_fasta_gz(str(tmp / "contigs.fasta.gz"))
+    # the unitig k-mer multiset equals the graph's node set
+    gold = set()
+    for s in seqs:
+        for i in range(len(s) - 11 + 1):
+            gold.add(s[i:i + 11].decode() if isinstance(s, bytes) else s[i:i+11])
+    got = set()
+    for u in unitigs:
+        for i in range(len(u) - 11 + 1):
+            got.add(u[i:i + 11])
+    assert got == gold
+
+
+def test_compare(workdir, capsys):
+    tmp, fa, seqs = workdir
+    main(["build", "-k", "11", "-o", str(tmp / "g1"), fa])
+    main(["build", "-k", "11", "-o", str(tmp / "g2"), fa])
+    main(["compare", str(tmp / "g1"), str(tmp / "g2")])
+    assert "identical" in capsys.readouterr().out
+
+
+def test_sharded_build_equals_plain(workdir, capsys):
+    tmp, fa, seqs = workdir
+    main(["build", "-k", "11", "-o", str(tmp / "plain"), fa])
+    main(["build", "-k", "11", "--suffix-len", "2", "-o",
+          str(tmp / "sharded"), fa])
+    main(["compare", str(tmp / "plain"), str(tmp / "sharded")])
+    assert "Graphs are identical" in capsys.readouterr().out
+
+
+def test_weighted_build_and_clean(workdir, capsys, rng):
+    tmp, fa, seqs = workdir
+    # duplicate a sequence many times to create high-coverage k-mers
+    deep = [seqs[0]] * 10 + [random_dna(rng, 80)]
+    fa2 = str(tmp / "deep.fa")
+    write_fasta(fa2, deep)
+    out = str(tmp / "wg")
+    main(["build", "-k", "11", "--count-kmers", "-o", out, fa2])
+    main(["clean", "-i", out, "-o", str(tmp / "cleaned"),
+          "--min-count", "5", "--unitigs"])
+    unitigs = read_fasta_gz(str(tmp / "cleaned.fasta.gz"))
+    # only the deep sequence's k-mers survive
+    deep_kmers = {seqs[0][i:i + 11] for i in range(len(seqs[0]) - 10)}
+    for u in unitigs:
+        for i in range(len(u) - 10):
+            assert u[i:i + 11].encode() in deep_kmers
+
+
+def test_transform_to_gfa(workdir, capsys):
+    tmp, fa, seqs = workdir
+    out = str(tmp / "graph")
+    main(["build", "-k", "11", "-o", out, fa])
+    main(["transform", "-i", out, "-o", str(tmp / "g"), "--to-gfa"])
+    text = open(str(tmp / "g.gfa")).read()
+    assert text.startswith("H\t")
+    assert "S\t1\t" in text

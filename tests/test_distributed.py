@@ -1,0 +1,59 @@
+"""Multi-device tests on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from conftest import random_dna
+from metagraph_tpu.kmer.alphabets import DNA, INVALID_CODE
+from metagraph_tpu.parallel.distributed import (build_distributed_count_step,
+                                                build_distributed_query_step,
+                                                make_mesh,
+                                                shard_annotation_coo)
+
+
+def test_mesh():
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+
+
+def test_distributed_kmer_count(rng):
+    K = 8
+    n_dev = 8
+    codes_per = 1 << 10
+    mesh = make_mesh(n_dev)
+    tbl = DNA.encode_table()
+    seqs = [random_dna(rng, codes_per - 1) for _ in range(n_dev)]
+    codes = np.full((n_dev, codes_per), INVALID_CODE, np.uint8)
+    for i, s in enumerate(seqs):
+        codes[i, :len(s)] = tbl[np.frombuffer(s, np.uint8)]
+    step = build_distributed_count_step(mesh, K, codes_per_device=codes_per)
+    total, per_shard = step(jnp.asarray(codes.reshape(-1)))
+    gold = set()
+    for s in seqs:
+        for i in range(len(s) - K + 1):
+            gold.add(s[i:i + K])
+    assert int(total) == len(gold)
+    assert int(np.asarray(per_shard).sum()) == len(gold)
+    # sharding is balanced-ish: no shard owns everything
+    assert int(np.asarray(per_shard).max()) < len(gold)
+
+
+def test_distributed_query(rng):
+    n_dev = 8
+    num_rows, num_cols = 200, 16
+    dense = rng.random((num_rows, num_cols)) < 0.15
+    r, c = np.nonzero(dense)
+    mesh = make_mesh(n_dev)
+    rows_sh, cols_sh = shard_annotation_coo(
+        r.astype(np.int32), c.astype(np.int32), num_rows, num_cols, n_dev)
+    q = np.sort(rng.choice(num_rows, size=32, replace=False)).astype(np.int32)
+    w = rng.integers(1, 4, size=32).astype(np.int32)
+    step = build_distributed_query_step(
+        mesh, num_rows, num_cols, nnz_cap=len(rows_sh) // n_dev,
+        query_cap=32)
+    got = np.asarray(step(jnp.asarray(rows_sh), jnp.asarray(cols_sh),
+                          jnp.asarray(q), jnp.asarray(w)))
+    want = (dense[q] * w[:, None]).sum(axis=0)
+    np.testing.assert_array_equal(got, want)
