@@ -91,13 +91,19 @@ class ColumnAnnotator:
 @dataclass
 class Annotation:
     """A finalized annotation: matrix + label dictionary (the reference's
-    MultiLabelEncoded frontend, annotation.hpp:129)."""
-    matrix: RowSparse
+    MultiLabelEncoded frontend, annotation.hpp:129). ``matrix`` is any
+    representation with the RowSparse query API (RowSparse, Brwt,
+    RowDiff, ...); the on-disk container records which."""
+    matrix: object
     encoder: LabelEncoder
 
     @property
     def num_labels(self) -> int:
         return len(self.encoder)
+
+    @property
+    def representation(self) -> str:
+        return type(self.matrix).__name__.lower()
 
     def save(self, path: str):
         d = self.matrix.to_npz_dict()
@@ -107,8 +113,16 @@ class Annotation:
     @staticmethod
     def load(path: str) -> "Annotation":
         with np.load(path, allow_pickle=True) as d:
-            mat = RowSparse.from_npz_dict(d)
+            keys = set(d.keys())
             labels = [str(x) for x in d["labels"]]
+            if "brwt_shape" in keys:
+                from .brwt import Brwt
+                mat = Brwt.from_npz_dict(d)
+            elif "rd_anchor_prefix" in keys:
+                from .row_diff import RowDiff
+                mat = RowDiff.from_npz_dict(d)
+            else:
+                mat = RowSparse.from_npz_dict(d)
         return Annotation(matrix=mat, encoder=LabelEncoder(labels))
 
     @staticmethod

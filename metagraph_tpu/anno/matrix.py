@@ -65,7 +65,6 @@ class RowSparse:
                  dedupe: bool = True) -> "RowSparse":
         rows = jnp.asarray(rows, jnp.int32)
         cols = jnp.asarray(cols, jnp.int32)
-        key = rows.astype(jnp.int64) * num_cols + cols if False else None
         # sort by (row, col) with two-key lax.sort
         if values is not None:
             values = jnp.asarray(values, jnp.int32)
@@ -92,12 +91,22 @@ class RowSparse:
         hi = jnp.searchsorted(self.rows, row_idx, side="right").astype(jnp.int32)
         return lo, hi
 
+    def _expand_capacity(self, lo, hi, capacity: Optional[int]) -> int:
+        """Exact flat-hit capacity. With duplicate query rows the total can
+        exceed nnz, so compute it from the ranges when running eagerly."""
+        if capacity is not None:
+            return capacity
+        try:
+            return max(int(jnp.sum(jnp.maximum(hi - lo, 0))), 1)
+        except jax.errors.TracerArrayConversionError:
+            return max(int(self.nnz), 1)
+
     def sum_rows(self, row_idx: jax.Array, weights: jax.Array,
                  capacity: Optional[int] = None) -> jax.Array:
         """(num_cols,) weighted count of set bits per column over the given
         rows (reference BinaryMatrix::sum_rows, binary_matrix.cpp:40)."""
         lo, hi = self.row_ranges(row_idx)
-        cap = capacity or max(int(self.nnz), 1)
+        cap = self._expand_capacity(lo, hi, capacity)
         q, flat, valid = _expand_intervals(lo, hi, cap)
         col = self.cols[jnp.clip(flat, 0, max(self.nnz - 1, 0))]
         w = jnp.where(valid, weights[q], 0)
@@ -109,7 +118,7 @@ class RowSparse:
         sum_row_values, int_matrix.hpp:34) — for --query-counts."""
         assert self.values is not None
         lo, hi = self.row_ranges(row_idx)
-        cap = capacity or max(int(self.nnz), 1)
+        cap = self._expand_capacity(lo, hi, capacity)
         q, flat, valid = _expand_intervals(lo, hi, cap)
         fc = jnp.clip(flat, 0, max(self.nnz - 1, 0))
         col = self.cols[fc]
@@ -121,7 +130,7 @@ class RowSparse:
         """(Q, num_cols) bool presence mask per queried row (the
         per-k-mer signature used by get_top_label_signatures)."""
         lo, hi = self.row_ranges(row_idx)
-        cap = capacity or max(int(self.nnz), 1)
+        cap = self._expand_capacity(lo, hi, capacity)
         q, flat, valid = _expand_intervals(lo, hi, cap)
         col = self.cols[jnp.clip(flat, 0, max(self.nnz - 1, 0))]
         out = jnp.zeros((row_idx.shape[0], self.num_cols), bool)

@@ -1,0 +1,225 @@
+"""RowDiff: annotation delta-compression along graph paths.
+
+Re-design of the reference RowDiff
+(metagraph/src/annotation/binary_matrix/row_diff/row_diff.hpp:29-230 and
+the 3-stage out-of-core builder, row_diff_builder.cpp:322-688). Each
+annotation row is replaced by its XOR against its graph successor's row,
+except at *anchor* rows which store full rows; queries walk successor
+chains XOR-accumulating until an anchor.
+
+TPU formulation:
+  * successor assignment + anchor placement: the same pointer-doubling
+    machinery as unitig extraction (graph/traversal.py) computes each
+    node's distance to its chain root in O(log N) gather rounds; anchors
+    are placed at every ``max_length``-th position and at terminals, and
+    cycles are broken at their min-node leader — replacing the
+    reference's sequential traverses (boss.cpp row_diff_traverse);
+  * delta construction: rows XOR successor-rows = one sorted concat of
+    (row, col) pairs where duplicates cancel — a sort + neighbor-compare,
+    no per-row set operations;
+  * query: dense (Q, num_cols) XOR accumulation over at most max_length
+    batched steps, each one gather of the diff matrix.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .matrix import RowSparse
+
+DEFAULT_MAX_LENGTH = 64
+
+
+@dataclass
+class RowDiff:
+    diffs: RowSparse             # sparse XOR deltas (full rows at anchors)
+    anchor: np.ndarray           # (num_rows,) bool
+    succ: np.ndarray             # (num_rows,) int64 successor row (-1 none)
+    max_length: int
+
+    @property
+    def num_rows(self) -> int:
+        return self.diffs.num_rows
+
+    @property
+    def num_cols(self) -> int:
+        return self.diffs.num_cols
+
+    @property
+    def nnz(self) -> int:
+        return self.diffs.nnz
+
+    def num_anchors(self) -> int:
+        return int(self.anchor.sum())
+
+    # -- queries -----------------------------------------------------------
+
+    def get_rows_dense(self, rows: np.ndarray) -> np.ndarray:
+        """(Q, num_cols) bool — batched anchor-walk with XOR accumulation
+        (reference row_diff.hpp:153-221)."""
+        rows = np.asarray(rows, np.int64)
+        Q = len(rows)
+        acc = np.zeros((Q, self.num_cols), bool)
+        cur = rows.copy()
+        done = np.zeros(Q, bool)
+        for _ in range(self.max_length + 1):
+            active = ~done
+            if not active.any():
+                break
+            q = np.nonzero(active)[0]
+            delta = np.asarray(self.diffs.presence(jnp.asarray(
+                cur[q].astype(np.int32))))
+            acc[q] ^= delta
+            hit_anchor = self.anchor[cur[q]]
+            done[q[hit_anchor]] = True
+            move = q[~hit_anchor]
+            nxt = self.succ[cur[move]]
+            # defensive: rows without successor behave as anchors
+            bad = nxt < 0
+            done[move[bad]] = True
+            cur[move[~bad]] = nxt[~bad]
+        return acc
+
+    def presence(self, rows) -> np.ndarray:
+        return self.get_rows_dense(np.asarray(rows))
+
+    def sum_rows(self, rows, weights) -> np.ndarray:
+        dense = self.get_rows_dense(np.asarray(rows))
+        return (dense * np.asarray(weights)[:, None]).sum(axis=0)
+
+    def get_rows(self, rows: np.ndarray) -> List[List[int]]:
+        dense = self.get_rows_dense(rows)
+        return [list(np.nonzero(r)[0]) for r in dense]
+
+    def to_row_sparse(self) -> RowSparse:
+        chunks_r, chunks_c = [], []
+        B = 1 << 15
+        for s in range(0, self.num_rows, B):
+            rows = np.arange(s, min(s + B, self.num_rows))
+            dense = self.get_rows_dense(rows)
+            r, c = np.nonzero(dense)
+            chunks_r.append(r + s)
+            chunks_c.append(c)
+        return RowSparse.from_coo(np.concatenate(chunks_r),
+                                  np.concatenate(chunks_c),
+                                  self.num_rows, self.num_cols)
+
+    # -- serialization -----------------------------------------------------
+
+    def to_npz_dict(self) -> dict:
+        d = self.diffs.to_npz_dict(prefix="rd_")
+        d["rd_anchor_prefix"] = np.packbits(self.anchor)
+        d["rd_anchor_len"] = np.array(len(self.anchor))
+        d["rd_succ"] = self.succ
+        d["rd_max_length"] = np.array(self.max_length)
+        return d
+
+    @staticmethod
+    def from_npz_dict(d) -> "RowDiff":
+        n = int(d["rd_anchor_len"])
+        anchor = np.unpackbits(d["rd_anchor_prefix"])[:n].astype(bool)
+        return RowDiff(diffs=RowSparse.from_npz_dict(d, prefix="rd_"),
+                       anchor=anchor,
+                       succ=np.asarray(d["rd_succ"]),
+                       max_length=int(d["rd_max_length"]))
+
+
+# ---------------------------------------------------------------------------
+# construction
+# ---------------------------------------------------------------------------
+
+def assign_successors_and_anchors(graph, max_length: int = DEFAULT_MAX_LENGTH
+                                  ) -> Tuple[np.ndarray, np.ndarray]:
+    """(succ (num_rows,) int64 row-space successor (-1 = none),
+    anchor (num_rows,) bool).
+
+    Successor of node v = its first outgoing neighbor (the reference's
+    rd-succ is one designated outgoing edge, row_diff_builder.cpp:322).
+    Anchors: terminals, every max_length-th position of each chain, and
+    cycle leaders (assign_anchors, row_diff_builder.cpp:422)."""
+    N = graph.num_nodes()
+    nodes = jnp.arange(1, N + 1, dtype=jnp.int32)
+    succs = np.asarray(graph.successors(nodes))          # (N, sigma-1)
+    first = np.zeros(N + 1, np.int64)
+    for ci in range(succs.shape[1] - 1, -1, -1):
+        col = succs[:, ci]
+        first[1:] = np.where(col > 0, col, first[1:])
+    # self-successors would loop forever
+    first[1:] = np.where(first[1:] == np.arange(1, N + 1), 0, first[1:])
+
+    # pointer-doubling over succ to find distance to root / cycle leaders
+    steps = max(1, int(np.ceil(np.log2(N + 2))))
+    ids = np.arange(N + 1, dtype=np.int64)
+    parent = np.where(first > 0, first, ids)
+    parent[0] = 0
+    mins = np.minimum(ids, parent)
+    par = parent.copy()
+    mn = mins.copy()
+    for _ in range(steps):
+        mn = np.minimum(mn, mn[par])
+        par = par[par]
+    in_cycle = first[par] > 0
+    leader = np.where(in_cycle, mn, par)
+    # break cycles at leaders
+    first2 = first.copy()
+    first2[(in_cycle) & (ids == leader)] = 0
+    par2 = np.where(first2 > 0, first2, ids)
+    dist = np.where(first2 > 0, 1, 0).astype(np.int64)
+    for _ in range(steps):
+        dist = dist + dist[par2]
+        par2 = par2[par2]
+    anchor_nodes = (first2 == 0) | (dist % max_length == 0)
+    anchor_nodes[0] = False
+    # to row space (row = node - 1); anchors also where succ broken
+    succ_rows = np.where(first2[1:] > 0, first2[1:] - 1, -1)
+    return succ_rows, anchor_nodes[1:]
+
+
+def build_row_diff(matrix: RowSparse, graph,
+                   max_length: int = DEFAULT_MAX_LENGTH) -> RowDiff:
+    """Convert a RowSparse annotation into RowDiff form against the given
+    graph (the reference's 3-stage convert_to_row_diff collapsed into one
+    in-memory pass: stage counts are not needed when deltas are computed
+    by sorted-pair cancellation)."""
+    succ, anchor = assign_successors_and_anchors(graph, max_length)
+    rows = np.asarray(matrix.rows).astype(np.int64)
+    cols = np.asarray(matrix.cols).astype(np.int64)
+    num_rows, num_cols = matrix.num_rows, matrix.num_cols
+    # pairs of M
+    base_key = rows * num_cols + cols
+    # pairs of M[succ[v]] for non-anchor v: join via interval expand
+    non_anchor = ~anchor
+    v_ids = np.nonzero(non_anchor)[0]
+    sv = succ[v_ids]
+    ok = sv >= 0
+    v_ids, sv = v_ids[ok], sv[ok]
+    lo = np.searchsorted(rows, sv, side="left")
+    hi = np.searchsorted(rows, sv, side="right")
+    sizes = hi - lo
+    vv = np.repeat(v_ids, sizes)
+    flat = np.concatenate([np.arange(l, h) for l, h in zip(lo, hi)]) \
+        if len(lo) else np.zeros(0, np.int64)
+    succ_key = vv * num_cols + cols[flat]
+    # anchors keep their rows; non-anchors get M XOR M_succ
+    keep_orig = base_key  # all original pairs participate
+    allk = np.concatenate([keep_orig, succ_key])
+    allk.sort(kind="stable")
+    # pairs appearing an odd number of times survive (XOR); original pairs
+    # at anchors appear once (no succ contribution) -> kept
+    boundaries = np.concatenate([[True], allk[1:] != allk[:-1]])
+    group = np.cumsum(boundaries) - 1
+    counts = np.bincount(group)
+    first_idx = np.nonzero(boundaries)[0]
+    odd = (counts % 2) == 1
+    kept = allk[first_idx[odd]]
+    d_rows = (kept // num_cols).astype(np.int32)
+    d_cols = (kept % num_cols).astype(np.int32)
+    diffs = RowSparse.from_coo(d_rows, d_cols, num_rows, num_cols,
+                               dedupe=False)
+    return RowDiff(diffs=diffs, anchor=anchor, succ=succ,
+                   max_length=max_length)

@@ -29,9 +29,15 @@ def log(msg: str):
 # helpers
 # ---------------------------------------------------------------------------
 
-def _load_graph(path):
+def _load_graph(path, wrap_primary: bool = True):
     from ..graph import io as graph_io
-    return graph_io.load_graph(path)
+    g = graph_io.load_graph(path)
+    if wrap_primary and g.mode == "primary":
+        # present PRIMARY graphs through the canonical wrapper
+        # (reference load_annotated_graph.cpp)
+        from ..graph.canonical import CanonicalDbg
+        return CanonicalDbg(base=g)
+    return g
 
 
 def _read_input_sequences(files: Sequence[str]):
@@ -53,12 +59,45 @@ def cmd_build(args):
     from ..kmer.alphabets import DNA
     from ..parallel.sharded_build import build_boss_sharded
 
-    records = _read_input_sequences(args.fnames)
-    seqs = [r.seq for r in records]
-    log(f"Read {len(seqs)} sequences "
-        f"({sum(map(len, seqs)) / 1e6:.1f} Mbp)")
     mode = args.mode
     bits_per_count = args.count_width if args.count_kmers else 0
+    if any(f.endswith((".kmc_pre", ".kmc_suf")) for f in args.fnames):
+        # KMC database input (reference kmc_parser path)
+        from ..graph.boss_construct import (build_boss_from_kmers,
+                                            collect_counted_kmers)
+        from ..seqio.kmc import read_kmers
+        assert len(args.fnames) == 1, "one KMC database per build"
+        chars, counts, hdr = read_kmers(args.fnames[0],
+                                        min_count=args.min_count,
+                                        max_count=args.max_count)
+        log(f"KMC database: {len(chars)} k-mers, k={hdr.kmer_length}")
+        assert args.k == hdr.kmer_length, \
+            f"-k {args.k} != KMC k {hdr.kmer_length}"
+        canonical = mode in ("canonical", "primary")
+        t0 = time.time()
+        lanes, cnts, n = collect_counted_kmers(chars, counts, args.k,
+                                               canonical=canonical)
+        boss = build_boss_from_kmers(
+            lanes, cnts, n, args.k,
+            mode="canonical" if canonical else "basic",
+            bits_per_count=bits_per_count)
+        log(f"Graph construction: {time.time() - t0:.2f} s")
+        graph = DbgSuccinct.from_boss(boss, DNA, mode)
+        out = graph_io.save_graph(args.outfile_base, graph)
+        log(f"Serialized to {out}")
+        return
+
+    seqs = []
+    for f in args.fnames:
+        if f.endswith((".vcf", ".vcf.gz")):
+            from ..seqio.vcf import vcf_to_sequences
+            assert args.reference, "--reference required for VCF input"
+            seqs.extend(vcf_to_sequences(f, args.reference, args.k))
+        else:
+            from ..seqio.fasta import parse_records
+            seqs.extend(r.seq for r in parse_records(f))
+    log(f"Read {len(seqs)} sequences "
+        f"({sum(map(len, seqs)) / 1e6:.1f} Mbp)")
     t0 = time.time()
     if args.suffix_len > 0 or args.num_shards > 1:
         boss = build_boss_sharded(
@@ -83,7 +122,7 @@ def cmd_stats(args):
         if f.endswith(".annodbg.npz") or "anno" in os.path.basename(f):
             _print_annotation_stats(f)
             continue
-        g = _load_graph(f)
+        g = _load_graph(f, wrap_primary=False)
         log(f"Statistics for graph '{f}'")
         print("====================== GRAPH STATS =====================")
         print(f"k: {g.k}")
@@ -131,7 +170,14 @@ def _print_annotation_stats(f):
     density = ann.matrix.nnz / max(ann.matrix.num_rows, 1) \
         / max(ann.num_labels, 1)
     print(f"density: {density:.6g}")
-    print("representation: column")
+    rep = {"rowsparse": "column", "brwt": "brwt",
+           "rowdiff": "row_diff"}.get(ann.representation,
+                                      ann.representation)
+    print(f"representation: {rep}")
+    if rep == "brwt":
+        print("=================== Multi-BRWT STATS ===================")
+        print(f"num nodes: {ann.matrix.num_nodes()}")
+        print(f"avg arity: {ann.matrix.avg_arity()}")
     print("========================================================")
 
 
@@ -401,6 +447,51 @@ def cmd_merge(args):
     log(f"Merged {len(graphs)} graphs -> {out}")
 
 
+def cmd_transform_anno(args):
+    from ..anno.annotator import Annotation
+    from ..anno.matrix import RowSparse
+
+    ann = Annotation.load(args.fnames[0])
+    mat = ann.matrix
+    target = args.anno_type
+    if target == "brwt":
+        from ..anno.brwt import build_brwt
+        if not isinstance(mat, RowSparse):
+            mat = mat.to_row_sparse()
+        out_mat = build_brwt(mat, subsample=args.num_rows_subsampled)
+        if args.relax_arity > 2:
+            from ..anno.brwt import relax_brwt
+            out_mat = relax_brwt(out_mat, args.relax_arity)
+    elif target == "row_diff":
+        from ..anno.row_diff import build_row_diff
+        assert args.infile_base, "row_diff requires the graph (-i)"
+        g = _load_graph(args.infile_base)
+        if not isinstance(mat, RowSparse):
+            mat = mat.to_row_sparse()
+        out_mat = build_row_diff(mat, g, max_length=args.max_path_length)
+    elif target in ("column", "row_sparse", "flat"):
+        out_mat = mat if isinstance(mat, RowSparse) else mat.to_row_sparse()
+    else:
+        raise SystemExit(f"unknown annotation type {target}")
+    out = Annotation(matrix=out_mat, encoder=ann.encoder)
+    path = args.outfile_base + f".{target}.annodbg.npz"
+    out.save(path)
+    log(f"Serialized {target} annotation to {path}")
+
+
+def cmd_relax_brwt(args):
+    from ..anno.annotator import Annotation
+    from ..anno.brwt import Brwt, relax_brwt
+
+    ann = Annotation.load(args.fnames[0])
+    assert isinstance(ann.matrix, Brwt), "input must be a BRWT annotation"
+    out = Annotation(matrix=relax_brwt(ann.matrix, args.relax_arity),
+                     encoder=ann.encoder)
+    path = args.outfile_base + ".brwt.annodbg.npz"
+    out.save(path)
+    log(f"Serialized relaxed BRWT to {path}")
+
+
 def cmd_server_query(args):
     from ..server.http_server import run_server
     run_server(args)
@@ -429,6 +520,10 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--num-shards", type=int, default=1)
     sp.add_argument("--graph", default="succinct")
     sp.add_argument("--disk-swap", default="")
+    sp.add_argument("--min-count", type=int, default=1)
+    sp.add_argument("--max-count", type=int, default=None)
+    sp.add_argument("--reference", default=None,
+                    help="reference FASTA for VCF inputs")
     common_out(sp)
     sp.add_argument("fnames", nargs="+")
     sp.set_defaults(func=cmd_build)
@@ -521,6 +616,25 @@ def build_parser() -> argparse.ArgumentParser:
     common_out(sp)
     sp.add_argument("fnames", nargs="+")
     sp.set_defaults(func=cmd_merge)
+
+    sp = sub.add_parser("transform_anno")
+    sp.add_argument("-o", "--outfile-base", required=True)
+    sp.add_argument("-i", "--infile-base", default=None,
+                    help="graph (required for row_diff)")
+    sp.add_argument("--anno-type", default="column",
+                    choices=["column", "row_sparse", "flat", "brwt",
+                             "row_diff"])
+    sp.add_argument("--max-path-length", type=int, default=64)
+    sp.add_argument("--relax-arity", type=int, default=2)
+    sp.add_argument("--num-rows-subsampled", type=int, default=1000000)
+    sp.add_argument("fnames", nargs="+")
+    sp.set_defaults(func=cmd_transform_anno)
+
+    sp = sub.add_parser("relax_brwt")
+    sp.add_argument("-o", "--outfile-base", required=True)
+    sp.add_argument("--relax-arity", type=int, default=8)
+    sp.add_argument("fnames", nargs="+")
+    sp.set_defaults(func=cmd_relax_brwt)
 
     sp = sub.add_parser("server_query")
     sp.add_argument("-i", "--infile-base", required=True)

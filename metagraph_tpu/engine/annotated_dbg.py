@@ -42,6 +42,10 @@ class AnnotatedDbg:
     def _map_rows(self, sequence: bytes | str) -> Tuple[np.ndarray, int]:
         """Anno row per window (-1 = not present) and total window count."""
         nodes = self.graph.map_to_nodes(sequence)
+        if hasattr(self.graph, "node_to_anno_row"):
+            rows = self.graph.node_to_anno_row(nodes)
+            rows = np.where(nodes > 0, rows, -1)
+            return rows, len(nodes)
         return nodes.astype(np.int64) - 1, len(nodes)
 
     def _label_counts(self, rows: np.ndarray) -> np.ndarray:
@@ -160,10 +164,16 @@ def annotate_sequences(
     (reference cli/annotate.cpp:138-300): map each sequence's windows to
     nodes and set the labels on every present row."""
     if annotator is None:
-        annotator = ColumnAnnotator(num_rows=graph.num_nodes())
+        num_rows = graph.num_nodes()
+        if hasattr(graph, "node_to_anno_row"):  # primary wrapper: base rows
+            num_rows = graph.base.num_nodes()
+        annotator = ColumnAnnotator(num_rows=num_rows)
     for seq, labels in items:
         nodes = graph.map_to_nodes(seq)
-        rows = nodes[nodes > 0].astype(np.int64) - 1
+        if hasattr(graph, "node_to_anno_row"):
+            rows = graph.node_to_anno_row(nodes[nodes > 0])
+        else:
+            rows = nodes[nodes > 0].astype(np.int64) - 1
         if with_counts:
             uniq, cnt = np.unique(rows, return_counts=True)
             for label in labels:

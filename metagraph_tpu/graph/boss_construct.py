@@ -244,6 +244,34 @@ def collect_kmers(
     return ulanes[:, :max(cap, 1)], ucounts[:max(cap, 1)], n_u
 
 
+def collect_counted_kmers(
+    chars: np.ndarray,
+    counts: np.ndarray,
+    K: int,
+    alphabet: Alphabet = DNA,
+    canonical: bool = False,
+) -> Tuple[jax.Array, jax.Array, int]:
+    """Sorted unique k-mers from pre-counted input (KMC databases,
+    reference kmc_parser path): (n, K) char codes + (n,) counts."""
+    B = alphabet.bits_per_char
+    cap = _bucket(chars.shape[0])
+    lanes = packing.pack_from_chars(jnp.asarray(chars), K, B)
+    lanes = packed.pad_to(lanes, cap)
+    cnts = jnp.concatenate([
+        jnp.asarray(np.minimum(counts, (1 << 31) - 1).astype(np.int32)),
+        jnp.zeros((cap - counts.shape[0],), jnp.int32)])
+    if canonical:
+        rc = packing.reverse_complement(lanes, K, B, alphabet.complement)
+        valid = packed.valid_mask(cap, jnp.int32(chars.shape[0]))
+        take_rc = packed.lt(rc, lanes) & valid
+        lanes = jnp.where(take_rc[None, :], rc, lanes)
+    ulanes, ucounts, ucount = _sort_unique_stage(
+        lanes, cnts, jnp.int32(chars.shape[0]))
+    n_u = int(ucount)
+    out_cap = _bucket(n_u)
+    return ulanes[:, :out_cap], ucounts[:out_cap], n_u
+
+
 def build_boss_from_kmers(
     real: jax.Array,
     counts: jax.Array,
@@ -326,7 +354,8 @@ def build_boss(
     canonical = mode in (MODE_CANONICAL, MODE_PRIMARY)
     real, counts, n_real = collect_kmers(
         seqs, k, alphabet, canonical=canonical, suffix=suffix)
+    # PRIMARY keeps only the canonical forms; CANONICAL adds the closure
     return build_boss_from_kmers(
         real, counts, n_real, k, alphabet,
-        mode=MODE_CANONICAL if canonical else MODE_BASIC,
+        mode=MODE_CANONICAL if mode == MODE_CANONICAL else MODE_BASIC,
         bits_per_count=bits_per_count)

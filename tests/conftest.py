@@ -9,6 +9,10 @@ import os
 import sys
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# separate compile-cache namespace for the CPU test backend (the shared
+# cache may hold AOT results compiled by the remote TPU toolchain for a
+# different host profile)
+os.environ.setdefault("METAGRAPH_TPU_XLA_CACHE", "/tmp/metagraph_xla_cache_cpu")
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (

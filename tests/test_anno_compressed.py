@@ -1,0 +1,138 @@
+"""Multi-BRWT and RowDiff compressed annotation tests: every compressed
+representation must answer queries identically to the RowSparse source
+(the reference's matrix-contract test pattern, test_matrix_helpers.hpp)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from conftest import random_dna
+from metagraph_tpu.anno.annotator import Annotation, LabelEncoder
+from metagraph_tpu.anno.brwt import Brwt, build_brwt, relax_brwt
+from metagraph_tpu.anno.matrix import RowSparse
+from metagraph_tpu.anno.row_diff import RowDiff, build_row_diff
+from metagraph_tpu.engine.annotated_dbg import AnnotatedDbg, annotate_sequences
+from metagraph_tpu.graph.boss_construct import build_boss
+from metagraph_tpu.graph.dbg_succinct import DbgSuccinct
+from metagraph_tpu.kmer.alphabets import DNA
+
+
+def rand_matrix(rng, num_rows, num_cols, density=0.15):
+    dense = rng.random((num_rows, num_cols)) < density
+    r, c = np.nonzero(dense)
+    return dense, RowSparse.from_coo(r, c, num_rows, num_cols)
+
+
+@pytest.mark.parametrize("num_rows,num_cols", [(64, 4), (300, 17), (100, 1)])
+def test_brwt_matches_source(rng, num_rows, num_cols):
+    dense, m = rand_matrix(rng, num_rows, num_cols)
+    brwt = build_brwt(m)
+    rows = np.arange(num_rows)
+    np.testing.assert_array_equal(brwt.get_rows_dense(rows), dense)
+    # roundtrip through serialization
+    d = brwt.to_npz_dict()
+    brwt2 = Brwt.from_npz_dict(d)
+    np.testing.assert_array_equal(brwt2.get_rows_dense(rows), dense)
+    # to_row_sparse roundtrip
+    rs = brwt.to_row_sparse()
+    np.testing.assert_array_equal(
+        np.asarray(rs.rows), np.asarray(m.rows))
+    np.testing.assert_array_equal(
+        np.asarray(rs.cols), np.asarray(m.cols))
+
+
+def test_brwt_relax(rng):
+    dense, m = rand_matrix(rng, 128, 23)
+    brwt = build_brwt(m)
+    relaxed = relax_brwt(brwt, max_arity=8)
+    rows = np.arange(128)
+    np.testing.assert_array_equal(relaxed.get_rows_dense(rows), dense)
+    assert relaxed.num_nodes() <= brwt.num_nodes()
+    assert relaxed.avg_arity() >= brwt.avg_arity()
+
+
+def test_brwt_sum_rows(rng):
+    dense, m = rand_matrix(rng, 100, 9)
+    brwt = build_brwt(m)
+    rows = rng.integers(0, 100, size=20)
+    w = rng.integers(1, 4, size=20)
+    np.testing.assert_array_equal(
+        brwt.sum_rows(rows, w), (dense[rows] * w[:, None]).sum(axis=0))
+
+
+def graph_and_annotation(rng, k=7, n=3):
+    seqs = [random_dna(rng, 200) for _ in range(n)]
+    g = DbgSuccinct.from_boss(build_boss(seqs, k), DNA, "basic")
+    ann = annotate_sequences(
+        g, [(s, [f"l{i}"]) for i, s in enumerate(seqs)]).finalize()
+    return g, ann, seqs
+
+
+@pytest.mark.parametrize("max_length", [4, 16, 64])
+def test_row_diff_matches_source(rng, max_length):
+    g, ann, seqs = graph_and_annotation(rng)
+    m = ann.matrix
+    rd = build_row_diff(m, g, max_length=max_length)
+    rows = np.arange(m.num_rows)
+    want = np.zeros((m.num_rows, m.num_cols), bool)
+    want[np.asarray(m.rows), np.asarray(m.cols)] = True
+    np.testing.assert_array_equal(rd.get_rows_dense(rows), want)
+    # compression: deltas should be sparser than the source on paths
+    assert rd.nnz <= m.nnz * 2
+    # serialization roundtrip
+    rd2 = RowDiff.from_npz_dict(rd.to_npz_dict())
+    np.testing.assert_array_equal(rd2.get_rows_dense(rows), want)
+
+
+def test_row_diff_compresses_runs(rng):
+    """Nodes along a path share labels -> deltas vanish off anchors."""
+    s = random_dna(rng, 400)
+    g = DbgSuccinct.from_boss(build_boss([s], 9), DNA, "basic")
+    ann = annotate_sequences(g, [(s, ["x"])]).finalize()
+    rd = build_row_diff(ann.matrix, g, max_length=32)
+    # all rows have label x; only anchors should store bits
+    assert rd.nnz == rd.num_anchors()
+
+
+def test_query_engine_with_compressed(rng, tmp_path):
+    g, ann, seqs = graph_and_annotation(rng)
+    brwt_ann = Annotation(matrix=build_brwt(ann.matrix), encoder=ann.encoder)
+    rd_ann = Annotation(matrix=build_row_diff(ann.matrix, g),
+                        encoder=ann.encoder)
+    for a in (brwt_ann, rd_ann):
+        path = str(tmp_path / f"{a.representation}.annodbg.npz")
+        a.save(path)
+        loaded = Annotation.load(path)
+        adbg = AnnotatedDbg(graph=g, annotation=loaded)
+        for i, s in enumerate(seqs):
+            assert f"l{i}" in adbg.get_labels(s, presence_ratio=1.0)
+
+
+def test_transform_anno_cli(rng, tmp_path, capsys):
+    from metagraph_tpu.cli.main import main
+    seqs = [random_dna(rng, 150) for _ in range(3)]
+    fa = str(tmp_path / "in.fa")
+    with open(fa, "w") as f:
+        for i, s in enumerate(seqs):
+            f.write(f">s{i}\n{s.decode()}\n")
+    gpath = str(tmp_path / "g")
+    main(["build", "-k", "9", "-o", gpath, fa])
+    main(["annotate", "-i", gpath, "-o", str(tmp_path / "a"),
+          "--anno-header", fa])
+    col = str(tmp_path / "a.column.annodbg.npz")
+    main(["transform_anno", "--anno-type", "brwt", "-o",
+          str(tmp_path / "b"), col])
+    main(["transform_anno", "--anno-type", "row_diff", "-i", gpath,
+          "-o", str(tmp_path / "r"), col])
+    # query through each representation gives identical output
+    qfa = str(tmp_path / "q.fa")
+    with open(qfa, "w") as f:
+        f.write(f">q\n{seqs[1][10:100].decode()}\n")
+    outs = []
+    for anno in [col, str(tmp_path / "b.brwt.annodbg.npz"),
+                 str(tmp_path / "r.row_diff.annodbg.npz")]:
+        main(["query", "-i", gpath, "-a", anno,
+              "--discovery-fraction", "1.0", qfa])
+        outs.append(capsys.readouterr().out)
+    assert outs[0] == outs[1] == outs[2]
+    assert "s1" in outs[0]

@@ -171,3 +171,25 @@ def test_transform_to_gfa(workdir, capsys):
     text = open(str(tmp / "g.gfa")).read()
     assert text.startswith("H\t")
     assert "S\t1\t" in text
+
+
+def test_build_from_kmc(capsys, tmp_path):
+    """Reference oracle: KMC db of transcripts_1000, k=11 -> 469983 nodes
+    (integration test_build.py:194-195)."""
+    kmc = REFERENCE_DATA + "/transcripts_1000_kmc_counters.kmc_suf"
+    out = str(tmp_path / "kmcg")
+    main(["build", "-k", "11", "-o", out, kmc])
+    main(["stats", out])
+    lines = capsys.readouterr().out.splitlines()
+    assert lines[1] == "k: 11"
+    assert lines[2] == "nodes (k): 469983"
+
+
+def test_build_from_kmc_both_strands(capsys, tmp_path):
+    """Oracle: both-strands KMC db -> 802920 nodes (test_build.py:216)."""
+    kmc = REFERENCE_DATA + "/transcripts_1000_kmc_counters_both_strands.kmc_suf"
+    out = str(tmp_path / "kmcg2")
+    main(["build", "-k", "11", "-o", out, kmc])
+    main(["stats", out])
+    lines = capsys.readouterr().out.splitlines()
+    assert lines[2] == "nodes (k): 802920"
