@@ -115,7 +115,10 @@ class Annotation:
         with np.load(path, allow_pickle=True) as d:
             keys = set(d.keys())
             labels = [str(x) for x in d["labels"]]
-            if "brwt_shape" in keys:
+            if "coord_shape" in keys:
+                from .coords import CoordMatrix
+                mat = CoordMatrix.from_npz_dict(d)
+            elif "brwt_shape" in keys:
                 from .brwt import Brwt
                 mat = Brwt.from_npz_dict(d)
             elif "rd_anchor_prefix" in keys:

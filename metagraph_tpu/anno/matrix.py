@@ -97,9 +97,11 @@ class RowSparse:
         if capacity is not None:
             return capacity
         try:
-            return max(int(jnp.sum(jnp.maximum(hi - lo, 0))), 1)
+            exact = max(int(jnp.sum(jnp.maximum(hi - lo, 0))), 1)
         except jax.errors.TracerArrayConversionError:
             return max(int(self.nnz), 1)
+        # round up to a power of two: bounds recompilation across calls
+        return 1 << (exact - 1).bit_length() if exact > 1 else 1
 
     def sum_rows(self, row_idx: jax.Array, weights: jax.Array,
                  capacity: Optional[int] = None) -> jax.Array:

@@ -190,7 +190,6 @@ def cmd_annotate(args):
     from ..anno.annotator import ColumnAnnotator
 
     g = _load_graph(args.infile_base)
-    annotator = ColumnAnnotator(num_rows=g.num_nodes())
     items = []
     for f in args.fnames:
         from ..seqio.fasta import parse_records
@@ -202,11 +201,21 @@ def cmd_annotate(args):
                 labels.append(rec.name.decode())
             labels.extend(args.anno_label or [])
             items.append((rec.seq, labels))
-    annotate_sequences(g, items, annotator, with_counts=args.count_kmers)
-    ann = annotator.finalize()
+    if args.coordinates:
+        from ..anno.coords import annotate_coordinates
+        ann = annotate_coordinates(g, items).finalize()
+    else:
+        num_rows = g.num_nodes()
+        if hasattr(g, "node_to_anno_row"):
+            num_rows = g.base.num_nodes()
+        annotator = ColumnAnnotator(num_rows=num_rows)
+        annotate_sequences(g, items, annotator,
+                           with_counts=args.count_kmers)
+        ann = annotator.finalize()
     out = args.outfile_base or args.infile_base
     if not out.endswith(".annodbg.npz"):
-        out = out + ".column.annodbg.npz"
+        out = out + (".coord.annodbg.npz" if args.coordinates
+                     else ".column.annodbg.npz")
     ann.save(out)
     log(f"Serialized annotation to {out} "
         f"({ann.num_labels} labels, {ann.matrix.nnz} relations)")
@@ -229,6 +238,18 @@ def format_query_result(idx: int, name: str, adbg, seq: bytes, args) -> str:
             bits = "".join("1" if b else "0" for b in mask)
             parts.append(f"<{label}>:{int(mask.sum())}:{bits}:"
                          f"{adbg.score_kmer_presence_mask(mask)}")
+        return "\t".join(parts) + "\n"
+    elif args.query_coords:
+        result = adbg.get_kmer_coordinates(seq, args.num_top_labels,
+                                           args.discovery_fraction)
+        if not result and args.suppress_unlabeled:
+            return ""
+        parts = [seq_name]
+        for label, tuples in result:
+            item = f"<{label}>"
+            for coords in tuples:
+                item += ":" + ",".join(str(c) for c in coords)
+            parts.append(item)
         return "\t".join(parts) + "\n"
     elif args.count_labels or args.query_counts:
         tops = adbg.get_top_labels(seq, args.num_top_labels,
@@ -362,6 +383,46 @@ def cmd_align(args):
 # misc graph ops
 # ---------------------------------------------------------------------------
 
+def cmd_extend(args):
+    """Add sequences to an existing graph (reference cli/augment.cpp).
+
+    The reference mutates a DYN-state BOSS in place; static rebuild from
+    the union of k-mer sets is both simpler and faster here (the
+    reference itself prefers static construction, build.cpp:99)."""
+    import jax.numpy as jnp
+    from ..common import packed
+    from ..graph.boss_construct import (_sort_unique_stage,
+                                        build_boss_from_kmers,
+                                        collect_kmers)
+    from ..graph.dbg_succinct import DbgSuccinct
+    from ..graph import io as graph_io
+    from ..kmer import packing as kp
+
+    g = _load_graph(args.infile_base, wrap_primary=False)
+    k = g.k
+    B = g.alphabet.bits_per_char
+    lanes = g.boss.edge_lanes
+    real_mask = ~kp.contains_sentinel(lanes, k, B)
+    w = (g.boss.weights[1:] if g.boss.weights is not None
+         else jnp.ones((lanes.shape[1],), jnp.int32))
+    old, n_old, (old_w,) = packed.compact(lanes, real_mask, lanes.shape[1], w)
+    records = _read_input_sequences(args.fnames)
+    canonical = g.mode in ("canonical", "primary")
+    new, new_c, n_new = collect_kmers([r.seq for r in records], k,
+                                      g.alphabet, canonical=canonical)
+    merged = jnp.concatenate([old[:, :int(n_old)], new[:, :n_new]], axis=1)
+    mc = jnp.concatenate([old_w[:int(n_old)], new_c[:n_new]])
+    u, uc, n_u = _sort_unique_stage(merged, mc, jnp.int32(merged.shape[1]))
+    bits = args.count_width if g.boss.weights is not None else 0
+    boss = build_boss_from_kmers(
+        u, uc, int(n_u), k, g.alphabet,
+        mode="canonical" if g.mode == "canonical" else "basic",
+        bits_per_count=bits)
+    out = graph_io.save_graph(args.outfile_base or args.infile_base,
+                              DbgSuccinct.from_boss(boss, g.alphabet, g.mode))
+    log(f"Extended graph -> {out} ({int(n_u)} k-mers)")
+
+
 def cmd_compare(args):
     g1 = _load_graph(args.fnames[0])
     g2 = _load_graph(args.fnames[1])
@@ -445,6 +506,17 @@ def cmd_merge(args):
                               DbgSuccinct.from_boss(boss, alphabet,
                                                     graphs[0].mode))
     log(f"Merged {len(graphs)} graphs -> {out}")
+
+
+def cmd_merge_anno(args):
+    from ..anno.annotator import Annotation
+    parts = [Annotation.load(f) for f in args.fnames]
+    num_rows = max(p.matrix.num_rows for p in parts)
+    merged = Annotation.merge(parts, num_rows)
+    path = args.outfile_base + ".column.annodbg.npz"
+    merged.save(path)
+    log(f"Merged {len(parts)} annotations -> {path} "
+        f"({merged.num_labels} labels)")
 
 
 def cmd_transform_anno(args):
@@ -541,7 +613,18 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--anno-header", action="store_true")
     sp.add_argument("--anno-label", action="append")
     sp.add_argument("--count-kmers", action="store_true")
+    sp.add_argument("--coordinates", action="store_true")
     sp.add_argument("--separately", action="store_true")
+    sp.add_argument("fnames", nargs="+")
+    sp.set_defaults(func=cmd_annotate)
+
+    sp = sub.add_parser("coordinate")
+    sp.add_argument("-i", "--infile-base", required=True)
+    sp.add_argument("-o", "--outfile-base", default=None)
+    sp.add_argument("--anno-filename", action="store_true")
+    sp.add_argument("--anno-header", action="store_true")
+    sp.add_argument("--anno-label", action="append")
+    sp.set_defaults(count_kmers=False, coordinates=True, separately=False)
     sp.add_argument("fnames", nargs="+")
     sp.set_defaults(func=cmd_annotate)
 
@@ -551,6 +634,7 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--count-labels", action="store_true")
     sp.add_argument("--query-counts", action="store_true")
     sp.add_argument("--print-signature", action="store_true")
+    sp.add_argument("--query-coords", action="store_true")
     sp.add_argument("--suppress-unlabeled", action="store_true")
     sp.add_argument("--num-top-labels", type=int, default=2 ** 62)
     sp.add_argument("--discovery-fraction", type=float, default=0.7)
@@ -596,6 +680,13 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("fnames", nargs="+")
     sp.set_defaults(func=cmd_align)
 
+    sp = sub.add_parser("extend")
+    sp.add_argument("-i", "--infile-base", required=True)
+    sp.add_argument("-o", "--outfile-base", default=None)
+    sp.add_argument("--count-width", type=int, default=8)
+    sp.add_argument("fnames", nargs="+")
+    sp.set_defaults(func=cmd_extend)
+
     sp = sub.add_parser("compare")
     sp.add_argument("fnames", nargs=2)
     sp.set_defaults(func=cmd_compare)
@@ -616,6 +707,11 @@ def build_parser() -> argparse.ArgumentParser:
     common_out(sp)
     sp.add_argument("fnames", nargs="+")
     sp.set_defaults(func=cmd_merge)
+
+    sp = sub.add_parser("merge_anno")
+    sp.add_argument("-o", "--outfile-base", required=True)
+    sp.add_argument("fnames", nargs="+")
+    sp.set_defaults(func=cmd_merge_anno)
 
     sp = sub.add_parser("transform_anno")
     sp.add_argument("-o", "--outfile-base", required=True)

@@ -131,6 +131,35 @@ class AnnotatedDbg:
         return [(self.annotation.encoder.decode(c), sig[:, c])
                 for c, _ in pairs]
 
+    def get_kmer_coordinates(self, sequence: bytes | str,
+                             num_top_labels: int = 2 ** 62,
+                             presence_ratio: float = 0.0
+                             ) -> List[Tuple[str, List[List[int]]]]:
+        """Per label: one coordinate tuple per query k-mer window
+        (reference AnnotatedDBG::get_kmer_coordinates, used by
+        --query-coords)."""
+        from ..anno.coords import CoordMatrix
+        assert isinstance(self.annotation.matrix, CoordMatrix), \
+            "coordinate queries need a coordinate annotation"
+        if len(sequence) < self.graph.k:
+            return []
+        rows, num_windows = self._map_rows(sequence)
+        num_present = int((rows >= 0).sum())
+        min_count = max(1, math.ceil(presence_ratio * num_windows))
+        if num_present < min_count:
+            return []
+        counts = self._label_counts(rows)
+        codes = np.nonzero(counts >= min_count)[0]
+        pairs = sorted(((int(c), int(counts[c])) for c in codes),
+                       key=lambda p: (-p[1], p[0]))[:num_top_labels]
+        out = []
+        m = self.annotation.matrix
+        safe_rows = np.where(rows >= 0, rows, m.num_rows + 1)
+        for c, _cnt in pairs:
+            tuples = m.get_tuples(safe_rows, c)
+            out.append((self.annotation.encoder.decode(c), tuples))
+        return out
+
     def score_kmer_presence_mask(self, mask: np.ndarray,
                                  match_score: int = 1,
                                  mismatch_score: int = 2) -> float:

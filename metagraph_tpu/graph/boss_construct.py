@@ -67,6 +67,19 @@ def _extract_stage(codes, K: int, B: int, suffix, canonical: bool, complement):
     return lanes, count
 
 
+@functools.partial(jax.jit, static_argnames=("K", "B", "suffix", "canonical", "complement"))
+def _collect_stage(codes, K: int, B: int, suffix, canonical: bool, complement):
+    """Extract + canonical fold + sort-unique, fused into one dispatch."""
+    lanes, count = extract_packed_kmers(codes, K, B, suffix=suffix or None)
+    if canonical:
+        rc = packing.reverse_complement(lanes, K, B, complement)
+        valid = packed.valid_mask(lanes.shape[1], count)
+        take_rc = packed.lt(rc, lanes) & valid
+        lanes = jnp.where(take_rc[None, :], rc, lanes)
+    counts = jnp.ones((lanes.shape[1],), jnp.int32)
+    return _sort_unique_stage(lanes, counts, count)
+
+
 @jax.jit
 def _sort_unique_stage(lanes, counts, count):
     """Sort, dedupe, and aggregate counts (saturating add done at emit)."""
@@ -156,9 +169,140 @@ def _dummy_level_stage(cur, n_cur, K: int, B: int):
     return cand_s, n_cand
 
 
+@functools.partial(jax.jit, static_argnames=("K", "B"))
+def _dummy_phase(real, n_real, K: int, B: int):
+    """Dummy sinks + dummy-1 sources in one dispatch (cuts per-stage
+    device round trips, which dominate on the remote-dispatch runtime)."""
+    cap = real.shape[1]
+    valid = packed.valid_mask(cap, n_real)
+    # sinks
+    shifted = packing.to_next(real, K, B, 0)
+    real_nodes = packing.node_key(real, B)
+    present = packed.isin_sorted(real_nodes, packing.node_key(shifted, B))
+    keep = valid & ~present
+    cand, n_cand, _ = packed.compact(shifted, keep, cap)
+    cand_s, _ = packed.sort(cand)
+    first = packed.neighbor_ne(cand_s) & packed.valid_mask(cap, n_cand)
+    sinks, n_sinks, _ = packed.compact(cand_s, first, cap)
+    # dummy-1 sources
+    node_first = packed.neighbor_ne(real_nodes) & valid
+    prev = packing.to_prev(real, K, B, 0)
+    tkeys_s, _ = packed.sort(packing.target_key(real, B))
+    has_incoming = packed.isin_sorted(tkeys_s, packing.target_key(prev, B))
+    keep = node_first & ~has_incoming
+    cand, n_src, _ = packed.compact(prev, keep, cap)
+    src, _ = packed.sort(cand)
+    return sinks, n_sinks, src, n_src
+
+
+@functools.partial(jax.jit, static_argnames=("K", "B"))
+def _levels_phase(src, n_src, K: int, B: int):
+    """All dummy-source levels 2..K-1 in one dispatch: an on-device loop
+    writes each level into its own slot of a single PAD-filled buffer
+    (replaces K-2 host-synced stage calls)."""
+    cap = src.shape[1]
+    L = src.shape[0]
+    n_levels = max(K - 2, 0)
+    out = packed.full_pad(max(n_levels, 1) * cap, L)
+
+    def body(c, state):
+        cur, n_cur, out, total = state
+        valid = packed.valid_mask(cap, n_cur)
+        node_first = packed.neighbor_ne(packing.node_key(cur, B)) & valid
+        nxt = packing.to_prev(cur, K, B, 0)
+        cand, n_cand, _ = packed.compact(nxt, node_first, cap)
+        cand_s, _ = packed.sort(cand)
+        out = jax.lax.dynamic_update_slice(out, cand_s, (0, c * cap))
+        return cand_s, n_cand, out, total + n_cand
+
+    if n_levels:
+        _, _, out, total = jax.lax.fori_loop(
+            0, n_levels, body, (src, n_src, out, jnp.int32(0)))
+    else:
+        total = jnp.int32(0)
+    return out, total
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "K", "B", "alph_size", "max_count", "cap_d", "canonical", "complement"))
+def _finish_stage(real, counts, n_real, K: int, B: int, alph_size: int,
+                  max_count: int, cap_d: int, canonical: bool, complement):
+    """Everything after collection in ONE dispatch: rc closure (canonical),
+    dummy sinks/sources, all levels, merge, emit. Dummy buffers use the
+    static capacity ``cap_d``; the returned counts let the host detect
+    overflow (then the driver retries with a larger cap — rare). This
+    eliminates the per-stage host round trips that dominate wall time."""
+    if canonical:
+        real, counts, n_real = _add_rc_stage.__wrapped__(
+            real, counts, n_real, K, B, complement)
+    cap = real.shape[1]
+    valid = packed.valid_mask(cap, n_real)
+    # dummy sinks
+    shifted = packing.to_next(real, K, B, 0)
+    real_nodes = packing.node_key(real, B)
+    present = packed.isin_sorted(real_nodes, packing.node_key(shifted, B))
+    cand, n_sink_cand, _ = packed.compact(shifted, valid & ~present, cap_d)
+    cand_s, _ = packed.sort(cand)
+    first = packed.neighbor_ne(cand_s) \
+        & packed.valid_mask(cap_d, jnp.minimum(n_sink_cand, cap_d))
+    sinks, n_sinks, _ = packed.compact(cand_s, first, cap_d)
+    # dummy-1 sources
+    node_first = packed.neighbor_ne(real_nodes) & valid
+    prev = packing.to_prev(real, K, B, 0)
+    tkeys_s, _ = packed.sort(packing.target_key(real, B))
+    has_incoming = packed.isin_sorted(tkeys_s, packing.target_key(prev, B))
+    cand, n_src, _ = packed.compact(prev, node_first & ~has_incoming, cap_d)
+    src, _ = packed.sort(cand)
+    # levels (level counts are non-increasing from n_src, so cap_d holds
+    # them all whenever n_src fits)
+    levels, n_levels_total = _levels_phase.__wrapped__(src, n_src, K, B)
+    kept, n_kept, W, last, F, weights = _merge_emit_body(
+        real, counts, n_real, sinks, n_sinks, src, n_src, levels,
+        n_levels_total, K, B, alph_size, max_count)
+    # n_sink_cand/n_src are TRUE counts (pre-truncation): host overflow check
+    stats = jnp.stack([n_kept, n_sink_cand, n_src, n_levels_total, n_real])
+    return kept, W, last, F, weights, stats
+
+
 @functools.partial(jax.jit, static_argnames=("K", "B", "alph_size", "max_count"))
-def _emit_stage(merged, counts, n_total, K: int, B: int, alph_size: int,
-                max_count: int):
+def _merge_emit_stage(real, counts, n_real, sinks, n_sinks, src, n_src,
+                      levels, n_levels_total, K: int, B: int,
+                      alph_size: int, max_count: int):
+    return _merge_emit_body(real, counts, n_real, sinks, n_sinks, src,
+                            n_src, levels, n_levels_total, K, B,
+                            alph_size, max_count)
+
+
+def _merge_emit_body(real, counts, n_real, sinks, n_sinks, src, n_src,
+                     levels, n_levels_total, K: int, B: int,
+                     alph_size: int, max_count: int):
+    """Concat + global sort + the initialize_chunk emit, one dispatch."""
+    L = real.shape[0]
+
+    def masked(lanes, n):
+        v = packed.valid_mask(lanes.shape[1], n)
+        return jnp.where(v[None, :], lanes,
+                         packed.full_pad(lanes.shape[1], L))
+
+    parts = [masked(real, n_real), masked(sinks, n_sinks),
+             masked(src, n_src), levels, packed.zeros(1, L)]
+    cparts = [jnp.where(packed.valid_mask(real.shape[1], n_real), counts, 0)]
+    for p in parts[1:]:
+        cparts.append(jnp.zeros((p.shape[1],), jnp.int32))
+    merged = jnp.concatenate(parts, axis=1)
+    mcounts = jnp.concatenate(cparts)
+    merged, (mcounts,) = packed.sort(merged, mcounts)
+    n_total = n_real + n_sinks + n_src + n_levels_total + 1
+    return _emit_body(merged, mcounts, n_total, K, B, alph_size, max_count)
+
+
+_emit_stage = functools.partial(
+    jax.jit, static_argnames=("K", "B", "alph_size", "max_count"))(
+        lambda merged, counts, n_total, K, B, alph_size, max_count:
+        _emit_body(merged, counts, n_total, K, B, alph_size, max_count))
+
+
+def _emit_body(merged, counts, n_total, K, B, alph_size, max_count):
     """The initialize_chunk scan (reference: boss_chunk.cpp:33-130),
     vectorized: last bits and redundant-sink skips from neighbor node-key
     compares; minus flags from a first-occurrence pass over target keys."""
@@ -235,10 +379,8 @@ def collect_kmers(
         codes_np = np.concatenate(
             [codes_np, np.full(target - codes_np.shape[0], INVALID_CODE, np.uint8)])
     codes = jnp.asarray(codes_np)
-    lanes, count = _extract_stage(codes, K, B, tuple(suffix), canonical,
-                                  alphabet.complement)
-    counts = jnp.ones((lanes.shape[1],), jnp.int32)
-    ulanes, ucounts, ucount = _sort_unique_stage(lanes, counts, count)
+    ulanes, ucounts, ucount = _collect_stage(codes, K, B, tuple(suffix),
+                                             canonical, alphabet.complement)
     n_u = int(ucount)
     cap = _bucket(n_u)
     return ulanes[:, :max(cap, 1)], ucounts[:max(cap, 1)], n_u
@@ -282,50 +424,24 @@ def build_boss_from_kmers(
     bits_per_count: int = 0,
     keep_kmer_index: bool = True,
 ) -> Boss:
-    """Generate dummy edges, merge, and emit the BOSS arrays."""
+    """Generate dummy edges, merge, and emit the BOSS arrays.
+
+    ONE device dispatch (+ the caller's collect) and ONE host sync: on the
+    remote-dispatch runtime, host round trips dominate wall time, so the
+    whole post-collection pipeline is fused and dummy buffers use a
+    static capacity with a host-side overflow check + retry."""
     B = alphabet.bits_per_char
-    if mode == MODE_CANONICAL:
-        real, counts, n2 = _add_rc_stage(real, counts, jnp.int32(n_real), K, B,
-                                         alphabet.complement)
-        n_real = int(n2)
-
-    sinks, n_sinks = _dummy_sink_stage(real, jnp.int32(n_real), K, B)
-    n_sinks = int(n_sinks)
-    src, n_src = _dummy_source_stage(real, jnp.int32(n_real), K, B)
-    n_src = int(n_src)
-
-    levels: List[Tuple[jax.Array, int]] = [(src[:, :_bucket(n_src)], n_src)]
-    cur, n_cur = levels[0]
-    for _c in range(2, K):
-        if n_cur == 0:
-            break
-        cur, n_cur_j = _dummy_level_stage(cur, jnp.int32(n_cur), K, B)
-        n_cur = int(n_cur_j)
-        levels.append((cur, n_cur))
-
-    n_dummy = n_sinks + sum(n for _, n in levels) + 1
-    n_total = n_real + n_dummy
-
-    parts = [jnp.where(packed.valid_mask(real.shape[1], n_real)[None, :],
-                       real, packed.full_pad(real.shape[1], real.shape[0]))]
-    cparts = [jnp.where(packed.valid_mask(real.shape[1], n_real), counts, 0)]
-    for lanes_i, n_i in [(sinks, n_sinks)] + levels:
-        parts.append(jnp.where(packed.valid_mask(lanes_i.shape[1], n_i)[None, :],
-                               lanes_i, packed.full_pad(lanes_i.shape[1], lanes_i.shape[0])))
-        cparts.append(jnp.zeros((lanes_i.shape[1],), jnp.int32))
-    # the all-$ main dummy edge
-    parts.append(packed.zeros(1, real.shape[0]))
-    cparts.append(jnp.zeros((1,), jnp.int32))
-
-    # concat keeps each part's PAD tail; the sort pushes all PADs to the end
-    merged = jnp.concatenate(parts, axis=1)
-    mcounts = jnp.concatenate(cparts)
-    merged, (mcounts,) = packed.sort(merged, mcounts)
-
     max_count = (1 << bits_per_count) - 1 if bits_per_count else (1 << 31) - 1
-    kept, n_kept, W, last, F, weights = _emit_stage(
-        merged, mcounts, jnp.int32(n_total), K, B, alphabet.size, max_count)
-    n_kept = int(n_kept)
+    cap_d = max(real.shape[1] >> 4, 4096)
+    while True:
+        kept, W, last, F, weights, stats = _finish_stage(
+            real, counts, jnp.int32(n_real), K, B, alphabet.size,
+            max_count, cap_d, mode == MODE_CANONICAL, alphabet.complement)
+        stats = np.asarray(stats)          # the single host sync
+        n_kept, n_sink_cand, n_src = int(stats[0]), int(stats[1]), int(stats[2])
+        if n_sink_cand <= cap_d and n_src <= cap_d:
+            break
+        cap_d = _bucket(max(n_sink_cand, n_src))
 
     zero_row = jnp.zeros((1,), jnp.int32)
     W_full = jnp.concatenate([zero_row, W[:n_kept]])

@@ -42,12 +42,13 @@ class CanonicalDbg:
         return "canonical"
 
     def num_nodes(self) -> int:
-        return 2 * self.base.num_nodes()
+        return 2 * int(self.base.valid_rank.num_set)
 
     # -- virtual node resolution -------------------------------------------
 
-    def _N(self) -> int:
-        return self.base.num_nodes()
+    def _N(self):
+        # traced-safe base node count (usable inside jitted methods)
+        return self.base.valid_rank.num_set
 
     def _resolve(self, lanes: jax.Array) -> jax.Array:
         """Packed (possibly non-canonical) k-mers -> virtual node ids."""
@@ -72,6 +73,7 @@ class CanonicalDbg:
 
     # -- mapping -----------------------------------------------------------
 
+    @jax.jit
     def map_codes_to_nodes(self, codes: jax.Array) -> jax.Array:
         K = self.k
         B = self.alphabet.bits_per_char
@@ -91,6 +93,7 @@ class CanonicalDbg:
 
     # -- adjacency ---------------------------------------------------------
 
+    @jax.jit
     def successors(self, nodes: jax.Array) -> jax.Array:
         B = self.alphabet.bits_per_char
         K = self.k
@@ -104,6 +107,7 @@ class CanonicalDbg:
         out = jnp.stack(cols, axis=1)
         return jnp.where((nodes > 0)[:, None], out, 0)
 
+    @jax.jit
     def predecessors(self, nodes: jax.Array) -> jax.Array:
         B = self.alphabet.bits_per_char
         K = self.k
@@ -136,7 +140,14 @@ class CanonicalDbg:
     #    base node, both orientations share the row) ------------------------
 
     def node_to_anno_row(self, nodes: np.ndarray) -> np.ndarray:
-        N = self._N()
+        N = int(self.base.valid_rank.num_set)
         nodes = np.asarray(nodes)
         base_id = np.where(nodes > N, nodes - N, nodes)
         return base_id.astype(np.int64) - 1
+
+
+def register_pytrees():
+    jax.tree_util.register_dataclass(CanonicalDbg, ["base"], [])
+
+
+register_pytrees()

@@ -81,6 +81,7 @@ class DbgSuccinct:
 
     # -- sequence mapping (reference map_to_nodes, sequence_graph.hpp:166) --
 
+    @jax.jit
     def map_codes_to_nodes(self, codes: jax.Array) -> jax.Array:
         """Map every k-window of a code array to its node id (0 = absent
         or invalid window). Returns (len(codes) - k + 1,) int32."""
@@ -123,8 +124,8 @@ class DbgSuccinct:
         hi = packed.searchsorted(self.boss.edge_lanes, hi_q, side="right")
         return lo, hi
 
-    def successors(self, nodes: jax.Array, max_degree: Optional[int] = None
-                   ) -> jax.Array:
+    @jax.jit
+    def successors(self, nodes: jax.Array) -> jax.Array:
         """(N, sigma-1) node ids of successors (0-padded), one column per
         possible next character c in 1..sigma-1."""
         B = self.alphabet.bits_per_char
@@ -140,6 +141,7 @@ class DbgSuccinct:
         out = jnp.stack(cols, axis=1)
         return jnp.where((nodes > 0)[:, None], out, 0)
 
+    @jax.jit
     def predecessors(self, nodes: jax.Array) -> jax.Array:
         """(N, sigma-1) node ids of predecessors (0-padded)."""
         B = self.alphabet.bits_per_char

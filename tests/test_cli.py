@@ -193,3 +193,43 @@ def test_build_from_kmc_both_strands(capsys, tmp_path):
     main(["stats", out])
     lines = capsys.readouterr().out.splitlines()
     assert lines[2] == "nodes (k): 802920"
+
+
+def test_extend(workdir, capsys, rng):
+    tmp, fa, seqs = workdir
+    extra = [random_dna(rng, 100)]
+    fa2 = str(tmp / "extra.fa")
+    write_fasta(fa2, extra)
+    g1 = str(tmp / "base")
+    main(["build", "-k", "11", "-o", g1, fa])
+    main(["extend", "-i", g1, "-o", str(tmp / "ext"), fa2])
+    # extended graph equals a fresh build over both inputs
+    both = str(tmp / "both")
+    faboth = str(tmp / "both.fa")
+    write_fasta(faboth, seqs + extra)
+    main(["build", "-k", "11", "-o", both, faboth])
+    main(["compare", str(tmp / "ext"), both])
+    assert "Graphs are identical" in capsys.readouterr().out
+
+
+def test_coordinates_annotation_query(workdir, capsys):
+    tmp, fa, seqs = workdir
+    g = str(tmp / "cg")
+    main(["build", "-k", "11", "-o", g, fa])
+    main(["annotate", "-i", g, "-o", str(tmp / "ca"), "--coordinates",
+          "--anno-header", fa])
+    anno = str(tmp / "ca.coord.annodbg.npz")
+    assert os.path.exists(anno)
+    qfa = str(tmp / "cq.fa")
+    frag = seqs[0][30:70]
+    write_fasta(qfa, [frag], names=["r"])
+    main(["query", "-i", g, "-a", anno, "--query-coords",
+          "--discovery-fraction", "1.0", qfa])
+    line = capsys.readouterr().out.strip()
+    fields = line.split("\t")
+    assert fields[:2] == ["0", "r"]
+    assert fields[2].startswith("<seq0>")
+    groups = fields[2].split(":")[1:]
+    # one coordinate tuple per window; coordinates are consecutive from 30
+    assert len(groups) == len(frag) - 11 + 1
+    assert groups[0] == "30" and groups[1] == "31"
