@@ -212,7 +212,8 @@ def sort(x: jax.Array, *extras: jax.Array, stable: bool = True
     return jnp.stack(res[:L]), tuple(res[L:])
 
 
-def searchsorted(keys: jax.Array, queries: jax.Array, side: str = "left") -> jax.Array:
+def searchsorted(keys: jax.Array, queries: jax.Array, side: str = "left",
+                 lo0=None, hi0=None, steps: Optional[int] = None) -> jax.Array:
     """Vectorized binary search of ``queries`` (L, Q) in sorted ``keys`` (L, N).
 
     Returns (Q,) int32 insertion positions. Replaces the per-k-mer
@@ -223,9 +224,10 @@ def searchsorted(keys: jax.Array, queries: jax.Array, side: str = "left") -> jax
     q = queries.shape[1]
     if n == 0:
         return jnp.zeros((q,), jnp.int32)
-    steps = max(1, int(np.ceil(np.log2(n + 1))))
-    lo = jnp.zeros((q,), jnp.int32)
-    hi = jnp.full((q,), n, jnp.int32)
+    if steps is None:
+        steps = max(1, int(np.ceil(np.log2(n + 1))))
+    lo = jnp.zeros((q,), jnp.int32) if lo0 is None else lo0.astype(jnp.int32)
+    hi = jnp.full((q,), n, jnp.int32) if hi0 is None else hi0.astype(jnp.int32)
 
     def body(_, state):
         lo, hi = state
@@ -251,6 +253,35 @@ def isin_sorted(keys: jax.Array, queries: jax.Array) -> jax.Array:
         return jnp.zeros((queries.shape[1],), bool)
     pos = jnp.minimum(searchsorted(keys, queries, side="left"), n - 1)
     return eq(keys[:, pos], queries)
+
+
+def isin_merge(keys: jax.Array, queries: jax.Array) -> jax.Array:
+    """(Q,) bool set-membership via one sort instead of binary search.
+
+    On TPU a lexicographic sort of n+q elements costs far less than the
+    log2(n) gather rounds of a binary search when q ~ n (gathers are the
+    expensive primitive), so bulk membership tests in the construction
+    pipeline use this merge formulation: tag keys/queries, co-sort, mark
+    equal-value runs containing a key with one segment-max + one gather,
+    scatter results back through the co-sorted query index.
+    ``keys`` need not be pre-sorted here.
+    """
+    L, n = keys.shape
+    q = queries.shape[1]
+    both = jnp.concatenate([keys, queries], axis=1)
+    is_query = jnp.concatenate([jnp.zeros((n,), jnp.int32),
+                                jnp.ones((q,), jnp.int32)])
+    orig = jnp.concatenate([jnp.zeros((n,), jnp.int32),
+                            jnp.arange(q, dtype=jnp.int32)])
+    s, (is_q_s, orig_s) = sort(both, is_query, orig)
+    run_first = neighbor_ne(s)
+    seg = jnp.cumsum(run_first.astype(jnp.int32)) - 1
+    has_key = jax.ops.segment_max((1 - is_q_s), seg, num_segments=n + q)
+    present_s = has_key[seg] > 0
+    out = jnp.zeros((q,), bool)
+    out = out.at[jnp.where(is_q_s == 1, orig_s, q)].set(
+        present_s, mode="drop")
+    return out
 
 
 # ---------------------------------------------------------------------------

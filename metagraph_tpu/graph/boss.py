@@ -53,6 +53,8 @@ class Boss:
     # optional accelerators / extensions
     edge_lanes: Optional[jax.Array] = None   # (L, m-1) sorted packed edge kmers
     weights: Optional[jax.Array] = None      # (m,) int32 k-mer counts
+    lut: Optional[jax.Array] = None          # (2^16+1,) top-16-bit bucket starts
+    lut_steps: int = 0                       # binary-search rounds within bucket
 
     # -- construction ------------------------------------------------------
 
@@ -66,10 +68,18 @@ class Boss:
         last_rank = BitRank.build(last)
         W_rank = SymbolRank.build(W, 2 * alph_size)
         NF = last_rank.rank1(F.astype(jnp.int32))
+        lut = None
+        lut_steps = 0
+        if edge_lanes is not None and edge_lanes.shape[1] > 0:
+            # bucket table over the top 16 bits: narrows every k-mer
+            # binary search from log2(n) to log2(max bucket) gather rounds
+            lut, max_bucket = _build_lut(edge_lanes)
+            lut_steps = max(1, int(np.ceil(np.log2(int(max_bucket) + 1))))
         return Boss(k=k, alph_size=alph_size, bits_per_char=bits_per_char,
                     W=W, last=last, F=F.astype(jnp.int32),
                     last_rank=last_rank, W_rank=W_rank, NF=NF,
-                    edge_lanes=edge_lanes, weights=weights)
+                    edge_lanes=edge_lanes, weights=weights,
+                    lut=lut, lut_steps=lut_steps)
 
     # -- basic accessors ---------------------------------------------------
 
@@ -153,7 +163,14 @@ class Boss:
         """
         assert self.edge_lanes is not None, "edge_lanes accelerator required"
         n = self.edge_lanes.shape[1]
-        pos = packed.searchsorted(self.edge_lanes, query_lanes, side="left")
+        if self.lut is not None:
+            t = query_lanes[0] >> 16
+            pos = packed.searchsorted(
+                self.edge_lanes, query_lanes, side="left",
+                lo0=self.lut[t], hi0=self.lut[t + 1], steps=self.lut_steps)
+        else:
+            pos = packed.searchsorted(self.edge_lanes, query_lanes,
+                                      side="left")
         pos_c = jnp.minimum(pos, n - 1)
         hit = packed.eq(self.edge_lanes[:, pos_c], query_lanes)
         return jnp.where(hit, pos_c + 1, 0)
@@ -190,6 +207,19 @@ class Boss:
         return jnp.sum(is_src.astype(jnp.int32)), jnp.sum(is_sink.astype(jnp.int32))
 
 
+@jax.jit
+def _build_lut(edge_lanes: jax.Array):
+    """(2^16+1,) bucket-start table over the top lane's high 16 bits, plus
+    the maximum bucket size (device-computed; one scalar sync)."""
+    n = edge_lanes.shape[1]
+    top = (edge_lanes[0] >> 16).astype(jnp.uint32)
+    lut = jnp.searchsorted(top, jnp.arange(1 << 16, dtype=jnp.uint32),
+                           side="left").astype(jnp.int32)
+    lut = jnp.concatenate([lut, jnp.full((1,), n, jnp.int32)])
+    max_bucket = jnp.max(jnp.diff(lut))
+    return lut, max_bucket
+
+
 def _increment_masked(lanes: jax.Array, nbits: int) -> jax.Array:
     """Add 1 at bit position 0 of the masked (low nbits) big integer.
 
@@ -209,8 +239,9 @@ def _increment_masked(lanes: jax.Array, nbits: int) -> jax.Array:
 def register_pytrees():
     jax.tree_util.register_dataclass(
         Boss,
-        ["W", "last", "F", "last_rank", "W_rank", "NF", "edge_lanes", "weights"],
-        ["k", "alph_size", "bits_per_char"],
+        ["W", "last", "F", "last_rank", "W_rank", "NF", "edge_lanes",
+         "weights", "lut"],
+        ["k", "alph_size", "bits_per_char", "lut_steps"],
     )
 
 

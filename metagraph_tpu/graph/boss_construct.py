@@ -237,10 +237,13 @@ def _finish_stage(real, counts, n_real, K: int, B: int, alph_size: int,
             real, counts, n_real, K, B, complement)
     cap = real.shape[1]
     valid = packed.valid_mask(cap, n_real)
-    # dummy sinks
+    # dummy sinks (merge-based membership: sorts beat gather-bound
+    # binary search when |queries| ~ |keys|)
     shifted = packing.to_next(real, K, B, 0)
     real_nodes = packing.node_key(real, B)
-    present = packed.isin_sorted(real_nodes, packing.node_key(shifted, B))
+    q_nodes = jnp.where(valid[None, :], packing.node_key(shifted, B),
+                        packed.full_pad(cap, real.shape[0]))
+    present = packed.isin_merge(real_nodes, q_nodes)
     cand, n_sink_cand, _ = packed.compact(shifted, valid & ~present, cap_d)
     cand_s, _ = packed.sort(cand)
     first = packed.neighbor_ne(cand_s) \
@@ -249,8 +252,11 @@ def _finish_stage(real, counts, n_real, K: int, B: int, alph_size: int,
     # dummy-1 sources
     node_first = packed.neighbor_ne(real_nodes) & valid
     prev = packing.to_prev(real, K, B, 0)
-    tkeys_s, _ = packed.sort(packing.target_key(real, B))
-    has_incoming = packed.isin_sorted(tkeys_s, packing.target_key(prev, B))
+    tkeys = jnp.where(valid[None, :], packing.target_key(real, B),
+                      packed.full_pad(cap, real.shape[0]))
+    q_tkeys = jnp.where(valid[None, :], packing.target_key(prev, B),
+                        packed.full_pad(cap, real.shape[0]))
+    has_incoming = packed.isin_merge(tkeys, q_tkeys)
     cand, n_src, _ = packed.compact(prev, node_first & ~has_incoming, cap_d)
     src, _ = packed.sort(cand)
     # levels (level counts are non-increasing from n_src, so cap_d holds

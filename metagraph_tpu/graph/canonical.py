@@ -78,10 +78,11 @@ class CanonicalDbg:
         K = self.k
         B = self.alphabet.bits_per_char
         ok = window_validity(codes, K)
-        idx = jnp.arange(codes.shape[0] - K + 1, dtype=jnp.int32)
-        fields = [codes[idx + (K - 1)].astype(jnp.uint32)]
-        for j in range(1, K):
-            fields.append(codes[idx + (j - 1)].astype(jnp.uint32))
+        nw = codes.shape[0] - K + 1
+
+        def sl(off):
+            return jax.lax.slice(codes, (off,), (off + nw,)).astype(jnp.uint32)
+        fields = [sl(K - 1)] + [sl(j - 1) for j in range(1, K)]
         lanes = packed.from_fields(jnp.stack(fields), B)
         return jnp.where(ok, self._resolve(lanes), 0)
 

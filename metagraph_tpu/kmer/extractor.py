@@ -72,11 +72,14 @@ def extract_packed_kmers(
     num_windows = n - K + 1
     assert num_windows >= 0, "input shorter than k"
     ok = window_validity(codes, K)
-    idx = jnp.arange(num_windows, dtype=jnp.int32)
+    # windows are contiguous slices, NOT gathers (gathers are ~100x more
+    # expensive on TPU): field j of window i is codes[i + j - 1]
+    def sl(off):
+        return jax.lax.slice(codes, (off,), (off + num_windows,))             .astype(jnp.uint32)
     # field 0 = e_K; field j = e_j  (see kmer/packing.py)
-    fields = [codes[idx + (K - 1)].astype(jnp.uint32)]
+    fields = [sl(K - 1)]
     for j in range(1, K):
-        fields.append(codes[idx + (j - 1)].astype(jnp.uint32))
+        fields.append(sl(j - 1))
     lanes = packed.from_fields(jnp.stack(fields), B)
     if suffix:
         s = len(suffix)
