@@ -273,18 +273,52 @@ def cmd_query(args):
     from ..engine.annotated_dbg import AnnotatedDbg
     from ..seqio.fasta import parse_records
 
+    from ..engine.annotated_dbg import BatchQuery
+    from ..seqio.fasta import iter_batches
+
     g = _load_graph(args.infile_base)
     ann = Annotation.load(args.annotation)
     adbg = AnnotatedDbg(graph=g, annotation=ann)
     t0 = time.time()
     n = 0
     out = sys.stdout
-    for f in args.fnames:
-        for i, rec in enumerate(parse_records(f)):
-            line = format_query_result(i, rec.name.decode(), adbg, rec.seq,
-                                       args)
-            out.write(line)
-            n += 1
+    simple = not (args.print_signature or args.query_coords
+                  or args.query_counts)
+    bq = BatchQuery(adbg) if simple else None
+    idx = 0
+    for batch in iter_batches(args.fnames,
+                              batch_bytes=args.batch_size):
+        if simple and args.count_labels:
+            results = bq.get_top_labels_batch(
+                [r.seq for r in batch], args.num_top_labels,
+                args.discovery_fraction)
+            for rec, tops in zip(batch, results):
+                if not tops and args.suppress_unlabeled:
+                    idx += 1
+                    continue
+                parts = [f"{idx}\t{rec.name.decode()}"]
+                parts += [f"<{l}>:{c}" for l, c in tops]
+                out.write("\t".join(parts) + "\n")
+                idx += 1
+                n += 1
+        elif simple:
+            results = bq.get_labels_batch([r.seq for r in batch],
+                                          args.discovery_fraction)
+            for rec, labels in zip(batch, results):
+                if not labels and args.suppress_unlabeled:
+                    idx += 1
+                    continue
+                out.write(f"{idx}\t{rec.name.decode()}\t"
+                          + args.anno_labels_delimiter.join(labels) + "\n")
+                idx += 1
+                n += 1
+        else:
+            for rec in batch:
+                line = format_query_result(idx, rec.name.decode(), adbg,
+                                           rec.seq, args)
+                out.write(line)
+                idx += 1
+                n += 1
     log(f"Queried {n} sequences in {time.time() - t0:.2f} s")
 
 
@@ -641,6 +675,7 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--labels-delimiter", dest="anno_labels_delimiter",
                     default=":")
     sp.add_argument("--fast", action="store_true")  # batch mode (default path)
+    sp.add_argument("--batch-size", type=int, default=100 << 20)
     sp.add_argument("fnames", nargs="+")
     sp.set_defaults(func=cmd_query)
 

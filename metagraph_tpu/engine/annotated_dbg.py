@@ -17,10 +17,12 @@ selection/ordering semantics are preserved:
 
 from __future__ import annotations
 
+import functools
 import math
 from dataclasses import dataclass
 from typing import List, Optional, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -181,6 +183,144 @@ class AnnotatedDbg:
         if run:
             score += match_score * (run + k - 1)
         return float(score)
+
+
+class BatchQuery:
+    """Batched query executor (reference QueryExecutor / batch mode,
+    query.cpp:628-1031): a whole read batch is mapped and aggregated in
+    ~one device dispatch, instead of one dispatch per read.
+
+    The reference builds a per-batch intersection "query graph"; here the
+    batched searchsorted over the full index plays that role directly:
+    all windows of all reads are mapped at once, and per-(read, label)
+    k-mer counts come from one interval-expand + segment-sum over
+    read_id * num_labels + label keys.
+    """
+
+    def __init__(self, adbg: AnnotatedDbg):
+        self.adbg = adbg
+        from ..anno.matrix import RowSparse
+        m = adbg.annotation.matrix
+        # host copy of the row index for exact expand-capacity computation
+        self._rows_np = (np.asarray(m.rows)
+                         if isinstance(m, RowSparse) else None)
+
+    def _map_batch(self, seqs: Sequence[bytes]):
+        """Concatenate reads with separators; map all windows at once.
+        Returns (rows (W,) int64 anno rows (-1 absent), read_id (W,),
+        windows_per_read (R,))."""
+        from ..kmer.alphabets import INVALID_CODE
+        from ..kmer.extractor import encode_sequences
+        g = self.adbg.graph
+        k = g.k
+        codes_np = encode_sequences(seqs, g.alphabet)
+        # pad to power-of-two bucket to bound recompiles
+        target = max(1024, 1 << (max(len(codes_np), k) - 1).bit_length())
+        codes_np = np.concatenate(
+            [codes_np, np.full(target - len(codes_np), INVALID_CODE,
+                               np.uint8)])
+        nodes = np.asarray(g.map_codes_to_nodes(jnp.asarray(codes_np)))
+        if hasattr(g, "node_to_anno_row"):
+            rows_all = np.where(nodes > 0, g.node_to_anno_row(nodes), -1)
+        else:
+            rows_all = nodes.astype(np.int64) - 1
+        # window w belongs to read r iff it lies fully inside read r's span
+        rows, read_ids, wpr = [], [], []
+        off = 0
+        for r, s in enumerate(seqs):
+            nw = max(0, len(s) - k + 1)
+            rows.append(rows_all[off:off + nw])
+            read_ids.append(np.full(nw, r, np.int64))
+            wpr.append(nw)
+            off += len(s) + 1
+        return (np.concatenate(rows) if rows else np.zeros(0, np.int64),
+                np.concatenate(read_ids) if read_ids else np.zeros(0, np.int64),
+                np.array(wpr, np.int64))
+
+    def label_count_matrix(self, seqs: Sequence[bytes]
+                           ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """((R, num_labels) per-read label k-mer counts,
+        (R,) windows per read, (R,) present windows per read)."""
+        adbg = self.adbg
+        C = adbg.num_labels
+        rows, read_ids, wpr = self._map_batch(seqs)
+        present = rows >= 0
+        n_present = np.zeros(len(seqs), np.int64)
+        np.add.at(n_present, read_ids[present], 1)
+        m = adbg.annotation.matrix
+        from ..anno.matrix import RowSparse
+        if isinstance(m, RowSparse):
+            pr = rows[present].astype(np.int32)
+            rid = read_ids[present].astype(np.int32)
+            lo = np.searchsorted(self._rows_np, pr, side="left")
+            hi = np.searchsorted(self._rows_np, pr, side="right")
+            exact = max(int((hi - lo).sum()), 1)
+            cap = 1 << (exact - 1).bit_length()
+            counts = np.asarray(_batch_sum_rows(
+                m, jnp.asarray(pr), jnp.asarray(rid), len(seqs), cap))
+        else:
+            # compressed representations: dense per-row presence then add
+            pr = rows[present]
+            uniq, inv = np.unique(pr, return_inverse=True)
+            dense = np.asarray(m.presence(uniq))
+            counts = np.zeros((len(seqs), C), np.int64)
+            np.add.at(counts, read_ids[present], dense[inv])
+        return counts.astype(np.int64), wpr, n_present
+
+    def get_labels_batch(self, seqs: Sequence[bytes],
+                         presence_ratio: float = 0.0) -> List[List[str]]:
+        counts, wpr, n_present = self.label_count_matrix(seqs)
+        out = []
+        enc = self.adbg.annotation.encoder
+        for r, s in enumerate(seqs):
+            if len(s) < self.adbg.graph.k:
+                out.append([])
+                continue
+            min_count = max(1, math.ceil(presence_ratio * wpr[r]))
+            if n_present[r] < min_count:
+                out.append([])
+                continue
+            out.append([enc.decode(c)
+                        for c in np.nonzero(counts[r] >= min_count)[0]])
+        return out
+
+    def get_top_labels_batch(self, seqs: Sequence[bytes],
+                             num_top_labels: int = 2 ** 62,
+                             presence_ratio: float = 0.0
+                             ) -> List[List[Tuple[str, int]]]:
+        counts, wpr, n_present = self.label_count_matrix(seqs)
+        out = []
+        enc = self.adbg.annotation.encoder
+        for r, s in enumerate(seqs):
+            if len(s) < self.adbg.graph.k:
+                out.append([])
+                continue
+            min_count = max(1, math.ceil(presence_ratio * wpr[r]))
+            if n_present[r] < min_count:
+                out.append([])
+                continue
+            codes = np.nonzero(counts[r] >= min_count)[0]
+            pairs = [(int(c), int(counts[r][c])) for c in codes]
+            if len(pairs) > num_top_labels:
+                pairs.sort(key=lambda p: (-p[1], p[0]))
+                pairs = pairs[:num_top_labels]
+            out.append([(enc.decode(c), n) for c, n in pairs])
+        return out
+
+
+@functools.partial(jax.jit, static_argnames=("num_reads", "cap"))
+def _batch_sum_rows(m, rows, read_ids, num_reads: int, cap: int):
+    """(R, C) counts: interval-expand matrix hits keyed by read."""
+    from ..anno.matrix import _expand_intervals
+    lo, hi = m.row_ranges(rows)
+    q, flat, valid = _expand_intervals(lo, hi, cap)
+    fc = jnp.clip(flat, 0, max(m.nnz - 1, 0))
+    col = m.cols[fc]
+    key = read_ids[q] * m.num_cols + col
+    w = jnp.where(valid, 1, 0)
+    flatc = jax.ops.segment_sum(w, key,
+                                num_segments=num_reads * m.num_cols)
+    return flatc.reshape(num_reads, m.num_cols)
 
 
 def annotate_sequences(

@@ -14,7 +14,7 @@ from metagraph_tpu.kmer.alphabets import DNA
 @pytest.fixture(scope="module")
 def ref_graph():
     rng = np.random.default_rng(7)
-    ref = bytes(rng.choice(np.frombuffer(b"ACGT", np.uint8), size=600))
+    ref = bytes(rng.choice(np.frombuffer(b"ACGT", np.uint8), size=400))
     g = DbgSuccinct.from_boss(build_boss([ref], 15), DNA, "basic")
     return g, ref
 

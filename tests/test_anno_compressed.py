@@ -23,7 +23,7 @@ def rand_matrix(rng, num_rows, num_cols, density=0.15):
     return dense, RowSparse.from_coo(r, c, num_rows, num_cols)
 
 
-@pytest.mark.parametrize("num_rows,num_cols", [(64, 4), (300, 17), (100, 1)])
+@pytest.mark.parametrize("num_rows,num_cols", [(64, 4), (200, 9), (100, 1)])
 def test_brwt_matches_source(rng, num_rows, num_cols):
     dense, m = rand_matrix(rng, num_rows, num_cols)
     brwt = build_brwt(m)
@@ -68,7 +68,7 @@ def graph_and_annotation(rng, k=7, n=3):
     return g, ann, seqs
 
 
-@pytest.mark.parametrize("max_length", [4, 16, 64])
+@pytest.mark.parametrize("max_length", [4, 32])
 def test_row_diff_matches_source(rng, max_length):
     g, ann, seqs = graph_and_annotation(rng)
     m = ann.matrix

@@ -113,7 +113,7 @@ def check_invariants(boss: Boss, real_set):
     fake[:, 0] = 0 if (rows[:, 0] != 0).all() else fake[:, 0]
 
 
-@pytest.mark.parametrize("k,n,nseq", [(4, 40, 3), (6, 200, 5), (11, 500, 2)])
+@pytest.mark.parametrize("k,n,nseq", [(4, 40, 3), (6, 200, 5), (11, 400, 2)])
 def test_invariants_random(rng, k, n, nseq):
     seqs = [random_dna(rng, n) for _ in range(nseq)]
     boss = build_boss(seqs, k)
