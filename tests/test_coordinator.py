@@ -1,0 +1,106 @@
+"""Work-queue coordinator tests: ack/nack/retry semantics + end-to-end
+sharded build through worker jobs."""
+
+import threading
+
+import numpy as np
+import pytest
+
+from conftest import random_dna
+from metagraph_tpu.parallel.coordinator import WorkQueue, Worker, serve_queue
+
+
+def test_queue_ack_nack_retry():
+    q = WorkQueue([{"n": i} for i in range(3)], max_attempts=2)
+    j1 = q.acquire("w1")
+    j2 = q.acquire("w2")
+    assert {j1.payload["n"], j2.payload["n"]} == {0, 1}
+    assert q.ack(j1.job_id)
+    assert not q.ack(j1.job_id)  # double ack rejected
+    # nack requeues (to the back) until max_attempts
+    assert q.nack(j2.job_id)
+    j3 = q.acquire("w1")                 # fresh job first (FIFO)
+    assert j3.payload["n"] == 2
+    j2b = q.acquire("w1")                # then the retried one
+    assert j2b.payload == j2.payload and j2b.attempts == 2
+    assert q.nack(j2b.job_id)            # second failure -> failed bucket
+    st = q.status()
+    assert st["failed"] == 1 and st["done"] == 1
+    q.ack(j3.job_id)
+    assert q.finished()
+
+
+def test_lease_expiry_requeues():
+    q = WorkQueue([{"n": 0}], lease_seconds=0.0)
+    j = q.acquire("w1")
+    st = q.status()          # reaps the expired lease
+    assert st["pending"] == 1 and st["active"] == 0
+
+
+def test_http_workers_flaky_execution():
+    httpd, queue = serve_queue([{"x": i} for i in range(8)],
+                               max_attempts=3)
+    port = httpd.server_address[1]
+    fail_once = set()
+    lock = threading.Lock()
+    done = []
+
+    def execute(payload):
+        with lock:
+            if payload["x"] % 3 == 0 and payload["x"] not in fail_once:
+                fail_once.add(payload["x"])
+                raise RuntimeError("transient")
+            done.append(payload["x"])
+        return {"x": payload["x"]}
+
+    workers = [Worker(f"http://127.0.0.1:{port}", f"w{i}") for i in range(3)]
+    threads = [threading.Thread(target=w.run_until_empty,
+                                args=(execute, 0.05)) for w in workers]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=30)
+    st = queue.status()
+    assert st["done"] == 8 and st["failed"] == 0
+    assert sorted(done) == sorted(range(8))
+    httpd.shutdown()
+
+
+def test_sharded_build_via_queue(tmp_path, rng):
+    """Distribute per-suffix shard collection as queue jobs, then
+    concatenate — the multi-host build flow without multi-host."""
+    from metagraph_tpu.graph.boss_construct import build_boss
+    from metagraph_tpu.graph import io as graph_io
+    from metagraph_tpu.graph.dbg_succinct import DbgSuccinct
+    from metagraph_tpu.kmer.alphabets import DNA
+    from metagraph_tpu.parallel.sharded_build import (build_shard_kmers,
+                                                      concatenate_chunks,
+                                                      save_chunk,
+                                                      suffix_buckets)
+
+    seqs = [random_dna(rng, 200) for _ in range(3)]
+    k = 9
+    jobs = [{"suffix": list(sfx)} for sfx in suffix_buckets(DNA, 1)]
+    httpd, queue = serve_queue(jobs)
+    port = httpd.server_address[1]
+    chunks = {}
+
+    def execute(payload):
+        sfx = tuple(payload["suffix"])
+        lanes, counts, n = build_shard_kmers(seqs, k, sfx)
+        name = "".join(DNA.letters[c] for c in sfx)
+        path = str(tmp_path / f"chunk_{name}.npz")
+        save_chunk(path, lanes, counts, k, DNA.name, sfx)
+        chunks[sfx] = path
+        return {"path": path}
+
+    Worker(f"http://127.0.0.1:{port}").run_until_empty(execute, 0.05)
+    httpd.shutdown()
+    assert queue.finished()
+    ordered = [chunks[sfx] for sfx in suffix_buckets(DNA, 1)]
+    out = concatenate_chunks(ordered, str(tmp_path / "full"))
+    got = graph_io.load_graph(out)
+    want = DbgSuccinct.from_boss(build_boss(seqs, k), DNA, "basic")
+    assert got.num_nodes() == want.num_nodes()
+    np.testing.assert_array_equal(np.asarray(got.boss.W),
+                                  np.asarray(want.boss.W))
