@@ -78,6 +78,7 @@ def _score_kernel(q_ref, r_ref, qlen_ref, rlen_ref, out_ref,
                   *, LQ: int, LR: int, match: int, tpen: int, tvpen: int,
                   open_p: int, ext_p: int):
     import jax.numpy as jnp
+    from jax.experimental import pallas as pl
     R = q_ref.shape[0]
     q_codes = q_ref[:, :].astype(jnp.int32)
     qlen = qlen_ref[:, :].astype(jnp.int32)       # (R, 1)
@@ -88,9 +89,16 @@ def _score_kernel(q_ref, r_ref, qlen_ref, rlen_ref, out_ref,
     H0 = jnp.where(j_valid, H0, NEG)
     D0 = jnp.full((R, LQ + 1), NEG, jnp.int32)
 
+    # Mosaic cannot dynamically index the lane dimension; instead carry the
+    # ref tile through the loop and rotate it one column per step so the
+    # current character is always the (static) first column.
+    from jax.experimental.pallas import tpu as pltpu
+    _roll = lambda x: pltpu.roll(x, shift=LR - 1, axis=1)  # left-rotate by 1
+
     def body(t, state):
-        H, D, best = state
-        c = jax.lax.dynamic_slice(r_ref[:, :], (0, t), (R, 1)).astype(jnp.int32)
+        H, D, best, refbuf = state
+        c = refbuf[:, 0:1].astype(jnp.int32)
+        refbuf = _roll(refbuf)
         Hn, Dn = _dp_step(H, D, q_codes, c, jj, match, tpen, tvpen,
                           open_p, ext_p)
         Hn = jnp.where(j_valid, Hn, NEG)
@@ -99,10 +107,11 @@ def _score_kernel(q_ref, r_ref, qlen_ref, rlen_ref, out_ref,
         Dn = jnp.where(t_valid, Dn, D)
         best = jnp.maximum(best, jnp.max(
             jnp.where(j_valid & t_valid, Hn, NEG), axis=1, keepdims=True))
-        return Hn, Dn, best
+        return Hn, Dn, best, refbuf
 
     best0 = jnp.max(jnp.where(j_valid, H0, NEG), axis=1, keepdims=True)
-    H, D, best = jax.lax.fori_loop(0, LR, body, (H0, D0, best0))
+    refbuf0 = r_ref[:, :]
+    H, D, best, _ = jax.lax.fori_loop(0, LR, body, (H0, D0, best0, refbuf0))
     out_ref[:, :] = best
 
 
