@@ -115,7 +115,10 @@ class Annotation:
         with np.load(path, allow_pickle=True) as d:
             keys = set(d.keys())
             labels = [str(x) for x in d["labels"]]
-            if "coord_shape" in keys:
+            if "ur_codes" in keys:
+                from .unique_row import UniqueRow
+                mat = UniqueRow.from_npz_dict(d)
+            elif "coord_shape" in keys:
                 from .coords import CoordMatrix
                 mat = CoordMatrix.from_npz_dict(d)
             elif "brwt_shape" in keys:

@@ -56,8 +56,10 @@ def cmd_build(args):
     from ..graph.boss_construct import build_boss
     from ..graph.dbg_succinct import DbgSuccinct
     from ..graph import io as graph_io
-    from ..kmer.alphabets import DNA
+    from ..kmer.alphabets import ALPHABETS
     from ..parallel.sharded_build import build_boss_sharded
+
+    DNA = ALPHABETS[args.alphabet]
 
     mode = args.mode
     bits_per_count = args.count_width if args.count_kmers else 0
@@ -101,10 +103,11 @@ def cmd_build(args):
     t0 = time.time()
     if args.suffix_len > 0 or args.num_shards > 1:
         boss = build_boss_sharded(
-            seqs, args.k, mode=mode, bits_per_count=bits_per_count,
+            seqs, args.k, alphabet=DNA, mode=mode,
+            bits_per_count=bits_per_count,
             suffix_len=max(args.suffix_len, 1))
     else:
-        boss = build_boss(seqs, args.k, mode=mode,
+        boss = build_boss(seqs, args.k, alphabet=DNA, mode=mode,
                           bits_per_count=bits_per_count)
     log(f"Graph construction: {time.time() - t0:.2f} s")
     graph = DbgSuccinct.from_boss(boss, DNA, mode)
@@ -405,6 +408,10 @@ def cmd_align(args):
                 print(f"{rec.name.decode()}\t{nmatch}/{len(nodes)}")
                 continue
             results = aligner.align(rec.seq, num_alternative_paths=args.num_alternative_paths)
+            if args.json:
+                for r in results:
+                    print(json.dumps(r.to_json(rec.name.decode())))
+                continue
             if not results:
                 print(f"{rec.name.decode()}\t*\t*\t0\t*")
                 continue
@@ -575,6 +582,11 @@ def cmd_transform_anno(args):
         if not isinstance(mat, RowSparse):
             mat = mat.to_row_sparse()
         out_mat = build_row_diff(mat, g, max_length=args.max_path_length)
+    elif target in ("unique_row", "rbfish"):
+        from ..anno.unique_row import UniqueRow
+        if not isinstance(mat, RowSparse):
+            mat = mat.to_row_sparse()
+        out_mat = UniqueRow.from_row_sparse(mat)
     elif target in ("column", "row_sparse", "flat"):
         out_mat = mat if isinstance(mat, RowSparse) else mat.to_row_sparse()
     else:
@@ -630,6 +642,8 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--max-count", type=int, default=None)
     sp.add_argument("--reference", default=None,
                     help="reference FASTA for VCF inputs")
+    sp.add_argument("--alphabet", default="DNA",
+                    choices=["DNA", "DNA5", "Protein"])
     common_out(sp)
     sp.add_argument("fnames", nargs="+")
     sp.set_defaults(func=cmd_build)
@@ -712,6 +726,7 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--gap-extension-penalty", type=int, default=2)
     sp.add_argument("--align-xdrop", type=int, default=27)
     sp.add_argument("--num-alternative-paths", type=int, default=1)
+    sp.add_argument("--json", action="store_true")
     sp.add_argument("fnames", nargs="+")
     sp.set_defaults(func=cmd_align)
 
@@ -754,7 +769,7 @@ def build_parser() -> argparse.ArgumentParser:
                     help="graph (required for row_diff)")
     sp.add_argument("--anno-type", default="column",
                     choices=["column", "row_sparse", "flat", "brwt",
-                             "row_diff"])
+                             "row_diff", "unique_row", "rbfish"])
     sp.add_argument("--max-path-length", type=int, default=64)
     sp.add_argument("--relax-arity", type=int, default=2)
     sp.add_argument("--num-rows-subsampled", type=int, default=1000000)

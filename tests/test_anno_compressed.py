@@ -136,3 +136,27 @@ def test_transform_anno_cli(rng, tmp_path, capsys):
         outs.append(capsys.readouterr().out)
     assert outs[0] == outs[1] == outs[2]
     assert "s1" in outs[0]
+
+
+def test_unique_row_matches_source(rng):
+    from metagraph_tpu.anno.unique_row import UniqueRow
+    # force duplicate rows
+    dense = np.zeros((60, 5), bool)
+    patterns = rng.random((6, 5)) < 0.4
+    assign = rng.integers(0, 6, size=60)
+    dense[:] = patterns[assign]
+    r, c = np.nonzero(dense)
+    m = RowSparse.from_coo(r, c, 60, 5)
+    ur = UniqueRow.from_row_sparse(m)
+    assert ur.num_distinct_rows <= 6 + 1
+    np.testing.assert_array_equal(ur.presence(np.arange(60)), dense)
+    w = rng.integers(1, 3, size=10).astype(np.int32)
+    rows = rng.integers(0, 60, size=10)
+    np.testing.assert_array_equal(ur.sum_rows(rows, w),
+                                  (dense[rows] * w[:, None]).sum(axis=0))
+    # serialization + expansion roundtrip
+    ur2 = UniqueRow.from_npz_dict(ur.to_npz_dict())
+    np.testing.assert_array_equal(ur2.presence(np.arange(60)), dense)
+    rs = ur.to_row_sparse()
+    np.testing.assert_array_equal(np.asarray(rs.rows), np.asarray(m.rows))
+    np.testing.assert_array_equal(np.asarray(rs.cols), np.asarray(m.cols))

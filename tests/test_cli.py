@@ -233,3 +233,39 @@ def test_coordinates_annotation_query(workdir, capsys):
     # one coordinate tuple per window; coordinates are consecutive from 30
     assert len(groups) == len(frag) - 11 + 1
     assert groups[0] == "30" and groups[1] == "31"
+
+
+def test_align_cli_and_json(workdir, capsys):
+    tmp, fa, seqs = workdir
+    out = str(tmp / "ag")
+    main(["build", "-k", "11", "-o", out, fa])
+    qfa = str(tmp / "reads.fa")
+    write_fasta(qfa, [seqs[0][20:90]], names=["r0"])
+    main(["align", "-i", out, qfa])
+    line = capsys.readouterr().out.strip().split("\t")
+    assert line[0] == "r0"
+    assert line[2] == str(2 * 70) and line[3] == "70="
+    main(["align", "-i", out, "--json", qfa])
+    import json as _json
+    rec = _json.loads(capsys.readouterr().out.strip())
+    assert rec["score"] == 140 and rec["cigar"] == "70="
+    # map-only
+    main(["align", "-i", out, "--map", qfa])
+    assert capsys.readouterr().out.strip() == "r0\t60/60"
+
+
+def test_build_dna5(workdir, capsys, tmp_path):
+    tmp, fa, seqs = workdir
+    fa5 = str(tmp / "n5.fa")
+    write_fasta(fa5, [b"ACGTNNACGTACGTN" + seqs[0]])
+    out = str(tmp / "g5")
+    main(["build", "-k", "5", "--alphabet", "DNA5", "-o", out, fa5])
+    main(["stats", out])
+    lines = capsys.readouterr().out.splitlines()
+    nodes = int(lines[2].split(": ")[1])
+    # with DNA5 the N-containing 5-mers are real nodes
+    gold = set()
+    s = b"ACGTNNACGTACGTN" + seqs[0]
+    for i in range(len(s) - 4):
+        gold.add(s[i:i + 5])
+    assert nodes == len(gold)
