@@ -92,6 +92,52 @@ def tpu_build_seconds(seqs):
     return dt, boss
 
 
+def bench_query(boss, seqs):
+    """Secondary metric: batched query throughput (reads/sec)."""
+    import jax.numpy as jnp
+    from metagraph_tpu.graph.dbg_succinct import DbgSuccinct
+    from metagraph_tpu.kmer.alphabets import DNA
+    from metagraph_tpu.engine.annotated_dbg import (AnnotatedDbg, BatchQuery,
+                                                    annotate_sequences)
+    g = DbgSuccinct.from_boss(boss, DNA, "basic")
+    ann_items = [(s, [f"label_{i % 10}"]) for i, s in enumerate(seqs[:200])]
+    ann = annotate_sequences(g, ann_items).finalize()
+    bq = BatchQuery(AnnotatedDbg(graph=g, annotation=ann))
+    rng = np.random.default_rng(0)
+    reads = []
+    for _ in range(2000):
+        s = seqs[rng.integers(0, len(seqs))]
+        if len(s) > 120:
+            p = rng.integers(0, len(s) - 100)
+            reads.append(s[p:p + 100])
+    bq.get_labels_batch(reads[:16], 0.7)   # warm up
+    t0 = time.time()
+    res = bq.get_labels_batch(reads, 0.7)
+    dt = time.time() - t0
+    log(f"query: {len(reads)} reads in {dt:.3f}s -> "
+        f"{len(reads)/dt:.0f} reads/s (batched label queries)")
+
+
+def bench_align_kernel():
+    """Secondary metric: Pallas DP kernel throughput."""
+    import jax.numpy as jnp
+    from metagraph_tpu.align.pallas_dp import batch_align_scores
+    rng = np.random.default_rng(0)
+    R, LQ, LR = 1024, 128, 160
+    qs = rng.integers(1, 5, size=(R, LQ)).astype(np.int32)
+    rs = rng.integers(1, 5, size=(R, LR)).astype(np.int32)
+    ql = np.full(R, LQ)
+    rl = np.full(R, LR)
+    args = (jnp.asarray(qs), jnp.asarray(rs), jnp.asarray(ql),
+            jnp.asarray(rl))
+    np.asarray(batch_align_scores(*args))  # compile
+    t0 = time.time()
+    np.asarray(batch_align_scores(*args))
+    dt = time.time() - t0
+    log(f"align kernel: {R} pairs ({LQ}x{LR}) in {dt*1e3:.1f}ms -> "
+        f"{R*LQ*LR/dt/1e9:.2f} Gcells/s, {R/dt:.0f} alignments/s")
+
+
 def main():
     seqs = read_fasta(DATA)
     total_bp = sum(map(len, seqs))
@@ -110,6 +156,12 @@ def main():
         f"{base['kmers_per_sec']/1e6:.2f} Mk-mers/s")
 
     dt, boss = tpu_build_seconds(seqs)
+    if os.environ.get("METAGRAPH_TPU_BENCH_EXTRA"):
+        try:
+            bench_query(boss, seqs)
+            bench_align_kernel()
+        except Exception as e:
+            log(f"secondary benches failed: {e}")
     total_windows = base["total_windows"]
     value = total_windows / dt
     log(f"warm TPU full build: {dt:.3f} s -> {value/1e6:.2f} Mk-mers/s "

@@ -87,10 +87,16 @@ class CanonicalDbg:
         return jnp.where(ok, self._resolve(lanes), 0)
 
     def map_to_nodes(self, seq) -> np.ndarray:
+        from ..kmer.alphabets import INVALID_CODE
         codes = encode_sequences([seq], self.alphabet)[:-1]
-        if len(codes) < self.k:
-            return np.zeros((max(0, len(codes) - self.k + 1),), np.int32)
-        return np.asarray(self.map_codes_to_nodes(jnp.asarray(codes)))
+        n = len(codes)
+        if n < self.k:
+            return np.zeros((max(0, n - self.k + 1),), np.int32)
+        cap = max(64, 1 << (n - 1).bit_length())
+        codes = np.concatenate(
+            [codes, np.full(cap - n, INVALID_CODE, np.uint8)])
+        out = np.asarray(self.map_codes_to_nodes(jnp.asarray(codes)))
+        return out[:n - self.k + 1]
 
     # -- adjacency ---------------------------------------------------------
 

@@ -103,9 +103,16 @@ class DbgSuccinct:
 
     def map_to_nodes(self, seq: bytes | str) -> np.ndarray:
         codes = encode_sequences([seq], self.alphabet)[:-1]  # drop separator
-        if len(codes) < self.k:
-            return np.zeros((max(0, len(codes) - self.k + 1),), np.int32)
-        return np.asarray(self.map_codes_to_nodes(jnp.asarray(codes)))
+        n = len(codes)
+        if n < self.k:
+            return np.zeros((max(0, n - self.k + 1),), np.int32)
+        # pad to a power-of-two bucket so the jitted map compiles per size
+        # class, not per sequence length
+        cap = max(64, 1 << (n - 1).bit_length())
+        codes = np.concatenate(
+            [codes, np.full(cap - n, INVALID_CODE, np.uint8)])
+        out = np.asarray(self.map_codes_to_nodes(jnp.asarray(codes)))
+        return out[:n - self.k + 1]
 
     # -- adjacency ---------------------------------------------------------
 
