@@ -160,6 +160,50 @@ class Aligner:
                 i += 1
         return runs
 
+    def _suffix_seeds(self, codes: np.ndarray, max_seeds: int = 16
+                      ) -> Tuple[List[int], int]:
+        """Seeds shorter than k (reference SuffixSeeder,
+        aligner_seeder_methods.hpp:16-120): nodes whose k-mer *suffix*
+        equals the longest possible query prefix. Node suffixes are
+        contiguous ranges of the BOSS sort order (the suffix chars are
+        the most significant comparison fields), so each probe is one
+        batched binary search."""
+        import jax.numpy as jnp
+        from ..common import packed as pk
+        from ..kmer import packing as kp
+        g = self.graph
+        K = g.k
+        B = g.alphabet.bits_per_char
+        lanes_all = g.boss.edge_lanes
+        L = lanes_all.shape[0]
+        cfg = self.config
+        min_len = max(cfg.min_seed_length or 1, 1)
+        for s in range(min(K - 1, len(codes)), min_len - 1, -1):
+            pattern = codes[:s]
+            if (pattern == 0).any():
+                continue
+            lo_np = np.zeros((L, 1), np.uint32)
+            lo = jnp.asarray(lo_np)
+            # pattern char j sits at field K-s+j (suffix of the node)
+            for j in range(s):
+                lo = pk.set_field(lo, K - s + j,
+                                  jnp.full((1,), int(pattern[j]), jnp.uint32),
+                                  B)
+            # exclusive upper bound: +1 at the least significant constrained
+            # field (carry-free: field values <= alphabet size)
+            unit = pk.set_field(jnp.zeros((L, 1), pk.LANE_DTYPE), K - s,
+                                jnp.ones((1,), jnp.uint32), B)
+            hi = lo + unit
+            lo_i = int(pk.searchsorted(lanes_all, lo, side="left")[0])
+            hi_i = int(pk.searchsorted(lanes_all, hi, side="left")[0])
+            if hi_i > lo_i:
+                rows = np.arange(lo_i, min(hi_i, lo_i + 4 * max_seeds))
+                nodes = np.asarray(g.edge_to_node(jnp.asarray(rows + 1)))
+                nodes = nodes[nodes > 0][:max_seeds]
+                if len(nodes):
+                    return [int(x) for x in nodes], s
+        return [], 0
+
     # -- path search -------------------------------------------------------
 
     def _search(self, query_codes: np.ndarray, start_node: int,
@@ -251,18 +295,30 @@ class Aligner:
         g = self.graph
         k = g.k
         cfg = self.config
-        if len(seq) < k:
-            return None
-        nodes = np.asarray(g.map_to_nodes(seq))
-        runs = self._exact_runs(nodes)
-        if not runs:
-            return None
         codes = self._tbl[np.frombuffer(seq, np.uint8)].astype(np.int32)
         codes = np.where(codes == 255, 0, codes)
-        runs.sort(key=lambda r: (r[1] - r[0]), reverse=True)
-        start, end = runs[0]
-        seed_nodes = [int(x) for x in nodes[start:end]]
-        seed_len = (end - start) + k - 1
+        if len(seq) < k:
+            runs = []          # no full window fits: suffix seeds only
+        else:
+            nodes = np.asarray(g.map_to_nodes(seq))
+            runs = self._exact_runs(nodes)
+        if runs:
+            runs.sort(key=lambda r: (r[1] - r[0]), reverse=True)
+            start, end = runs[0]
+            seed_nodes = [int(x) for x in nodes[start:end]]
+            seed_len = (end - start) + k - 1
+        else:
+            # no full-k match: fall back to suffix seeds (k' < k)
+            cand, s_len = self._suffix_seeds(codes)
+            if not cand:
+                return None
+            best = None
+            for node in cand:
+                a = self._align_from_partial_seed(seq, codes, node, s_len,
+                                                  orientation)
+                if a is not None and (best is None or a.score > best.score):
+                    best = a
+            return best
         score = cfg.match_score * seed_len
         ops = ["="] * seed_len
         path = list(seed_nodes)
@@ -301,6 +357,36 @@ class Aligner:
         return GraphAlignment(score=int(score), cigar=cig,
                               query_begin=qb, query_end=qe,
                               sequence=self._spell(path), nodes=path,
+                              orientation=orientation)
+
+    def _align_from_partial_seed(self, seq: bytes, codes: np.ndarray,
+                                 node: int, s_len: int, orientation: bool
+                                 ) -> Optional[GraphAlignment]:
+        """Alignment anchored by a suffix seed: the node's last s_len chars
+        match the query prefix; extend forward only."""
+        cfg = self.config
+        score = cfg.match_score * s_len
+        ops = ["="] * s_len
+        path = [node]
+        qe = s_len
+        fwd = codes[qe:]
+        if len(fwd):
+            ds, dpath, dchars = self._search(fwd, node, forward=True)
+            if ds > 0:
+                s2, q_end, r_end, dops = affine_semiglobal(
+                    fwd, dchars, self.sub, cfg.gap_opening_penalty,
+                    cfg.gap_extension_penalty)
+                score += s2
+                path += dpath[:r_end]
+                ops += dops
+                qe += q_end
+        cig = _compress_cigar(ops)
+        if qe < len(seq):
+            cig = cig + f"{len(seq) - qe}S"
+        spelled = self._spell(path)[-(s_len + len(path) - 1):]
+        return GraphAlignment(score=int(score), cigar=cig,
+                              query_begin=0, query_end=qe,
+                              sequence=spelled, nodes=path,
                               orientation=orientation)
 
     def _spell(self, path: List[int]) -> bytes:

@@ -104,3 +104,16 @@ def test_insertion_read(ref_graph):
     # expected: 100 matches + gap open (or 99+X..X depending on context)
     assert aln.score >= 2 * 100 - 5 - 4  # allow suboptimal tie
     assert aln.sequence == ref[100:200] or len(aln.sequence) >= 90
+
+
+def test_suffix_seed_fallback(ref_graph):
+    """A read shorter than k (or with no full-k match) still aligns via
+    suffix seeds (reference SuffixSeeder)."""
+    g, ref = ref_graph
+    # take a 10bp fragment (k=15): no full k-mer can match
+    frag = ref[200:210]
+    res = Aligner(g).align(frag)
+    assert res, "suffix seeding should produce an alignment"
+    aln = res[0]
+    assert aln.score >= 2 * len(frag) - 6  # mostly matching
+    assert aln.query_begin == 0
