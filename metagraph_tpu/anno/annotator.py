@@ -127,6 +127,9 @@ class Annotation:
             elif "rd_anchor_prefix" in keys:
                 from .row_diff import RowDiff
                 mat = RowDiff.from_npz_dict(d)
+            elif "ird_rows" in keys:
+                from .row_diff import IntRowDiff
+                mat = IntRowDiff.from_npz_dict(d)
             else:
                 mat = RowSparse.from_npz_dict(d)
         return Annotation(matrix=mat, encoder=LabelEncoder(labels))

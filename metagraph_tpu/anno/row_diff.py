@@ -129,6 +129,125 @@ class RowDiff:
                        max_length=int(d["rd_max_length"]))
 
 
+@dataclass
+class IntRowDiff:
+    """Integer (count) annotations delta-compressed along graph paths
+    (reference IntRowDiff, int_matrix/row_diff/int_row_diff.hpp:48):
+    each non-anchor row stores val - val(succ) per label; walks sum the
+    deltas, telescoping to the true value at the anchor."""
+    rows: np.ndarray             # (nnz,) int64 sorted
+    cols: np.ndarray             # (nnz,) int32
+    vals: np.ndarray             # (nnz,) int64 (deltas; may be negative)
+    anchor: np.ndarray
+    succ: np.ndarray
+    max_length: int
+    num_rows: int
+    num_cols: int
+
+    @property
+    def nnz(self) -> int:
+        return len(self.rows)
+
+    def _dense_rows(self, idx: np.ndarray) -> np.ndarray:
+        out = np.zeros((len(idx), self.num_cols), np.int64)
+        lo = np.searchsorted(self.rows, idx, side="left")
+        hi = np.searchsorted(self.rows, idx, side="right")
+        for i, (l, h) in enumerate(zip(lo, hi)):
+            out[i, self.cols[l:h]] = self.vals[l:h]
+        return out
+
+    def get_row_values_dense(self, rows: np.ndarray) -> np.ndarray:
+        """(Q, num_cols) int64 values via batched anchor walks."""
+        rows = np.asarray(rows, np.int64)
+        Q = len(rows)
+        acc = np.zeros((Q, self.num_cols), np.int64)
+        cur = rows.copy()
+        done = np.zeros(Q, bool)
+        for _ in range(self.max_length + 1):
+            active = ~done
+            if not active.any():
+                break
+            q = np.nonzero(active)[0]
+            acc[q] += self._dense_rows(cur[q])
+            hit = self.anchor[cur[q]]
+            done[q[hit]] = True
+            move = q[~hit]
+            nxt = self.succ[cur[move]]
+            bad = nxt < 0
+            done[move[bad]] = True
+            cur[move[~bad]] = nxt[~bad]
+        return acc
+
+    def presence(self, rows) -> np.ndarray:
+        return self.get_row_values_dense(np.asarray(rows)) > 0
+
+    def sum_rows(self, rows, weights) -> np.ndarray:
+        dense = self.presence(rows)
+        return (dense * np.asarray(weights)[:, None]).sum(axis=0)
+
+    def sum_row_values(self, rows, weights) -> np.ndarray:
+        dense = self.get_row_values_dense(np.asarray(rows))
+        return (dense * np.asarray(weights)[:, None]).sum(axis=0)
+
+    def to_npz_dict(self) -> dict:
+        return {"ird_rows": self.rows, "ird_cols": self.cols,
+                "ird_vals": self.vals,
+                "ird_anchor": np.packbits(self.anchor),
+                "ird_anchor_len": np.array(len(self.anchor)),
+                "ird_succ": self.succ,
+                "ird_max_length": np.array(self.max_length),
+                "ird_shape": np.array([self.num_rows, self.num_cols])}
+
+    @staticmethod
+    def from_npz_dict(d) -> "IntRowDiff":
+        n = int(d["ird_anchor_len"])
+        shape = d["ird_shape"]
+        return IntRowDiff(
+            rows=np.asarray(d["ird_rows"]), cols=np.asarray(d["ird_cols"]),
+            vals=np.asarray(d["ird_vals"]),
+            anchor=np.unpackbits(d["ird_anchor"])[:n].astype(bool),
+            succ=np.asarray(d["ird_succ"]),
+            max_length=int(d["ird_max_length"]),
+            num_rows=int(shape[0]), num_cols=int(shape[1]))
+
+
+def build_int_row_diff(matrix: RowSparse, graph,
+                       max_length: int = DEFAULT_MAX_LENGTH) -> IntRowDiff:
+    """Delta-compress integer annotation values along successor paths."""
+    assert matrix.values is not None, "needs a count annotation"
+    succ, anchor = assign_successors_and_anchors(graph, max_length)
+    rows = np.asarray(matrix.rows).astype(np.int64)
+    cols = np.asarray(matrix.cols).astype(np.int64)
+    vals = np.asarray(matrix.values).astype(np.int64)
+    C = matrix.num_cols
+    # non-anchor rows subtract their successor's values
+    non_anchor = ~anchor
+    v_ids = np.nonzero(non_anchor)[0]
+    sv = succ[v_ids]
+    ok = sv >= 0
+    v_ids, sv = v_ids[ok], sv[ok]
+    lo = np.searchsorted(rows, sv, side="left")
+    hi = np.searchsorted(rows, sv, side="right")
+    sizes = hi - lo
+    vv = np.repeat(v_ids, sizes)
+    flat = np.concatenate([np.arange(l, h) for l, h in zip(lo, hi)])         if len(lo) else np.zeros(0, np.int64)
+    all_keys = np.concatenate([rows * C + cols, vv * C + cols[flat]])
+    all_vals = np.concatenate([vals, -vals[flat]])
+    order = np.argsort(all_keys, kind="stable")
+    k_s, v_s = all_keys[order], all_vals[order]
+    first = np.concatenate([[True], k_s[1:] != k_s[:-1]])
+    group = np.cumsum(first) - 1
+    sums = np.zeros(int(group[-1]) + 1 if len(group) else 0, np.int64)
+    np.add.at(sums, group, v_s)
+    keys_u = k_s[np.nonzero(first)[0]]
+    keep = sums != 0
+    keys_u, sums = keys_u[keep], sums[keep]
+    return IntRowDiff(rows=(keys_u // C), cols=(keys_u % C).astype(np.int32),
+                      vals=sums, anchor=anchor, succ=succ,
+                      max_length=max_length,
+                      num_rows=matrix.num_rows, num_cols=C)
+
+
 # ---------------------------------------------------------------------------
 # construction
 # ---------------------------------------------------------------------------

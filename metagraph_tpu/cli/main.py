@@ -582,6 +582,12 @@ def cmd_transform_anno(args):
         if not isinstance(mat, RowSparse):
             mat = mat.to_row_sparse()
         out_mat = build_row_diff(mat, g, max_length=args.max_path_length)
+    elif target == "int_row_diff":
+        from ..anno.row_diff import build_int_row_diff
+        assert args.infile_base, "int_row_diff requires the graph (-i)"
+        g = _load_graph(args.infile_base)
+        out_mat = build_int_row_diff(mat, g,
+                                     max_length=args.max_path_length)
     elif target in ("unique_row", "rbfish"):
         from ..anno.unique_row import UniqueRow
         if not isinstance(mat, RowSparse):
@@ -769,7 +775,7 @@ def build_parser() -> argparse.ArgumentParser:
                     help="graph (required for row_diff)")
     sp.add_argument("--anno-type", default="column",
                     choices=["column", "row_sparse", "flat", "brwt",
-                             "row_diff", "unique_row", "rbfish"])
+                             "row_diff", "int_row_diff", "unique_row", "rbfish"])
     sp.add_argument("--max-path-length", type=int, default=64)
     sp.add_argument("--relax-arity", type=int, default=2)
     sp.add_argument("--num-rows-subsampled", type=int, default=1000000)

@@ -160,3 +160,27 @@ def test_unique_row_matches_source(rng):
     rs = ur.to_row_sparse()
     np.testing.assert_array_equal(np.asarray(rs.rows), np.asarray(m.rows))
     np.testing.assert_array_equal(np.asarray(rs.cols), np.asarray(m.cols))
+
+
+def test_int_row_diff_matches_source(rng):
+    from metagraph_tpu.anno.row_diff import IntRowDiff, build_int_row_diff
+    seqs = [random_dna(rng, 200) for _ in range(3)]
+    g = DbgSuccinct.from_boss(build_boss(seqs, 7), DNA, "basic")
+    ann = annotate_sequences(
+        g, [(s, [f"l{i}"]) for i, s in enumerate(seqs)],
+        with_counts=True).finalize()
+    m = ann.matrix
+    ird = build_int_row_diff(m, g, max_length=16)
+    want = np.zeros((m.num_rows, m.num_cols), np.int64)
+    want[np.asarray(m.rows), np.asarray(m.cols)] = np.asarray(m.values)
+    got = ird.get_row_values_dense(np.arange(m.num_rows))
+    np.testing.assert_array_equal(got, want)
+    # roundtrip
+    ird2 = IntRowDiff.from_npz_dict(ird.to_npz_dict())
+    np.testing.assert_array_equal(
+        ird2.get_row_values_dense(np.arange(m.num_rows)), want)
+    # query-surface compatibility
+    rows = rng.integers(0, m.num_rows, size=12)
+    w = np.ones(12, np.int32)
+    np.testing.assert_array_equal(ird.sum_row_values(rows, w),
+                                  want[rows].sum(axis=0))
