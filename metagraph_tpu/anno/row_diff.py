@@ -57,6 +57,14 @@ class RowDiff:
     def num_anchors(self) -> int:
         return int(self.anchor.sum())
 
+    @property
+    def _max_row_nnz(self) -> int:
+        if not hasattr(self, "_max_row_nnz_cache"):
+            r = np.asarray(self.diffs.rows)
+            object.__setattr__(self, "_max_row_nnz_cache",
+                               int(np.bincount(r).max()) if len(r) else 1)
+        return self._max_row_nnz_cache
+
     # -- queries -----------------------------------------------------------
 
     def get_rows_dense(self, rows: np.ndarray) -> np.ndarray:
@@ -67,22 +75,25 @@ class RowDiff:
         acc = np.zeros((Q, self.num_cols), bool)
         cur = rows.copy()
         done = np.zeros(Q, bool)
+        # fixed-shape masked walk: every step queries all Q rows (done rows
+        # query a sentinel) so shapes stay constant and kernels compile once
+        sentinel = self.num_rows  # out-of-range row: empty delta
+        # fixed expand capacity: keeps one compiled shape across ALL steps
+        cap = max(1, Q * max(self._max_row_nnz, 1))
+        cap = 1 << (cap - 1).bit_length()
         for _ in range(self.max_length + 1):
-            active = ~done
-            if not active.any():
+            if done.all():
                 break
-            q = np.nonzero(active)[0]
-            delta = np.asarray(self.diffs.presence(jnp.asarray(
-                cur[q].astype(np.int32))))
-            acc[q] ^= delta
-            hit_anchor = self.anchor[cur[q]]
-            done[q[hit_anchor]] = True
-            move = q[~hit_anchor]
-            nxt = self.succ[cur[move]]
-            # defensive: rows without successor behave as anchors
-            bad = nxt < 0
-            done[move[bad]] = True
-            cur[move[~bad]] = nxt[~bad]
+            probe = np.where(done, sentinel, cur).astype(np.int32)
+            delta = np.asarray(self.diffs.presence(jnp.asarray(probe),
+                                                   capacity=cap))
+            acc ^= delta & ~done[:, None]
+            hit = self.anchor[np.clip(cur, 0, self.num_rows - 1)] & ~done
+            done |= hit
+            nxt = self.succ[np.clip(cur, 0, self.num_rows - 1)]
+            bad = (nxt < 0) & ~done
+            done |= bad
+            cur = np.where(done, cur, nxt)
         return acc
 
     def presence(self, rows) -> np.ndarray:
@@ -164,18 +175,16 @@ class IntRowDiff:
         cur = rows.copy()
         done = np.zeros(Q, bool)
         for _ in range(self.max_length + 1):
-            active = ~done
-            if not active.any():
+            if done.all():
                 break
-            q = np.nonzero(active)[0]
-            acc[q] += self._dense_rows(cur[q])
-            hit = self.anchor[cur[q]]
-            done[q[hit]] = True
-            move = q[~hit]
-            nxt = self.succ[cur[move]]
-            bad = nxt < 0
-            done[move[bad]] = True
-            cur[move[~bad]] = nxt[~bad]
+            active = ~done
+            acc[active] += self._dense_rows(cur[active])
+            hit = self.anchor[np.clip(cur, 0, self.num_rows - 1)] & active
+            done |= hit
+            nxt = self.succ[np.clip(cur, 0, self.num_rows - 1)]
+            bad = (nxt < 0) & ~done
+            done |= bad
+            cur = np.where(done, cur, nxt)
         return acc
 
     def presence(self, rows) -> np.ndarray:
