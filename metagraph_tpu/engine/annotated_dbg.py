@@ -286,8 +286,12 @@ class BatchQuery:
 
     def get_top_labels_batch(self, seqs: Sequence[bytes],
                              num_top_labels: int = 2 ** 62,
-                             presence_ratio: float = 0.0
+                             presence_ratio: float = 0.0,
+                             with_kmer_counts: bool = False
                              ) -> List[List[Tuple[str, int]]]:
+        if with_kmer_counts:
+            return self._top_labels_batch_values(seqs, num_top_labels,
+                                                 presence_ratio)
         counts, wpr, n_present = self.label_count_matrix(seqs)
         out = []
         enc = self.adbg.annotation.encoder
@@ -305,6 +309,16 @@ class BatchQuery:
                 pairs.sort(key=lambda p: (-p[1], p[0]))
                 pairs = pairs[:num_top_labels]
             out.append([(enc.decode(c), n) for c, n in pairs])
+        return out
+
+    def _top_labels_batch_values(self, seqs, num_top_labels,
+                                 presence_ratio):
+        """--query-counts batch path: falls back to per-read value sums
+        (value matrices vary by representation)."""
+        out = []
+        for s in seqs:
+            out.append(self.adbg.get_top_labels(
+                s, num_top_labels, presence_ratio, with_kmer_counts=True))
         return out
 
 

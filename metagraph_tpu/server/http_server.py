@@ -29,19 +29,20 @@ class QueryService:
         discovery = float(payload.get("discovery_fraction", 0.7))
         num_labels = int(payload.get("num_labels", 2 ** 32))
         with_counts = bool(payload.get("abundance_sum", False))
+        records = list(_parse_fasta_string(fasta))
+        from ..engine.annotated_dbg import BatchQuery
+        tops_all = BatchQuery(self.adbg).get_top_labels_batch(
+            [seq.encode() for _, seq in records], num_labels, discovery,
+            with_kmer_counts=with_counts)
         results = []
-        for idx, (name, seq) in enumerate(_parse_fasta_string(fasta)):
-            tops = self.adbg.get_top_labels(seq.encode(), num_labels,
-                                            discovery,
-                                            with_kmer_counts=with_counts)
-            entry = {
+        for (name, _seq), tops in zip(records, tops_all):
+            results.append({
                 "seq_description": name,
                 "results": [
                     {"sample": label, "kmer_count": int(count)}
                     for label, count in tops
                 ],
-            }
-            results.append(entry)
+            })
         return results
 
     def align(self, payload: dict) -> list:
