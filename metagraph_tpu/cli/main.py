@@ -101,7 +101,12 @@ def cmd_build(args):
     log(f"Read {len(seqs)} sequences "
         f"({sum(map(len, seqs)) / 1e6:.1f} Mbp)")
     t0 = time.time()
-    if args.suffix_len > 0 or args.num_shards > 1:
+    if args.disk_swap:
+        # bounded-HBM streaming collection (the --disk-swap role)
+        from ..parallel.streaming import build_boss_streaming
+        boss = build_boss_streaming(seqs, args.k, alphabet=DNA, mode=mode,
+                                    bits_per_count=bits_per_count)
+    elif args.suffix_len > 0 or args.num_shards > 1:
         boss = build_boss_sharded(
             seqs, args.k, alphabet=DNA, mode=mode,
             bits_per_count=bits_per_count,

@@ -269,3 +269,12 @@ def test_build_dna5(workdir, capsys, tmp_path):
     for i in range(len(s) - 4):
         gold.add(s[i:i + 5])
     assert nodes == len(gold)
+
+
+def test_disk_swap_build(workdir, capsys, tmp_path):
+    tmp, fa, seqs = workdir
+    main(["build", "-k", "11", "--disk-swap", str(tmp_path), "-o",
+          str(tmp / "sw"), fa])
+    main(["build", "-k", "11", "-o", str(tmp / "pl"), fa])
+    main(["compare", str(tmp / "sw"), str(tmp / "pl")])
+    assert "Graphs are identical" in capsys.readouterr().out

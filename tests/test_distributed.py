@@ -57,3 +57,29 @@ def test_distributed_query(rng):
                           jnp.asarray(q), jnp.asarray(w)))
     want = (dense[q] * w[:, None]).sum(axis=0)
     np.testing.assert_array_equal(got, want)
+
+
+def test_streaming_build_equals_plain(rng):
+    """Host-spill collection (bounded device window) must produce the
+    same graph as the in-HBM build."""
+    from metagraph_tpu.graph.boss_construct import build_boss
+    from metagraph_tpu.parallel.streaming import build_boss_streaming
+    seqs = [random_dna(rng, 700) for _ in range(4)]
+    k = 11
+    plain = build_boss(seqs, k, bits_per_count=8)
+    stream = build_boss_streaming(seqs, k, bits_per_count=8,
+                                  chunk_codes=512)  # force many chunks
+    assert stream.num_edges == plain.num_edges
+    np.testing.assert_array_equal(np.asarray(stream.W), np.asarray(plain.W))
+    np.testing.assert_array_equal(np.asarray(stream.weights),
+                                  np.asarray(plain.weights))
+
+
+def test_streaming_canonical(rng):
+    from metagraph_tpu.graph.boss_construct import build_boss
+    from metagraph_tpu.parallel.streaming import build_boss_streaming
+    seqs = [random_dna(rng, 400) for _ in range(2)]
+    plain = build_boss(seqs, 9, mode="canonical")
+    stream = build_boss_streaming(seqs, 9, mode="canonical",
+                                  chunk_codes=256)
+    np.testing.assert_array_equal(np.asarray(stream.W), np.asarray(plain.W))
