@@ -98,6 +98,116 @@ def build_distributed_count_step(mesh: Mesh, K: int, B: int = 4,
     return run
 
 
+def build_distributed_collect_step(mesh: Mesh, K: int, B: int = 4,
+                                   codes_per_device: int = 1 << 14,
+                                   canonical: bool = False,
+                                   complement=(0, 4, 3, 2, 1),
+                                   axis: str = "x"):
+    """Full distributed k-mer collection: returns per-shard sorted unique
+    k-mers + counts, sharded over the mesh axis by colex bucket so that
+    shard outputs concatenate into the globally sorted set.
+
+    This is the multi-chip build front half (SURVEY §2.9 P4): dp extract
+    -> all_to_all bucket routing -> per-shard sort-unique. The back half
+    (dummy generation + emit) runs on the concatenated set.
+    """
+    n_dev = mesh.devices.size
+    L = packing.lanes_for(K, B)
+    cap = codes_per_device - K + 1
+    per_dest = cap
+
+    def step(codes):
+        lanes, count = extract_packed_kmers(codes, K, B)
+        if canonical:
+            rc = packing.reverse_complement(lanes, K, B, complement)
+            valid = packed.valid_mask(cap, count)
+            take_rc = packed.lt(rc, lanes) & valid
+            lanes = jnp.where(take_rc[None, :], rc, lanes)
+        owner = _owner_of(lanes, K, B, n_dev)
+        valid = packed.valid_mask(cap, count)
+        send = jnp.zeros((n_dev, L, per_dest), packed.LANE_DTYPE) \
+            + packed.PAD_LANE
+        for d in range(n_dev):
+            m = valid & (owner == d)
+            comp, _, _ = packed.compact(lanes, m, per_dest)
+            send = send.at[d].set(comp)
+        recv = jax.lax.all_to_all(send, axis, 0, 0, tiled=False)
+        mine = recv.transpose(1, 0, 2).reshape(L, n_dev * per_dest)
+        counts = jnp.ones((mine.shape[1],), jnp.int32)
+        # count PADs as invalid
+        not_pad = ~jnp.all(mine == packed.PAD_LANE, axis=0)
+        n_mine = jnp.sum(not_pad.astype(jnp.int32))
+        mine = jnp.where(not_pad[None, :], mine,
+                         packed.full_pad(mine.shape[1], L))
+        mine_s, (counts_s,) = packed.sort(mine, counts)
+        first = packed.neighbor_ne(mine_s)
+        umask = first & packed.valid_mask(mine.shape[1], n_mine)
+        seg = jnp.cumsum(umask.astype(jnp.int32)) - 1
+        ucounts = jax.ops.segment_sum(
+            jnp.where(packed.valid_mask(mine.shape[1], n_mine), counts_s, 0),
+            seg, num_segments=mine.shape[1])
+        ulanes, ucount, _ = packed.compact(mine_s, umask, mine.shape[1])
+        return ulanes, ucounts.astype(jnp.int32), ucount[None]
+
+    sharded = shard_map(
+        step, mesh=mesh,
+        in_specs=P(axis),
+        out_specs=(P(None, axis), P(axis), P(axis)),
+        )
+    return jax.jit(sharded)
+
+
+def build_boss_distributed(seqs, k: int, mesh: Mesh,
+                           alphabet=None, mode: str = "basic",
+                           bits_per_count: int = 0):
+    """End-to-end multi-device build: distributed collection over the mesh
+    (extract + all_to_all + per-shard sort-unique), then host-side shard
+    concatenation in bucket order and the standard finish stage.
+
+    Shards are contiguous colex ranges (see _owner_of), so concatenating
+    shard outputs in device order yields the globally sorted set."""
+    from ..kmer.alphabets import DNA, INVALID_CODE
+    from ..graph.boss_construct import _bucket, build_boss_from_kmers
+    alphabet = alphabet or DNA
+    B = alphabet.bits_per_char
+    n_dev = mesh.devices.size
+    canonical = mode in ("canonical", "primary")
+    tbl = alphabet.encode_table()
+    # pack input into equal per-device code slabs
+    total = sum(len(s) + 1 for s in seqs)
+    per_dev = _bucket(-(-total // n_dev) + 64, lo=1 << 12)
+    codes = np.full((n_dev, per_dev), INVALID_CODE, np.uint8)
+    d, off = 0, 0
+    for s in seqs:
+        cs = tbl[np.frombuffer(bytes(s), np.uint8)]
+        if off + len(cs) + 1 > per_dev:
+            d += 1
+            off = 0
+            assert d < n_dev, "input exceeds per-device slabs"
+        codes[d, off:off + len(cs)] = cs
+        off += len(cs) + 1
+    step = build_distributed_collect_step(
+        mesh, k, B, codes_per_device=per_dev, canonical=canonical,
+        complement=alphabet.complement)
+    ulanes, ucounts, ucnts = step(jnp.asarray(codes.reshape(-1)))
+    # each shard's output block is n_dev*cap wide; valid entries form the
+    # prefix; blocks concatenate in colex-bucket (= device) order
+    cap = per_dev - k + 1
+    shard_w = n_dev * cap
+    n_per = np.asarray(ucnts).reshape(-1)
+    parts, cparts = [], []
+    for d in range(n_dev):
+        n = int(n_per[d])
+        parts.append(ulanes[:, d * shard_w:d * shard_w + n])
+        cparts.append(ucounts[d * shard_w:d * shard_w + n])
+    real = jnp.concatenate(parts, axis=1)
+    counts = jnp.concatenate(cparts)
+    return build_boss_from_kmers(
+        real, counts, int(real.shape[1]), k, alphabet,
+        mode="canonical" if mode == "canonical" else "basic",
+        bits_per_count=bits_per_count)
+
+
 def build_distributed_query_step(mesh: Mesh, num_rows: int, num_cols: int,
                                  nnz_cap: int, query_cap: int,
                                  axis: str = "x"):

@@ -83,3 +83,28 @@ def test_streaming_canonical(rng):
     stream = build_boss_streaming(seqs, 9, mode="canonical",
                                   chunk_codes=256)
     np.testing.assert_array_equal(np.asarray(stream.W), np.asarray(plain.W))
+
+
+def test_distributed_full_build_equals_plain(rng):
+    """The all_to_all distributed build must produce the identical graph."""
+    from metagraph_tpu.graph.boss_construct import build_boss
+    from metagraph_tpu.parallel.distributed import build_boss_distributed
+    mesh = make_mesh(8)
+    seqs = [random_dna(rng, 600) for _ in range(4)]
+    k = 9
+    plain = build_boss(seqs, k)
+    dist = build_boss_distributed(seqs, k, mesh)
+    assert dist.num_edges == plain.num_edges
+    np.testing.assert_array_equal(np.asarray(dist.W), np.asarray(plain.W))
+    np.testing.assert_array_equal(np.asarray(dist.last),
+                                  np.asarray(plain.last))
+
+
+def test_distributed_build_canonical(rng):
+    from metagraph_tpu.graph.boss_construct import build_boss
+    from metagraph_tpu.parallel.distributed import build_boss_distributed
+    mesh = make_mesh(8)
+    seqs = [random_dna(rng, 300) for _ in range(2)]
+    plain = build_boss(seqs, 7, mode="canonical")
+    dist = build_boss_distributed(seqs, 7, mesh, mode="canonical")
+    np.testing.assert_array_equal(np.asarray(dist.W), np.asarray(plain.W))
