@@ -292,10 +292,21 @@ def cmd_query(args):
     out = sys.stdout
     simple = not (args.print_signature or args.query_coords
                   or args.query_counts)
+    aligner = None
+    if args.align:
+        from ..align.aligner import Aligner
+        aligner = Aligner(g)
     bq = BatchQuery(adbg) if simple else None
     idx = 0
     for batch in iter_batches(args.fnames,
                               batch_bytes=args.batch_size):
+        if aligner is not None:
+            # reference query --align: replace each read with its best
+            # aligned path spelling before querying (query.cpp:993-999)
+            for rec in batch:
+                res = aligner.align(rec.seq)
+                if res:
+                    rec.seq = res[0].sequence
         if simple and args.count_labels:
             results = bq.get_top_labels_batch(
                 [r.seq for r in batch], args.num_top_labels,
@@ -492,6 +503,15 @@ def cmd_transform(args):
     elif args.to_gfa:
         _write_gfa(g, args.outfile_base + ".gfa")
         log(f"Wrote GFA to {args.outfile_base}.gfa")
+    elif args.to_adj_list:
+        import jax.numpy as jnp
+        nodes = np.arange(1, g.num_nodes() + 1, dtype=np.int32)
+        succ = np.asarray(g.successors(jnp.asarray(nodes)))
+        with open(args.outfile_base + ".adjlist", "w") as fh:
+            for i, row in zip(nodes, succ):
+                tgts = [str(t) for t in row if t > 0]
+                fh.write(f"{i}\t" + " ".join(tgts) + "\n")
+        log(f"Wrote adjacency list to {args.outfile_base}.adjlist")
 
 
 def _write_gfa(g, path):
@@ -699,6 +719,7 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--discovery-fraction", type=float, default=0.7)
     sp.add_argument("--labels-delimiter", dest="anno_labels_delimiter",
                     default=":")
+    sp.add_argument("--align", action="store_true")
     sp.add_argument("--fast", action="store_true")  # batch mode (default path)
     sp.add_argument("--batch-size", type=int, default=100 << 20)
     sp.add_argument("fnames", nargs="+")
@@ -757,6 +778,7 @@ def build_parser() -> argparse.ArgumentParser:
     common_out(sp)
     sp.add_argument("--to-fasta", action="store_true")
     sp.add_argument("--to-gfa", action="store_true")
+    sp.add_argument("--to-adj-list", action="store_true")
     sp.set_defaults(func=cmd_transform)
 
     sp = sub.add_parser("concatenate")

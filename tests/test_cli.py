@@ -278,3 +278,41 @@ def test_disk_swap_build(workdir, capsys, tmp_path):
     main(["build", "-k", "11", "-o", str(tmp / "pl"), fa])
     main(["compare", str(tmp / "sw"), str(tmp / "pl")])
     assert "Graphs are identical" in capsys.readouterr().out
+
+
+def test_query_align_mode(workdir, capsys, rng):
+    tmp, fa, seqs = workdir
+    g = str(tmp / "qa")
+    main(["build", "-k", "11", "-o", g, fa])
+    main(["annotate", "-i", g, "-o", str(tmp / "qaa"), "--anno-header", fa])
+    # read with one mismatch: plain query at 1.0 fails, --align recovers
+    read = bytearray(seqs[1][20:90])
+    sub = {65: 67, 67: 65, 71: 84, 84: 71}
+    read[30] = sub[read[30]]
+    qfa = str(tmp / "qa.fa")
+    write_fasta(qfa, [bytes(read)], names=["m"])
+    anno = str(tmp / "qaa.column.annodbg.npz")
+    main(["query", "-i", g, "-a", anno, "--discovery-fraction", "1.0", qfa])
+    plain_out = capsys.readouterr().out.rstrip("\n")
+    assert plain_out.split("\t")[2:] == [""]  # no labels at full threshold
+    main(["query", "-i", g, "-a", anno, "--align",
+          "--discovery-fraction", "1.0", qfa])
+    align_out = capsys.readouterr().out.strip()
+    assert align_out.split("\t")[2] == "seq1"
+
+
+def test_transform_adj_list(workdir, capsys, tmp_path):
+    tmp, fa, seqs = workdir
+    g = str(tmp / "adj")
+    main(["build", "-k", "11", "-o", g, fa])
+    main(["transform", "-i", g, "-o", str(tmp / "al"), "--to-adj-list"])
+    lines = open(str(tmp / "al.adjlist")).read().splitlines()
+    assert len(lines) > 100
+    # spot-check: listed successors are consistent with the graph
+    import jax.numpy as jnp
+    from metagraph_tpu.graph import io as graph_io
+    gg = graph_io.load_graph(g)
+    node, _, targets = lines[5].partition("\t")
+    succ = np.asarray(gg.successors(jnp.asarray(np.array([int(node)]))))[0]
+    assert sorted(int(t) for t in targets.split() if t) == \
+        sorted(int(t) for t in succ if t > 0)

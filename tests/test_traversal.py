@@ -131,3 +131,24 @@ def test_contigs_cover_all_nodes(rng):
     for c in contigs:
         nodes = g.map_to_nodes(c)
         assert (nodes > 0).all()
+
+
+def test_pick_kmer_threshold_histogram():
+    """Gamma-Poisson threshold on a synthetic error+signal histogram
+    (errors ~ low coverage, signal ~ cov 30)."""
+    from metagraph_tpu.graph.cleaning import pick_kmer_threshold
+    hist = np.zeros(64, np.float64)
+    hist[1] = 100000
+    hist[2] = 20000
+    hist[3] = 5000
+    hist[4] = 1000
+    for c in range(20, 45):
+        hist[c] = 5000 * np.exp(-((c - 30) ** 2) / 30)
+    cut = pick_kmer_threshold(hist.astype(np.uint64))
+    # errors vanish by coverage ~20 (the valley has zero observed counts,
+    # so the FDR ratio first becomes finite-and-small at the signal mode)
+    assert 3 <= cut <= 21
+    # degenerate histogram -> estimation fails like the reference (-1)
+    flat = np.zeros(10, np.uint64)
+    flat[1] = 5
+    assert pick_kmer_threshold(flat) in (-1, 1, 2)
