@@ -291,24 +291,35 @@ def isin_merge(keys: jax.Array, queries: jax.Array) -> jax.Array:
 def compact(x: jax.Array, keep: jax.Array, capacity: int,
             *extras: jax.Array, extra_fill: int = 0
             ) -> Tuple[jax.Array, jax.Array, Tuple[jax.Array, ...]]:
-    """Scatter entries where ``keep`` into a PAD-filled buffer of ``capacity``.
+    """Move entries where ``keep`` to the front (original order preserved),
+    PAD-fill the rest, and clip to ``capacity``.
 
     Returns (lanes (L, capacity), count, extras...). Entries beyond capacity
-    are dropped (callers must size capacity; counts let them detect overflow).
-    This is the jit-safe replacement for dynamic-size vector appends.
+    are dropped (callers must size capacity; the TRUE count is returned so
+    they can detect overflow). Implemented as a stable one-key sort on
+    ``not keep`` — on TPU a sort is several times cheaper than the
+    equivalent scatter, and this runs in every pipeline stage.
     """
-    L = x.shape[0]
-    idx = jnp.cumsum(keep.astype(jnp.int32)) - 1
-    idx = jnp.where(keep, idx, capacity)  # out-of-range -> dropped by scatter
-    out = full_pad(capacity, L)
-    out = out.at[:, idx].set(x, mode="drop")
+    L, n = x.shape
     count = jnp.sum(keep.astype(jnp.int32))
+    keynot = (~keep).astype(jnp.uint8)
+    ops = (keynot,) + tuple(x[j] for j in range(L)) + tuple(extras)
+    res = jax.lax.sort(ops, num_keys=1, is_stable=True)
+    m = min(capacity, n)
+    pos_ok = valid_mask(m, count)
+    out_lanes = jnp.stack([
+        jnp.where(pos_ok, res[1 + j][:m], PAD_LANE) for j in range(L)])
+    if capacity > n:
+        out_lanes = pad_to(out_lanes, capacity)
     outs = []
-    for e in extras:
-        eo = jnp.full((capacity,), extra_fill, e.dtype)
-        eo = eo.at[idx].set(e, mode="drop")
+    for i, e in enumerate(extras):
+        eo = jnp.where(pos_ok, res[1 + L + i][:m],
+                       jnp.asarray(extra_fill, e.dtype))
+        if capacity > n:
+            eo = jnp.concatenate(
+                [eo, jnp.full((capacity - n,), extra_fill, e.dtype)])
         outs.append(eo)
-    return out, count, tuple(outs)
+    return out_lanes, count, tuple(outs)
 
 
 def pad_to(x: jax.Array, capacity: int) -> jax.Array:
