@@ -278,10 +278,13 @@ def isin_merge(keys: jax.Array, queries: jax.Array) -> jax.Array:
     seg = jnp.cumsum(run_first.astype(jnp.int32)) - 1
     has_key = jax.ops.segment_max((1 - is_q_s), seg, num_segments=n + q)
     present_s = has_key[seg] > 0
-    out = jnp.zeros((q,), bool)
-    out = out.at[jnp.where(is_q_s == 1, orig_s, q)].set(
-        present_s, mode="drop")
-    return out
+    # route answers back to query order with a sort (keys first, then
+    # queries by original index) instead of a scatter
+    back = jax.lax.sort(
+        ((1 - is_q_s).astype(jnp.uint8), orig_s,
+         present_s.astype(jnp.uint8)),
+        num_keys=2, is_stable=True)
+    return back[2][:q].astype(bool)
 
 
 # ---------------------------------------------------------------------------

@@ -82,7 +82,11 @@ def _collect_stage(codes, K: int, B: int, suffix, canonical: bool, complement):
 
 @jax.jit
 def _sort_unique_stage(lanes, counts, count):
-    """Sort, dedupe, and aggregate counts (saturating add done at emit)."""
+    """Sort, dedupe, and aggregate counts (saturating add done at emit).
+
+    Count aggregation is scatter-free: per-group sums are differences of
+    the exclusive running sum taken at consecutive group-first positions
+    (which compaction makes adjacent)."""
     cap = lanes.shape[1]
     valid = packed.valid_mask(cap, count)
     counts = jnp.where(valid, counts, 0)
@@ -90,9 +94,16 @@ def _sort_unique_stage(lanes, counts, count):
     first = packed.neighbor_ne(lanes_s)
     valid_s = packed.valid_mask(cap, count)  # PADs sorted to the back
     umask = first & valid_s
-    seg = jnp.cumsum(umask.astype(jnp.int32)) - 1
-    ucounts = jax.ops.segment_sum(counts_s, seg, num_segments=cap)
-    ulanes, ucount, _ = packed.compact(lanes_s, umask, cap)
+    excl = jnp.concatenate([jnp.zeros((1,), jnp.int64),
+                            jnp.cumsum(counts_s.astype(jnp.int64))[:-1]])
+    total = jnp.sum(counts_s.astype(jnp.int64))
+    ulanes, ucount, (b,) = packed.compact(lanes_s, umask, cap,
+                                          excl.astype(jnp.int64))
+    nxt = jnp.concatenate([b[1:], total[None]])
+    pos_ok = packed.valid_mask(cap, ucount)
+    nxt = jnp.where(jnp.concatenate([pos_ok[1:], jnp.zeros((1,), bool)]),
+                    nxt, total)
+    ucounts = jnp.where(pos_ok, nxt - b, 0)
     return ulanes, ucounts.astype(jnp.int32), ucount
 
 
@@ -334,19 +345,23 @@ def _emit_body(merged, counts, n_total, K, B, alph_size, max_count):
     klabels = packing.label(kept, B)
     ktopc = packing.top_char(kept, K, B)
 
-    # minus flags: not the first occurrence of the (target node, label) key
+    # minus flags: not the first occurrence of the (target node, label) key;
+    # computed with a sort + sort-back (scatters are slow on TPU)
     tkeys = packing.target_key(kept, B)
     idx = jnp.arange(cap, dtype=jnp.int32)
     tk_s, (idx_s,) = packed.sort(tkeys, idx)
     first_s = packed.neighbor_ne(tk_s)
-    minus = jnp.zeros((cap,), bool).at[idx_s].set(~first_s)
+    back = jax.lax.sort((idx_s, (~first_s).astype(jnp.uint8)), num_keys=1,
+                        is_stable=True)
+    minus = back[1].astype(bool)
     minus = minus & (klabels != 0) & kvalid
 
     W = jnp.where(minus, klabels + alph_size, klabels).astype(jnp.int32)
     W = jnp.where(kvalid, W, 0)
 
-    hist = jnp.bincount(jnp.where(kvalid, ktopc, alph_size).astype(jnp.int32),
-                        length=alph_size + 1)[:alph_size]
+    tc = jnp.where(kvalid, ktopc, alph_size)
+    hist = jnp.stack([jnp.sum((tc == c).astype(jnp.int32))
+                      for c in range(alph_size)])
     F = jnp.concatenate([jnp.zeros((1,), jnp.int32),
                          jnp.cumsum(hist)[:-1].astype(jnp.int32)])
 
