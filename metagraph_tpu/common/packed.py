@@ -275,9 +275,16 @@ def isin_merge(keys: jax.Array, queries: jax.Array) -> jax.Array:
                             jnp.arange(q, dtype=jnp.int32)])
     s, (is_q_s, orig_s) = sort(both, is_query, orig)
     run_first = neighbor_ne(s)
-    seg = jnp.cumsum(run_first.astype(jnp.int32)) - 1
-    has_key = jax.ops.segment_max((1 - is_q_s), seg, num_segments=n + q)
-    present_s = has_key[seg] > 0
+    # within an equal-value run keys sort before queries (stable sort,
+    # keys concatenated first), so "run contains a key" reduces to pure
+    # scans: #keys inside my run so far = inclusive key count minus the
+    # key count just before my run's first element (forward-filled with a
+    # running max — it is nondecreasing across runs). No scatters/gathers.
+    is_key = (1 - is_q_s).astype(jnp.int32)
+    keys_incl = jnp.cumsum(is_key)
+    excl_at_first = jnp.where(run_first, keys_incl - is_key, 0)
+    run_excl = jax.lax.cummax(excl_at_first)
+    present_s = (keys_incl - run_excl) > 0
     # route answers back to query order with a sort (keys first, then
     # queries by original index) instead of a scatter
     back = jax.lax.sort(

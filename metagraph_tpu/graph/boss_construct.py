@@ -94,11 +94,12 @@ def _sort_unique_stage(lanes, counts, count):
     first = packed.neighbor_ne(lanes_s)
     valid_s = packed.valid_mask(cap, count)  # PADs sorted to the back
     umask = first & valid_s
-    excl = jnp.concatenate([jnp.zeros((1,), jnp.int64),
-                            jnp.cumsum(counts_s.astype(jnp.int64))[:-1]])
-    total = jnp.sum(counts_s.astype(jnp.int64))
-    ulanes, ucount, (b,) = packed.compact(lanes_s, umask, cap,
-                                          excl.astype(jnp.int64))
+    # int32 running sums: a single shard holds < 2^31 k-mer occurrences
+    # (larger inputs stream through chunked/sharded collection)
+    excl = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                            jnp.cumsum(counts_s)[:-1]])
+    total = jnp.sum(counts_s)
+    ulanes, ucount, (b,) = packed.compact(lanes_s, umask, cap, excl)
     nxt = jnp.concatenate([b[1:], total[None]])
     pos_ok = packed.valid_mask(cap, ucount)
     nxt = jnp.where(jnp.concatenate([pos_ok[1:], jnp.zeros((1,), bool)]),
