@@ -23,6 +23,7 @@ sentinel row; index 0 == npos).
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass, replace
 from typing import Optional, Tuple
 
@@ -65,18 +66,23 @@ class Boss:
                     weights: Optional[jax.Array] = None) -> "Boss":
         W = W.astype(jnp.int32)
         last = last.astype(bool)
-        last_rank = BitRank.build(last)
-        W_rank = SymbolRank.build(W, 2 * alph_size)
-        NF = last_rank.rank1(F.astype(jnp.int32))
-        lut = None
-        lut_steps = 0
+        F = F.astype(jnp.int32)
         if edge_lanes is not None and edge_lanes.shape[1] > 0:
-            # bucket table over the top 16 bits: narrows every k-mer
-            # binary search from log2(n) to log2(max bucket) gather rounds
-            lut, max_bucket = _build_lut(edge_lanes)
+            # one fused dispatch builds every derived index (rank prefixes,
+            # NF, top-16-bit search LUT); one scalar sync sizes the search
+            (last_prefix, W_prefix, NF, lut,
+             max_bucket) = _finalize_index(W, last, F, edge_lanes,
+                                           2 * alph_size)
+            last_rank = BitRank(prefix=last_prefix, n=last.shape[0])
+            W_rank = SymbolRank(prefix=W_prefix, seq=W, sigma=2 * alph_size)
             lut_steps = max(1, int(np.ceil(np.log2(int(max_bucket) + 1))))
+        else:
+            last_rank = BitRank.build(last)
+            W_rank = SymbolRank.build(W, 2 * alph_size)
+            NF = last_rank.rank1(F)
+            lut, lut_steps = None, 0
         return Boss(k=k, alph_size=alph_size, bits_per_char=bits_per_char,
-                    W=W, last=last, F=F.astype(jnp.int32),
+                    W=W, last=last, F=F,
                     last_rank=last_rank, W_rank=W_rank, NF=NF,
                     edge_lanes=edge_lanes, weights=weights,
                     lut=lut, lut_steps=lut_steps)
@@ -205,6 +211,19 @@ class Boss:
         is_src = first == 0
         is_sink = (lab == 0) & ~is_src
         return jnp.sum(is_src.astype(jnp.int32)), jnp.sum(is_sink.astype(jnp.int32))
+
+
+@functools.partial(jax.jit, static_argnames=("sigma",))
+def _finalize_index(W, last, F, edge_lanes, sigma: int):
+    """All derived Boss indexes in one dispatch."""
+    last_prefix = jnp.concatenate([
+        jnp.zeros((1,), jnp.int32), jnp.cumsum(last.astype(jnp.int32))])
+    onehot = jax.nn.one_hot(W, sigma, dtype=jnp.int32)
+    W_prefix = jnp.concatenate([
+        jnp.zeros((1, sigma), jnp.int32), jnp.cumsum(onehot, axis=0)])
+    NF = last_prefix[jnp.clip(F, -1, last.shape[0] - 1) + 1]
+    lut, max_bucket = _build_lut.__wrapped__(edge_lanes)
+    return last_prefix, W_prefix, NF, lut, max_bucket
 
 
 @jax.jit
