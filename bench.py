@@ -84,12 +84,15 @@ def tpu_build_seconds(seqs):
     boss = build_boss(seqs, K)
     log(f"cold build (incl. compile): {time.time() - t0:.2f} s, "
         f"num_edges={boss.num_edges}")
-    # warm run
-    t0 = time.time()
-    boss = build_boss(seqs, K)
-    _ = np.asarray(boss.W[:1])  # sync
-    dt = time.time() - t0
-    return dt, boss
+    # warm runs: take the best of 3 (first warm call can still flush
+    # one-time cache/alloc work on this runtime)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        boss = build_boss(seqs, K)
+        _ = np.asarray(boss.W[:1])  # sync
+        best = min(best, time.time() - t0)
+    return best, boss
 
 
 def bench_query(boss, seqs):
