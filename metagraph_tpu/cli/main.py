@@ -127,7 +127,7 @@ def cmd_build(args):
 def cmd_stats(args):
     from ..kmer import packing
     for f in args.fnames:
-        if f.endswith(".annodbg.npz") or "anno" in os.path.basename(f):
+        if _is_annotation_file(f):
             _print_annotation_stats(f)
             continue
         g = _load_graph(f, wrap_primary=False)
@@ -166,6 +166,17 @@ def cmd_stats(args):
             print(f"real edges: {boss.num_edges - int(nsrc) - int(nsink)}")
         print("indexed suffix length: 0")
         print("========================================================")
+
+
+def _is_annotation_file(path) -> bool:
+    if path.endswith(".annodbg.npz"):
+        return True
+    try:
+        with np.load(path if path.endswith(".npz") else path + ".dbg.npz",
+                     allow_pickle=True) as d:
+            return "labels" in d
+    except Exception:
+        return False
 
 
 def _print_annotation_stats(f):
