@@ -1,0 +1,77 @@
+/* Native FASTA/FastQ scanner + encoder.
+ *
+ * The host-side role of the reference's kseq.h/zlib reader
+ * (metagraph/src/seq_io/sequence_io.cpp): stream file bytes into
+ * alphabet-encoded uint8 code arrays with record separators, ready for
+ * direct upload to the device extraction kernels. One pass, no Python
+ * per-line overhead.
+ *
+ * Built on demand with the system toolchain (gcc -O3 -shared) and loaded
+ * via ctypes; the pure-Python parser remains as fallback.
+ */
+
+#include <stdint.h>
+#include <stddef.h>
+
+/* Encode FASTA ('>' headers) or FastQ ('@' headers) from a raw buffer.
+ *
+ * data/n        : file bytes
+ * table         : 256-entry char -> code map (invalid = sep_code)
+ * sep_code      : separator written between records (e.g. 255)
+ * out           : output codes (capacity >= n + 1)
+ * rec_offsets   : start offset of each record's codes within out
+ * max_recs      : capacity of rec_offsets
+ * n_recs_out    : number of records found
+ * returns       : number of code bytes written, or -1 on overflow
+ */
+long fasta_encode(const unsigned char *data, long n,
+                  const unsigned char *table, unsigned char sep_code,
+                  unsigned char *out, long out_cap,
+                  long *rec_offsets, long max_recs, long *n_recs_out)
+{
+    long o = 0, recs = 0, i = 0;
+    int fastq = (n > 0 && data[0] == '@');
+    while (i < n) {
+        unsigned char c = data[i];
+        if (c == '>' || (fastq && c == '@')) {
+            /* header line: close the previous record */
+            if (recs > 0) {
+                if (o >= out_cap) return -1;
+                out[o++] = sep_code;
+            }
+            if (recs >= max_recs) return -1;
+            rec_offsets[recs++] = o;
+            while (i < n && data[i] != '\n') i++;
+            i++;
+            /* sequence lines until next header (fasta) or '+' (fastq) */
+            while (i < n) {
+                if (data[i] == '>' || (!fastq && 0)) break;
+                if (fastq && data[i] == '+') {
+                    /* skip '+' line and the quality line */
+                    while (i < n && data[i] != '\n') i++;
+                    i++;
+                    while (i < n && data[i] != '\n') i++;
+                    i++;
+                    break;
+                }
+                if (fastq && data[i] == '@') break;
+                /* one sequence line */
+                while (i < n) {
+                    unsigned char b = data[i++];
+                    if (b == '\n') break;
+                    if (b == '\r') continue;
+                    if (o >= out_cap) return -1;
+                    out[o++] = table[b];
+                }
+            }
+        } else {
+            i++; /* stray bytes (blank lines) */
+        }
+    }
+    if (recs > 0) {
+        if (o >= out_cap) return -1;
+        out[o++] = sep_code;
+    }
+    *n_recs_out = recs;
+    return o;
+}

@@ -95,6 +95,22 @@ def read_sequences(path: str) -> List[bytes]:
     return [r.seq for r in parse_records(path)]
 
 
+def read_and_encode(path: str, alphabet) -> "np.ndarray":
+    """File -> encoded code array with separators, using the native C
+    codec when available (one pass, no per-record Python), else the
+    Python parser (reference kseq reader role)."""
+    import numpy as np
+    from ..kmer.extractor import encode_sequences
+    from ..native import fasta_encode_native
+    with _open_maybe_gz(path) as f:
+        data = f.read()
+    res = fasta_encode_native(data, alphabet.encode_table())
+    if res is not None:
+        return res[0]
+    seqs = [r.seq for r in parse_records(path)]
+    return encode_sequences(seqs, alphabet)
+
+
 def iter_batches(paths: Sequence[str], batch_bytes: int = 100 << 20
                  ) -> Iterator[List[SeqRecord]]:
     """Yield record batches of ~batch_bytes of sequence (the reference's
