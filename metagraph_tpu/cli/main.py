@@ -90,16 +90,26 @@ def cmd_build(args):
         return
 
     seqs = []
-    for f in args.fnames:
-        if f.endswith((".vcf", ".vcf.gz")):
-            from ..seqio.vcf import vcf_to_sequences
-            assert args.reference, "--reference required for VCF input"
-            seqs.extend(vcf_to_sequences(f, args.reference, args.k))
-        else:
-            from ..seqio.fasta import parse_records
-            seqs.extend(r.seq for r in parse_records(f))
-    log(f"Read {len(seqs)} sequences "
-        f"({sum(map(len, seqs)) / 1e6:.1f} Mbp)")
+    codes_direct = None
+    if (len(args.fnames) == 1
+            and not args.fnames[0].endswith((".vcf", ".vcf.gz"))
+            and not args.disk_swap and args.suffix_len == 0
+            and args.num_shards == 1):
+        # fast path: native one-pass parse+encode straight to code array
+        from ..seqio.fasta import read_and_encode
+        codes_direct = read_and_encode(args.fnames[0], DNA)
+        log(f"Encoded {len(codes_direct) / 1e6:.1f} M chars (native codec)")
+    else:
+        for f in args.fnames:
+            if f.endswith((".vcf", ".vcf.gz")):
+                from ..seqio.vcf import vcf_to_sequences
+                assert args.reference, "--reference required for VCF input"
+                seqs.extend(vcf_to_sequences(f, args.reference, args.k))
+            else:
+                from ..seqio.fasta import parse_records
+                seqs.extend(r.seq for r in parse_records(f))
+        log(f"Read {len(seqs)} sequences "
+            f"({sum(map(len, seqs)) / 1e6:.1f} Mbp)")
     t0 = time.time()
     if args.disk_swap:
         # bounded-HBM streaming collection (the --disk-swap role)
@@ -111,6 +121,11 @@ def cmd_build(args):
             seqs, args.k, alphabet=DNA, mode=mode,
             bits_per_count=bits_per_count,
             suffix_len=max(args.suffix_len, 1))
+    elif codes_direct is not None:
+        from ..graph.boss_construct import build_boss_from_codes
+        boss = build_boss_from_codes(codes_direct, args.k, alphabet=DNA,
+                                     mode=mode,
+                                     bits_per_count=bits_per_count)
     else:
         boss = build_boss(seqs, args.k, alphabet=DNA, mode=mode,
                           bits_per_count=bits_per_count)

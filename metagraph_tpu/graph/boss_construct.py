@@ -478,6 +478,34 @@ def build_boss_from_kmers(
         edge_lanes=edge_lanes, weights=weights_full)
 
 
+def build_boss_from_codes(
+    codes_np: np.ndarray,
+    k: int,
+    alphabet: Alphabet = DNA,
+    mode: str = MODE_BASIC,
+    bits_per_count: int = 0,
+) -> Boss:
+    """Build directly from a pre-encoded code array (native codec path)."""
+    canonical = mode in (MODE_CANONICAL, MODE_PRIMARY)
+    if codes_np.shape[0] < k:
+        codes_np = np.concatenate(
+            [codes_np, np.full(k - codes_np.shape[0], INVALID_CODE, np.uint8)])
+    target = _bucket(codes_np.shape[0])
+    if codes_np.shape[0] < target:
+        codes_np = np.concatenate(
+            [codes_np,
+             np.full(target - codes_np.shape[0], INVALID_CODE, np.uint8)])
+    ulanes, ucounts, ucount = _collect_stage(
+        jnp.asarray(codes_np), k, alphabet.bits_per_char, (), canonical,
+        alphabet.complement)
+    n_u = int(ucount)
+    cap = _bucket(n_u)
+    return build_boss_from_kmers(
+        ulanes[:, :cap], ucounts[:cap], n_u, k, alphabet,
+        mode=MODE_CANONICAL if mode == MODE_CANONICAL else MODE_BASIC,
+        bits_per_count=bits_per_count)
+
+
 def build_boss(
     seqs: Sequence[bytes | str],
     k: int,
