@@ -113,7 +113,7 @@ def bench_query(boss, seqs):
         if len(s) > 120:
             p = rng.integers(0, len(s) - 100)
             reads.append(s[p:p + 100])
-    bq.get_labels_batch(reads[:16], 0.7)   # warm up
+    bq.get_labels_batch(reads, 0.7)        # warm up (same shapes)
     t0 = time.time()
     res = bq.get_labels_batch(reads, 0.7)
     dt = time.time() - t0

@@ -197,3 +197,24 @@ def test_annotation_merge(rng):
     adbg = AnnotatedDbg(graph=g, annotation=merged)
     assert "x" in adbg.get_labels(seqs[0], 1.0)
     assert "y" in adbg.get_labels(seqs[1], 1.0)
+
+
+def test_batch_query_matches_single(rng):
+    """BatchQuery must agree with the per-read engine exactly."""
+    from metagraph_tpu.engine.annotated_dbg import BatchQuery
+    k = 7
+    seqs = [random_dna(rng, 180) for _ in range(4)]
+    g = build_graph(seqs, k)
+    ann = annotate_sequences(
+        g, [(s, [f"l{i}"]) for i, s in enumerate(seqs)]).finalize()
+    adbg = AnnotatedDbg(graph=g, annotation=ann)
+    bq = BatchQuery(adbg)
+    reads = [seqs[0][10:90], seqs[2][40:140], b"A" * 60,
+             seqs[1][:30], b"ACG"]
+    for ratio in (0.0, 0.7, 1.0):
+        batch = bq.get_labels_batch(reads, ratio)
+        single = [adbg.get_labels(r, ratio) for r in reads]
+        assert batch == single, ratio
+    batch_t = bq.get_top_labels_batch(reads, 2, 0.5)
+    single_t = [adbg.get_top_labels(r, 2, 0.5) for r in reads]
+    assert batch_t == single_t
