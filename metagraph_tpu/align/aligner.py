@@ -60,6 +60,13 @@ class GraphAlignment:
     nodes: List[int]
     orientation: bool = False          # True = reverse complement
 
+    @property
+    def num_matches(self) -> int:
+        """Number of '=' positions in the cigar (Alignment::get_num_matches)."""
+        import re
+        return sum(int(n) for n, op in re.findall(r"(\d+)([=XIDS])", self.cigar)
+                   if op == "=")
+
     def to_json(self, name: str = "") -> dict:
         return {
             "name": name,
@@ -279,14 +286,23 @@ class Aligner:
 
     # -- top level ---------------------------------------------------------
 
-    def align(self, sequence: bytes, num_alternative_paths: int = 1
-              ) -> List[GraphAlignment]:
+    def align(self, sequence: bytes, num_alternative_paths: int = 1,
+              both_strands: bool = False) -> List[GraphAlignment]:
+        """Forward-only by default (the reference aligns the reverse
+        complement only under --align-both-strands, dbg_aligner.hpp:160;
+        canonical graphs contain both orientations so forward search
+        already covers them)."""
         results = []
-        for orientation in (False, True):
+        orientations = (False, True) if both_strands else (False,)
+        for orientation in orientations:
             seq = sequence if not orientation else _revcomp(sequence)
             aln = self._align_one(seq, orientation)
             if aln is not None:
                 results.append(aln)
+        # min-exact-match filter (aligner_config.hpp min_exact_match)
+        n = max(len(sequence), 1)
+        results = [a for a in results
+                   if a.num_matches >= self.config.min_exact_match * n]
         results.sort(key=lambda a: -a.score)
         return results[:num_alternative_paths]
 

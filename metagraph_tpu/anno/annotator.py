@@ -107,12 +107,14 @@ class Annotation:
 
     def save(self, path: str):
         d = self.matrix.to_npz_dict()
-        d["labels"] = np.array(self.encoder.labels, dtype=object)
-        np.savez_compressed(path, **d, allow_pickle=True)
+        # fixed-dtype unicode array: loadable with allow_pickle=False, so a
+        # crafted .npz cannot execute code on load
+        d["labels"] = np.array(self.encoder.labels, dtype=np.str_)
+        np.savez_compressed(path, **d)
 
     @staticmethod
     def load(path: str) -> "Annotation":
-        with np.load(path, allow_pickle=True) as d:
+        with np.load(path, allow_pickle=False) as d:
             keys = set(d.keys())
             labels = [str(x) for x in d["labels"]]
             if "ur_codes" in keys:

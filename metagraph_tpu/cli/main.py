@@ -89,12 +89,26 @@ def cmd_build(args):
         log(f"Serialized to {out}")
         return
 
+    from ..seqio.fasta import kmer_counts_sidecar
+    if (args.count_kmers
+            and all(kmer_counts_sidecar(f) for f in args.fnames)
+            and not any(f.endswith((".vcf", ".vcf.gz"))
+                        for f in args.fnames)):
+        # contigs with a per-k-mer count sidecar (the reference's
+        # ExtendedFasta path, parse_sequences.hpp:107-135): constant-count
+        # segments contribute their count, duplicates are summed
+        from ..graph.boss_construct import build_boss_from_kmers
+        from ..seqio.fasta import iter_weighted_records
+        _build_weighted_from_sidecars(args, DNA, bits_per_count, mode)
+        return
+
     seqs = []
     codes_direct = None
     if (len(args.fnames) == 1
             and not args.fnames[0].endswith((".vcf", ".vcf.gz"))
             and not args.disk_swap and args.suffix_len == 0
-            and args.num_shards == 1):
+            and args.num_shards == 1
+            and not args.fwd_and_reverse):
         # fast path: native one-pass parse+encode straight to code array
         from ..seqio.fasta import read_and_encode
         codes_direct = read_and_encode(args.fnames[0], DNA)
@@ -108,6 +122,11 @@ def cmd_build(args):
             else:
                 from ..seqio.fasta import parse_records
                 seqs.extend(r.seq for r in parse_records(f))
+        if args.fwd_and_reverse:
+            # --fwd-and-reverse: also count each sequence's reverse
+            # complement (parse_sequences with_reverse)
+            comp = bytes.maketrans(b"ACGTacgt", b"TGCAtgca")
+            seqs.extend(s.translate(comp)[::-1] for s in list(seqs))
         log(f"Read {len(seqs)} sequences "
             f"({sum(map(len, seqs)) / 1e6:.1f} Mbp)")
     t0 = time.time()
@@ -135,6 +154,49 @@ def cmd_build(args):
     log(f"Serialized to {out}")
 
 
+def _build_weighted_from_sidecars(args, DNA, bits_per_count, mode):
+    """Build from contigs + per-k-mer count sidecars: each k-mer of a
+    constant-count segment contributes that count; duplicates summed
+    (reference parse_sequences.hpp:107-135 + call_weighted_sequence)."""
+    from ..graph.boss_construct import (build_boss_from_kmers,
+                                        collect_counted_kmers)
+    from ..graph.dbg_succinct import DbgSuccinct
+    from ..graph import io as graph_io
+    from ..seqio.fasta import iter_weighted_records
+    k = args.k
+    tbl = DNA.encode_table()
+    chars_parts, count_parts = [], []
+    for f in args.fnames:
+        for rec, counts in iter_weighted_records(f):
+            seq = rec.seq
+            if len(seq) < k:
+                continue
+            codes = tbl[np.frombuffer(seq, np.uint8)]
+            win = np.lib.stride_tricks.sliding_window_view(codes, k)
+            valid = (win != 255).all(axis=1)
+            chars_parts.append(win[valid])
+            count_parts.append(counts[valid])
+    if not chars_parts:
+        chars = np.zeros((0, k), np.uint8)
+        counts = np.zeros((0,), np.uint32)
+    else:
+        chars = np.concatenate(chars_parts)
+        counts = np.concatenate(count_parts)
+    log(f"Weighted input: {len(chars)} k-mers from count sidecars")
+    canonical = mode in ("canonical", "primary")
+    t0 = time.time()
+    lanes, cnts, n = collect_counted_kmers(chars, counts, k, DNA,
+                                           canonical=canonical)
+    boss = build_boss_from_kmers(
+        lanes, cnts, n, k, DNA,
+        mode="canonical" if canonical else "basic",
+        bits_per_count=bits_per_count)
+    log(f"Graph construction: {time.time() - t0:.2f} s")
+    graph = DbgSuccinct.from_boss(boss, DNA, mode)
+    out = graph_io.save_graph(args.outfile_base, graph)
+    log(f"Serialized to {out}")
+
+
 # ---------------------------------------------------------------------------
 # stats
 # ---------------------------------------------------------------------------
@@ -155,7 +217,8 @@ def cmd_stats(args):
             w = np.asarray(g.boss.weights)
             nnz = int((w != 0).sum())
             print(f"nnz weights: {nnz}")
-            print(f"avg weight: {w.sum() / max(nnz, 1)}")
+            # %.6g: match C++ std::cout default double formatting
+            print(f"avg weight: {w.sum() / max(nnz, 1):.6g}")
         print("========================================================")
         boss = g.boss
         print("====================== BOSS STATS ======================")
@@ -188,7 +251,7 @@ def _is_annotation_file(path) -> bool:
         return True
     try:
         with np.load(path if path.endswith(".npz") else path + ".dbg.npz",
-                     allow_pickle=True) as d:
+                     allow_pickle=False) as d:
             return "labels" in d
     except Exception:
         return False
@@ -285,6 +348,16 @@ def format_query_result(idx: int, name: str, adbg, seq: bytes, args) -> str:
                 item += ":" + ",".join(str(c) for c in coords)
             parts.append(item)
         return "\t".join(parts) + "\n"
+    elif args.count_quantiles:
+        qs = [float(x) for x in args.count_quantiles.split()]
+        result = adbg.get_label_count_quantiles(
+            seq, args.num_top_labels, args.discovery_fraction, qs)
+        if not result and args.suppress_unlabeled:
+            return ""
+        parts = [seq_name]
+        for label, quants in result:
+            parts.append(f"<{label}>:" + ":".join(str(q) for q in quants))
+        return "\t".join(parts) + "\n"
     elif args.count_labels or args.query_counts:
         tops = adbg.get_top_labels(seq, args.num_top_labels,
                                    args.discovery_fraction,
@@ -317,15 +390,27 @@ def cmd_query(args):
     n = 0
     out = sys.stdout
     simple = not (args.print_signature or args.query_coords
-                  or args.query_counts)
+                  or args.query_counts or args.count_quantiles)
     aligner = None
     if args.align:
-        from ..align.aligner import Aligner
-        aligner = Aligner(g)
+        from ..align.aligner import Aligner, AlignerConfig
+        aligner = Aligner(g, AlignerConfig(
+            min_exact_match=args.align_min_exact_match))
     bq = BatchQuery(adbg) if simple else None
     idx = 0
     for batch in iter_batches(args.fnames,
                               batch_bytes=args.batch_size):
+        if args.fwd_and_reverse:
+            # FastaParser with_reverse: every record is queried forward
+            # and as its reverse complement (own output line each)
+            from ..seqio.fasta import SeqRecord
+            comp = bytes.maketrans(b"ACGTacgt", b"TGCAtgca")
+            expanded = []
+            for rec in batch:
+                expanded.append(rec)
+                expanded.append(SeqRecord(
+                    name=rec.name, seq=rec.seq.translate(comp)[::-1]))
+            batch = expanded
         if aligner is not None:
             # reference query --align: replace each read with its best
             # aligned path spelling before querying (query.cpp:993-999)
@@ -375,7 +460,7 @@ def cmd_assemble(args):
     from ..graph.traversal import contig_sequences, unitig_sequences
     from ..seqio.fasta import FastaWriter
 
-    g = _load_graph(args.infile_base)
+    g = _load_graph(args.infile_base or args.fnames[0])
     if args.label_mask_in or args.label_mask_out:
         from ..anno.annotator import Annotation
         from ..engine.annotated_dbg import AnnotatedDbg
@@ -388,6 +473,12 @@ def cmd_assemble(args):
             label_mask_in_fraction=args.label_mask_in_fraction,
             label_mask_out_fraction=args.label_mask_out_fraction,
             label_other_fraction=args.label_other_fraction)
+    if args.to_gfa:
+        if not args.unitigs:
+            log("Flag '--unitigs' must be set for GFA output")
+            sys.exit(1)
+        _write_gfa(g, args.outfile_base + ".gfa", compacted=args.compacted)
+        log(f"Wrote GFA to {args.outfile_base}.gfa")
     seqs = (unitig_sequences(g, min_length=args.min_length) if args.unitigs
             else contig_sequences(g))
     with FastaWriter(args.outfile_base + ".fasta.gz", header="",
@@ -398,29 +489,87 @@ def cmd_assemble(args):
 
 
 def cmd_clean(args):
-    from ..graph.cleaning import clean_node_mask, estimate_min_kmer_abundance
+    """Extract cleaned contigs/unitigs (+ count sidecar) from a graph
+    (reference cli/clean.cpp:28-200): node min/max-count mask, then
+    unitig-level tip pruning and median-abundance filtering; canonical
+    graphs are emitted in single (primary) form so a canonical rebuild
+    reproduces the node set and counts exactly."""
+    from ..graph.cleaning import (clean_node_mask, estimate_min_kmer_abundance,
+                                  node_weights)
     from ..graph.masked import MaskedDbg
-    from ..graph.traversal import unitig_sequences
-    from ..seqio.fasta import FastaWriter
+    from ..graph.traversal import (contig_sequences, single_form_mask,
+                                   unitig_sequences)
+    from ..seqio.fasta import ExtendedFastaWriter, FastaWriter
 
-    g = _load_graph(args.infile_base)
-    min_count = args.min_count
-    if args.min_count_auto:
+    infile = args.infile_base or args.fnames[0]
+    g = _load_graph(infile, wrap_primary=False)
+    has_weights = g.boss.weights is not None
+    node_w = node_weights(g) if has_weights else None
+    prune_unitigs = args.prune_unitigs
+    if prune_unitigs == 0 or args.min_count_auto:
+        # --prune-unitigs 0: automatic threshold (clean.cpp:76-100)
         est = estimate_min_kmer_abundance(g)
         if est < 0:
-            log("Automatic threshold estimation failed; using --min-count")
+            if args.fallback < 0:
+                log("Cannot estimate expected minimum k-mer abundance "
+                    "and fallback is disabled (--fallback -1). Terminating.")
+                sys.exit(129)
+            log("Cannot estimate expected minimum k-mer abundance. "
+                f"Using fallback value: {args.fallback}")
+            prune_unitigs = args.fallback
         else:
-            min_count = est
-            log(f"Estimated k-mer abundance threshold: {min_count}")
-    mask = clean_node_mask(g, min_count, unitig_mode=True,
-                           min_tip_size=args.prune_tips)
-    mg = MaskedDbg(base=g, mask=mask)
-    seqs = unitig_sequences(mg)
-    with FastaWriter(args.outfile_base + ".fasta.gz") as w:
-        for s in seqs:
-            w.write(s)
-    log(f"Cleaned graph: kept {mg.num_masked_nodes()}/{g.num_nodes()} nodes, "
-        f"{len(seqs)} unitigs -> {args.outfile_base}.fasta.gz")
+            prune_unitigs = est
+            log(f"Threshold for median k-mer abundance in unitigs: {est}")
+
+    unitig_mode = (args.unitigs or args.prune_tips > 1 or prune_unitigs > 1
+                   or args.smoothing_window > 1)
+    mask = clean_node_mask(g, min_count=args.min_count,
+                           max_count=args.max_count,
+                           prune_unitigs=prune_unitigs,
+                           min_tip_size=args.prune_tips,
+                           node_w=node_w) \
+        if (args.min_count > 1 or args.max_count is not None
+            or prune_unitigs > 1 or args.prune_tips > 1) else None
+    single_form = g.mode == "canonical"
+    if single_form:
+        sf = single_form_mask(g)
+        mask = sf if mask is None else (mask & sf)
+    sub = MaskedDbg(base=g, mask=mask) if mask is not None else g
+    if unitig_mode and not (single_form or mask is not None):
+        seqs, paths = unitig_sequences(sub, return_paths=True)
+    else:
+        # contigs: also used after masking, where unitigs of the masked
+        # subgraph are exactly the kept/kept-fragment paths
+        seqs, paths = contig_sequences(sub, return_paths=True)
+    out = args.outfile_base
+    for suf in (".gz", ".fasta"):
+        if out.endswith(suf):
+            out = out[:-len(suf)]
+    if has_weights:
+        with ExtendedFastaWriter(out, g.k) as w:
+            for s, p in zip(seqs, paths):
+                counts = node_w[p]
+                if args.smoothing_window > 1:
+                    counts = _smooth_counts(counts, args.smoothing_window)
+                w.write(s, counts)
+    else:
+        with FastaWriter(out + ".fasta.gz") as w:
+            for s in seqs:
+                w.write(s)
+    kept = (int(mask[1:].sum()) if mask is not None else g.num_nodes())
+    log(f"Cleaned graph: kept {kept}/{g.num_nodes()} nodes, "
+        f"{len(seqs)} sequences -> {out}.fasta.gz")
+
+
+def _smooth_counts(counts, window: int):
+    """Sliding-window mean smoothing (utils::smooth_vector)."""
+    c = np.asarray(counts, np.float64)
+    half = window // 2
+    cum = np.concatenate([[0], np.cumsum(c)])
+    n = len(c)
+    lo = np.maximum(np.arange(n) - half, 0)
+    hi = np.minimum(np.arange(n) + half + 1, n)
+    return ((cum[hi] - cum[lo]) / (hi - lo)).astype(np.uint32)
 
 
 # ---------------------------------------------------------------------------
@@ -432,6 +581,11 @@ def cmd_align(args):
     from ..seqio.fasta import parse_records
 
     g = _load_graph(args.infile_base)
+    if args.outfile_base and args.outfile_base.endswith(".gfa"):
+        # GFA path mode (align.cpp gfa_map_files:300-330): map each read
+        # onto the assembled GFA segments as P lines
+        _align_gfa_paths(g, args)
+        return
     cfg = AlignerConfig(
         match_score=args.match_score,
         mm_transition_penalty=args.mm_transition_penalty,
@@ -440,26 +594,89 @@ def cmd_align(args):
         gap_extension_penalty=args.gap_extension_penalty,
         xdrop=args.align_xdrop,
         min_seed_length=args.align_min_seed_length or g.k,
+        min_exact_match=args.align_min_exact_match,
     )
+    if args.align_edit_distance:
+        cfg.match_score = 1
+        cfg.mm_transition_penalty = 1
+        cfg.mm_transversion_penalty = 1
+        cfg.gap_opening_penalty = 1
+        cfg.gap_extension_penalty = 1
     aligner = Aligner(g, cfg)
+    out = open(args.outfile_base, "w") if args.outfile_base else sys.stdout
     for f in args.fnames:
         for rec in parse_records(f):
+            name = rec.name.decode()
             if args.map_only:
-                nodes = g.map_to_nodes(rec.seq)
-                nmatch = int((nodes > 0).sum())
-                print(f"{rec.name.decode()}\t{nmatch}/{len(nodes)}")
+                nodes = np.asarray(g.map_to_nodes(rec.seq))
+                n_disc = int((nodes > 0).sum())
+                if args.count_kmers:
+                    # name \t discovered/total/unique (align.cpp:212-226)
+                    n_uniq = len(np.unique(nodes[nodes > 0]))
+                    out.write(f"{name}\t{n_disc}/{len(nodes)}/{n_uniq}\n")
+                else:
+                    for i, v in enumerate(nodes):
+                        out.write(
+                            f"{rec.seq[i:i + g.k].decode()}: {int(v)}\n")
                 continue
-            results = aligner.align(rec.seq, num_alternative_paths=args.num_alternative_paths)
+            results = aligner.align(
+                rec.seq, num_alternative_paths=args.num_alternative_paths,
+                both_strands=args.align_both_strands)
             if args.json:
                 for r in results:
-                    print(json.dumps(r.to_json(rec.name.decode())))
+                    out.write(json.dumps(
+                        r.to_json(name)) + "\n")
                 continue
+            # header \t query [\t +/- \t seq \t score \t matches \t cigar
+            # \t offset]... (format_alignment, aligner_alignment.hpp:180)
+            row = f"{name}\t{rec.seq.decode()}"
             if not results:
-                print(f"{rec.name.decode()}\t*\t*\t0\t*")
-                continue
-            for r in results:
-                print(f"{rec.name.decode()}\t{r.sequence.decode()}\t"
-                      f"{r.score}\t{r.cigar}\t{r.orientation:d}")
+                row += "\t*\t*\t0\t*\t*\t*"
+            else:
+                for r in results:
+                    strand = "-" if r.orientation else "+"
+                    row += (f"\t{strand}\t{r.sequence.decode()}\t{r.score}"
+                            f"\t{r.num_matches}\t{r.cigar}\t0")
+            out.write(row + "\n")
+    if out is not sys.stdout:
+        out.close()
+
+
+def _align_gfa_paths(g, args):
+    """Write <base>.path.gfa with one P line per input read
+    (align.cpp sequence_to_gfa_path + gfa_map_files)."""
+    from ..graph.traversal import unitig_decomposition, unitig_ends
+    from ..seqio.fasta import parse_records
+    u = unitig_decomposition(g)
+    ends = set(int(x) for x in unitig_ends(g, u))
+    base = args.outfile_base
+    for suf in (".gfa", ".path"):
+        if base.endswith(suf):
+            base = base[:-len(suf)]
+    k = g.k
+    with open(base + ".path.gfa", "w") as f:
+        seq_id = 0
+        for fn in args.fnames:
+            for rec in parse_records(fn):
+                seq_id += 1
+                path = [int(x) for x in np.asarray(g.map_to_nodes(rec.seq))]
+                nodes_str, cigars = [], []
+                for v in path[:-1]:
+                    if args.compacted and v not in ends:
+                        continue
+                    nodes_str.append(f"{v}+")
+                    cigars.append(f"{k - 1}M")
+                last = path[-1]
+                while args.compacted and last not in ends:
+                    succ = np.asarray(g.successors(
+                        np.array([last], np.int32)))[0]
+                    nxt = succ[succ > 0]
+                    if not len(nxt):
+                        break
+                    last = int(nxt[0])
+                nodes_str.append(f"{last}+")
+                f.write(f"P\t{seq_id}\t{','.join(nodes_str)}\t"
+                        f"{','.join(cigars)}\n")
 
 
 # ---------------------------------------------------------------------------
@@ -519,15 +736,30 @@ def cmd_compare(args):
 
 def cmd_transform(args):
     from ..graph.traversal import contig_sequences
-    g = _load_graph(args.infile_base)
+    g = _load_graph(args.infile_base or args.fnames[0], wrap_primary=False)
+    if args.initialize_bloom:
+        # batched searchsorted has uniform hit/miss cost (COMPONENTS.md);
+        # accept and no-op the Bloom prefilter flags for CLI parity
+        log("Bloom filter subsumed by batched membership; nothing to do")
+        return
     if args.to_fasta:
         from ..seqio.fasta import FastaWriter
-        with FastaWriter(args.outfile_base + ".fasta.gz") as w:
+        if args.primary_kmers:
+            # one orientation per rc-pair (kmers_in_single_form): mask to
+            # the smaller-packed form, contigs over the masked graph
+            from ..graph.masked import MaskedDbg
+            from ..graph.traversal import single_form_mask
+            g = MaskedDbg(base=g, mask=single_form_mask(g))
+        out = args.outfile_base
+        if not out.endswith(".fasta.gz"):
+            out = out + ".fasta.gz"
+        with FastaWriter(out) as w:
             for s in contig_sequences(g):
                 w.write(s)
-        log(f"Wrote contigs to {args.outfile_base}.fasta.gz")
+        log(f"Wrote contigs to {out}")
     elif args.to_gfa:
-        _write_gfa(g, args.outfile_base + ".gfa")
+        _write_gfa(g, args.outfile_base + ".gfa",
+                   compacted=getattr(args, "compacted", True))
         log(f"Wrote GFA to {args.outfile_base}.gfa")
     elif args.to_adj_list:
         import jax.numpy as jnp
@@ -540,27 +772,39 @@ def cmd_transform(args):
         log(f"Wrote adjacency list to {args.outfile_base}.adjlist")
 
 
-def _write_gfa(g, path):
-    from ..graph.traversal import unitig_decomposition, unitig_sequences
+def _write_gfa(g, path, compacted: bool = True):
+    """GFA writer matching assemble.cpp:118-155: compacted segments are
+    whole unitigs named by their LAST node id, with one L line per
+    incoming edge of each unitig's first node; non-compacted emits every
+    node as a segment plus intra-unitig links."""
     import jax.numpy as jnp
+    from ..graph.traversal import (unitig_decomposition, unitig_ends,
+                                   unitig_paths, unitig_sequences)
     u = unitig_decomposition(g)
-    seqs = unitig_sequences(g, u, apply_mask=False)
+    seqs, paths = unitig_sequences(g, u, return_paths=True)
+    k = g.k
+    overlap = k - 1
+    starts = np.array([p[0] for p in paths], np.int32) \
+        if paths else np.zeros(0, np.int32)
+    preds = np.asarray(g.predecessors(jnp.asarray(starts))) \
+        if len(starts) else np.zeros((0, 0), np.int32)
     with open(path, "w") as fh:
         fh.write("H\tVN:Z:1.0\n")
-        for c, s in enumerate(seqs):
-            fh.write(f"S\t{c + 1}\t{s.decode()}\n")
-        # links between unitig ends (k-1 overlap)
-        last_nodes = np.zeros(u.num_unitigs, np.int32)
-        nodes = np.arange(1, g.num_nodes() + 1)
-        sel = u.pos[1:] == (u.lengths[u.chain_id[1:]] - 1)
-        last_nodes[u.chain_id[1:][sel]] = nodes[sel]
-        succ = np.asarray(g.successors(jnp.asarray(last_nodes)))
-        start_chain = {int(u.starts[c]): c for c in range(u.num_unitigs)}
-        for c in range(u.num_unitigs):
-            for s in succ[c]:
-                cn = start_chain.get(int(s))
-                if cn is not None:
-                    fh.write(f"L\t{c + 1}\t+\t{cn + 1}\t+\t{g.k - 1}M\n")
+        if compacted:
+            for c, (s, p) in enumerate(zip(seqs, paths)):
+                fh.write(f"S\t{p[-1]}\t{s.decode()}\n")
+                for pr in preds[c]:
+                    if pr > 0:
+                        fh.write(f"L\t{pr}\t+\t{p[-1]}\t+\t{overlap}M\n")
+        else:
+            for c, (s, p) in enumerate(zip(seqs, paths)):
+                for i, v in enumerate(p):
+                    fh.write(f"S\t{v}\t{s[i:i + k].decode()}\n")
+                    if i:
+                        fh.write(f"L\t{p[i - 1]}\t+\t{v}\t+\t{overlap}M\n")
+                for pr in preds[c]:
+                    if pr > 0:
+                        fh.write(f"L\t{pr}\t+\t{p[0]}\t+\t{overlap}M\n")
 
 
 def cmd_concatenate(args):
@@ -701,6 +945,7 @@ def build_parser() -> argparse.ArgumentParser:
                     help="reference FASTA for VCF inputs")
     sp.add_argument("--alphabet", default="DNA",
                     choices=["DNA", "DNA5", "Protein"])
+    sp.add_argument("--fwd-and-reverse", action="store_true")
     common_out(sp)
     sp.add_argument("fnames", nargs="+")
     sp.set_defaults(func=cmd_build)
@@ -737,24 +982,35 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("-i", "--infile-base", required=True)
     sp.add_argument("-a", "--annotation", required=True)
     sp.add_argument("--count-labels", action="store_true")
-    sp.add_argument("--query-counts", action="store_true")
+    sp.add_argument("--count-kmers", dest="query_counts",
+                    action="store_true")
+    sp.add_argument("--query-counts", dest="query_counts",
+                    action="store_true")
+    sp.add_argument("--count-quantiles", default=None,
+                    help="space-separated quantiles in [0, 1]")
     sp.add_argument("--print-signature", action="store_true")
     sp.add_argument("--query-coords", action="store_true")
     sp.add_argument("--suppress-unlabeled", action="store_true")
     sp.add_argument("--num-top-labels", type=int, default=2 ** 62)
     sp.add_argument("--discovery-fraction", type=float, default=0.7)
+    sp.add_argument("--fwd-and-reverse", action="store_true")
     sp.add_argument("--labels-delimiter", dest="anno_labels_delimiter",
                     default=":")
     sp.add_argument("--align", action="store_true")
+    sp.add_argument("--batch-align", action="store_true")
+    sp.add_argument("--align-min-exact-match", type=float, default=0.7)
     sp.add_argument("--fast", action="store_true")  # batch mode (default path)
     sp.add_argument("--batch-size", type=int, default=100 << 20)
     sp.add_argument("fnames", nargs="+")
     sp.set_defaults(func=cmd_query)
 
     sp = sub.add_parser("assemble")
-    sp.add_argument("-i", "--infile-base", required=True)
+    sp.add_argument("-i", "--infile-base", default=None)
+    sp.add_argument("fnames", nargs="*")
     common_out(sp)
     sp.add_argument("--unitigs", action="store_true")
+    sp.add_argument("--to-gfa", action="store_true")
+    sp.add_argument("--compacted", action="store_true")
     sp.add_argument("--min-length", type=int, default=0)
     sp.add_argument("-a", "--annotation", default=None)
     sp.add_argument("--label-mask-in", action="append")
@@ -765,17 +1021,29 @@ def build_parser() -> argparse.ArgumentParser:
     sp.set_defaults(func=cmd_assemble)
 
     sp = sub.add_parser("clean")
-    sp.add_argument("-i", "--infile-base", required=True)
+    sp.add_argument("-i", "--infile-base", default=None)
+    sp.add_argument("fnames", nargs="*")
     common_out(sp)
     sp.add_argument("--min-count", type=int, default=1)
+    sp.add_argument("--max-count", type=int, default=None)
     sp.add_argument("--min-count-auto", action="store_true")
     sp.add_argument("--prune-tips", type=int, default=1)
+    sp.add_argument("--prune-unitigs", type=int, default=1)
+    sp.add_argument("--fallback", type=int, default=5)
+    sp.add_argument("--smoothing-window", type=int, default=1)
+    sp.add_argument("--to-fasta", action="store_true")
     sp.add_argument("--unitigs", action="store_true")
     sp.set_defaults(func=cmd_clean)
 
     sp = sub.add_parser("align")
     sp.add_argument("-i", "--infile-base", required=True)
+    sp.add_argument("-o", "--outfile-base", default=None)
     sp.add_argument("--map", dest="map_only", action="store_true")
+    sp.add_argument("--count-kmers", action="store_true")
+    sp.add_argument("--align-both-strands", action="store_true")
+    sp.add_argument("--align-edit-distance", action="store_true")
+    sp.add_argument("--align-min-exact-match", type=float, default=0.7)
+    sp.add_argument("--compacted", action="store_true")
     sp.add_argument("--align-min-seed-length", type=int, default=0)
     sp.add_argument("--match-score", type=int, default=2)
     sp.add_argument("--mm-transition-penalty", type=int, default=3)
@@ -800,11 +1068,16 @@ def build_parser() -> argparse.ArgumentParser:
     sp.set_defaults(func=cmd_compare)
 
     sp = sub.add_parser("transform")
-    sp.add_argument("-i", "--infile-base", required=True)
+    sp.add_argument("-i", "--infile-base", default=None)
+    sp.add_argument("fnames", nargs="*")
     common_out(sp)
     sp.add_argument("--to-fasta", action="store_true")
+    sp.add_argument("--primary-kmers", action="store_true")
     sp.add_argument("--to-gfa", action="store_true")
+    sp.add_argument("--compacted", action="store_true")
     sp.add_argument("--to-adj-list", action="store_true")
+    sp.add_argument("--initialize-bloom", action="store_true")
+    sp.add_argument("--bloom-fpp", type=float, default=None)
     sp.set_defaults(func=cmd_transform)
 
     sp = sub.add_parser("concatenate")

@@ -162,6 +162,41 @@ class AnnotatedDbg:
             out.append((self.annotation.encoder.decode(c), tuples))
         return out
 
+    def get_label_count_quantiles(self, sequence: bytes | str,
+                                  num_top_labels: int = 2 ** 62,
+                                  presence_ratio: float = 0.0,
+                                  count_quantiles: Sequence[float] = ()
+                                  ) -> List[Tuple[str, List[int]]]:
+        """Per-label count quantiles over the query's k-mer windows
+        (annotated_dbg.cpp:301-385): quantile q -> count[i] with
+        i = floor((num_kmers-1)*q) into the zero-padded sorted counts."""
+        if len(sequence) < self.graph.k:
+            return []
+        rows, num_windows = self._map_rows(sequence)
+        present = rows[rows >= 0].astype(np.int64)
+        min_count = max(1, math.ceil(presence_ratio * num_windows))
+        if len(present) < min_count:
+            return []
+        cols, vals = _row_values_host(self.annotation.matrix, present)
+        q_low = [int((num_windows - 1) * q) for q in count_quantiles]
+        out = []
+        order = np.argsort(cols, kind="stable")
+        cols_s, vals_s = cols[order], vals[order]
+        uniq, starts = np.unique(cols_s, return_index=True)
+        bounds = np.append(starts, len(cols_s))
+        per_label = [(int(uniq[i]), vals_s[bounds[i]:bounds[i + 1]])
+                     for i in range(len(uniq))]
+        per_label = [(c, v) for c, v in per_label if len(v) >= min_count]
+        per_label.sort(key=lambda p: (-len(p[1]), p[0]))
+        per_label = per_label[:num_top_labels]
+        for c, v in per_label:
+            counts = np.sort(v)
+            num_zeros = num_windows - len(counts)
+            qs = [0 if ql < num_zeros else int(counts[ql - num_zeros])
+                  for ql in q_low]
+            out.append((self.annotation.encoder.decode(c), qs))
+        return out
+
     def score_kmer_presence_mask(self, mask: np.ndarray,
                                  match_score: int = 1,
                                  mismatch_score: int = 2) -> float:
@@ -183,6 +218,25 @@ class AnnotatedDbg:
         if run:
             score += match_score * (run + k - 1)
         return float(score)
+
+
+def _row_values_host(matrix, rows: np.ndarray):
+    """(cols, values) pairs over all requested rows, host-side
+    (IntMatrix::get_row_values role). Duplicated query rows contribute
+    once per occurrence."""
+    if hasattr(matrix, "row_values_list"):
+        return matrix.row_values_list(rows)
+    from ..anno.matrix import RowSparse
+    if not isinstance(matrix, RowSparse):
+        matrix = matrix.to_row_sparse()
+    lo, hi = matrix.row_ranges(jnp.asarray(rows.astype(np.int32)))
+    lo, hi = np.asarray(lo), np.asarray(hi)
+    cols_np = np.asarray(matrix.cols)
+    vals_np = (np.asarray(matrix.values) if matrix.values is not None
+               else np.ones_like(cols_np))
+    idx = np.concatenate([np.arange(l, h) for l, h in zip(lo, hi)]) \
+        if len(lo) else np.zeros(0, np.int64)
+    return cols_np[idx.astype(np.int64)], vals_np[idx.astype(np.int64)]
 
 
 class BatchQuery:

@@ -123,40 +123,44 @@ def is_unreliable_unitig(path_weights: np.ndarray,
         > len(path_weights)
 
 
-def clean_node_mask(g: DbgSuccinct,
-                    min_count: int,
-                    unitig_mode: bool = True,
-                    min_tip_size: int = 1,
-                    unitigs: Optional[Unitigs] = None) -> np.ndarray:
-    """(N+1,) bool keep-mask over nodes (reference cli/clean.cpp:60-300):
-    in unitig mode drop whole unitigs whose median abundance is below the
-    threshold and tips shorter than min_tip_size; otherwise drop
-    individual low-count nodes."""
-    assert g.boss.weights is not None
-    N = g.num_nodes()
+def node_weights(g: DbgSuccinct) -> np.ndarray:
+    """(N+1,) per-node k-mer count (weights live on BOSS edge rows; map to
+    the valid-edge node numbering)."""
+    assert g.boss.weights is not None, "graph built without --count-kmers"
     w = np.asarray(g.boss.weights)
     valid_prefix = np.asarray(g.valid_rank.prefix)
     rows = np.nonzero(np.diff(valid_prefix) > 0)[0]
-    node_w = np.concatenate([[0], w[rows]])  # (N+1,)
-    keep = np.ones(N + 1, bool)
+    return np.concatenate([[0], w[rows]])
+
+
+def clean_node_mask(g,
+                    min_count: int = 1,
+                    max_count: Optional[int] = None,
+                    prune_unitigs: int = 1,
+                    min_tip_size: int = 1,
+                    node_w: Optional[np.ndarray] = None) -> np.ndarray:
+    """(N+1,) bool keep-mask over nodes, mirroring cli/clean.cpp exactly:
+    1) node-level min/max-count mask (clean.cpp:101-113);
+    2) unitig decomposition of the masked graph; drop unitigs that are
+       short tips (sequence_graph.cpp:208-211) or whose k-mer majority is
+       below the median-abundance threshold (graph_cleaning.cpp:14-31)."""
+    from .masked import MaskedDbg
+    from .traversal import unitig_keep_mask
+    N = g.num_nodes()
+    if node_w is None:
+        node_w = node_weights(g)
+    base = g
+    base_mask = np.ones(N + 1, bool)
+    base_mask[0] = False
+    if min_count > 1 or max_count is not None:
+        base_mask[1:] = node_w[1:] >= min_count
+        if max_count is not None:
+            base_mask[1:] &= node_w[1:] <= max_count
+        base = MaskedDbg(base=g, mask=base_mask)
+    if prune_unitigs <= 1 and min_tip_size <= 1:
+        return base_mask
+    u = unitig_decomposition(base)
+    keep_u = unitig_keep_mask(base, u, min_tip_size, node_w, prune_unitigs)
+    keep = keep_u[u.chain_id] & base_mask
     keep[0] = False
-    if not unitig_mode:
-        keep[1:] = node_w[1:] >= min_count
-        return keep
-    if unitigs is None:
-        unitigs = unitig_decomposition(g)
-    cid = unitigs.chain_id
-    # per-unitig count of weak k-mers
-    weak = np.zeros(unitigs.num_unitigs, np.int64)
-    np.add.at(weak, cid[1:], (node_w[1:] < min_count).astype(np.int64))
-    unreliable = weak * 2 > unitigs.lengths
-    if min_tip_size > 1:
-        # a tip is a unitig whose start has no predecessor or end has no
-        # successor within the graph; approximate with chain length check
-        import jax.numpy as jnp
-        starts = unitigs.starts
-        sdeg = np.asarray(g.indegree(jnp.asarray(starts)))
-        is_tip_like = sdeg == 0
-        unreliable |= is_tip_like & (unitigs.lengths < min_tip_size)
-    keep[1:] = ~unreliable[cid[1:]]
     return keep

@@ -121,14 +121,80 @@ def unitig_decomposition(g: DbgSuccinct) -> Unitigs:
                    lengths=lengths, is_cycle=cyc)
 
 
+def unitig_ends(g: DbgSuccinct, u: Unitigs) -> np.ndarray:
+    """Last node of each chain (pos == length - 1)."""
+    last_nodes = np.zeros(u.num_unitigs, np.int32)
+    nodes = np.arange(1, g.num_nodes() + 1, dtype=np.int32)
+    sel = u.pos[1:] == (u.lengths[u.chain_id[1:]] - 1)
+    last_nodes[u.chain_id[1:][sel]] = nodes[sel]
+    return last_nodes
+
+
+def unitig_keep_mask(g: DbgSuccinct, u: Unitigs, min_tip_size: int,
+                     weights: Optional[np.ndarray] = None,
+                     min_median_abundance: int = 1) -> np.ndarray:
+    """Per-unitig keep decision matching the reference's tip filter
+    (sequence_graph.cpp:208-211: keep iff the unitig is long —
+    path length >= min_tip_size — or not a tip —
+    indegree(start) + outdegree(end) >= 2) and the unreliable-unitig
+    median-abundance filter (graph_cleaning.cpp:14)."""
+    keep = np.ones(u.num_unitigs, bool)
+    if min_tip_size > 1:
+        ends = unitig_ends(g, u)
+        ind = np.asarray(g.indegree(jnp.asarray(u.starts)))
+        outd = np.asarray(g.outdegree(jnp.asarray(ends)))
+        is_tip = (ind + outd) < 2
+        short = u.lengths < min_tip_size
+        keep &= ~(short & is_tip)
+    if min_median_abundance > 1 and weights is not None:
+        # unreliable iff strictly more than half the path k-mers are below
+        # the threshold (graph_cleaning.cpp:23-31)
+        w = np.asarray(weights)
+        weak = (w[1:] < min_median_abundance).astype(np.int64)
+        num_weak = np.zeros(u.num_unitigs, np.int64)
+        np.add.at(num_weak, u.chain_id[1:], weak)
+        keep &= ~(num_weak * 2 > u.lengths)
+    return keep
+
+
+def single_form_mask(g: DbgSuccinct) -> np.ndarray:
+    """(N+1,) bool: keep each rc-pair's smaller-packed orientation once
+    (the role of kmers_in_single_form in the reference's call_paths,
+    sequence_graph.cpp:216-270 — any one-per-pair cover is equivalent
+    after a canonical rebuild)."""
+    from ..kmer import packing as kp
+    from ..common import packed
+    N = g.num_nodes()
+    nodes = jnp.arange(1, N + 1, dtype=jnp.int32)
+    lanes = g.node_lanes(nodes)
+    B = g.alphabet.bits_per_char
+    rc = kp.reverse_complement(lanes, g.k, B, g.alphabet.complement)
+    keep = np.asarray(packed.le(lanes, rc))
+    mask = np.zeros(N + 1, bool)
+    mask[1:] = keep
+    return mask
+
+
+def unitig_paths(g: DbgSuccinct, u: Unitigs) -> List[np.ndarray]:
+    """Node id path per unitig (host-side, for GFA/weights emit)."""
+    order = np.lexsort((u.pos[1:], u.chain_id[1:]))
+    nodes = np.arange(1, g.num_nodes() + 1, dtype=np.int32)[order]
+    bounds = np.concatenate([[0], np.cumsum(u.lengths)])
+    return [nodes[bounds[c]:bounds[c + 1]] for c in range(u.num_unitigs)]
+
+
 def unitig_sequences(g: DbgSuccinct, u: Optional[Unitigs] = None,
-                     min_length: int = 0, apply_mask: bool = True) -> List[bytes]:
-    """Materialize unitig strings (node path of length n -> n + k - 1 chars)."""
+                     min_length: int = 0, apply_mask: bool = True,
+                     keep: Optional[np.ndarray] = None,
+                     return_paths: bool = False):
+    """Materialize unitig strings (node path of length n -> n + k - 1 chars).
+    ``keep``: optional per-unitig bool filter; ``return_paths`` also yields
+    the node-id path of each emitted unitig."""
     if u is None:
         u = unitig_decomposition(g)
     k = g.k
     if u.num_unitigs == 0:
-        return []
+        return ([], []) if return_paths else []
     out_lens = u.lengths + k - 1
     offsets = np.concatenate([[0], np.cumsum(out_lens)]).astype(np.int64)
     total = int(offsets[-1])
@@ -150,16 +216,22 @@ def unitig_sequences(g: DbgSuccinct, u: Optional[Unitigs] = None,
     decoded = letters[buf]
     # on a masked graph, masked-out nodes are isolated singleton chains: skip
     mask = getattr(g, "mask", None) if apply_mask else None
+    paths = unitig_paths(g, u) if return_paths else None
     out = []
+    out_paths = []
     for c in range(u.num_unitigs):
         if mask is not None and not mask[u.starts[c]]:
             continue
+        if keep is not None and not keep[c]:
+            continue
         if u.lengths[c] + k - 1 >= max(min_length, k):
             out.append(decoded[offsets[c]:offsets[c + 1]].tobytes())
-    return out
+            if return_paths:
+                out_paths.append(paths[c])
+    return (out, out_paths) if return_paths else out
 
 
-def contig_sequences(g: DbgSuccinct) -> List[bytes]:
+def contig_sequences(g: DbgSuccinct, return_paths: bool = False):
     """Contigs (call_sequences): greedy node-disjoint path cover that may
     run through branches (reference sequence_graph.cpp:call_sequences).
 
@@ -169,10 +241,11 @@ def contig_sequences(g: DbgSuccinct) -> List[bytes]:
     reference's guarantees (every node appears exactly once)."""
     u = unitig_decomposition(g)
     if u.num_unitigs == 0:
-        return []
+        return ([], []) if return_paths else []
     k = g.k
     mask = getattr(g, "mask", None)
     seqs = unitig_sequences(g, u, apply_mask=False)
+    paths = unitig_paths(g, u) if return_paths else None
     ends = np.array([u.starts[c] for c in range(u.num_unitigs)])
     # map: last node of each chain
     last_nodes = np.zeros(u.num_unitigs, np.int32)
@@ -195,20 +268,28 @@ def contig_sequences(g: DbgSuccinct) -> List[bytes]:
                 used_head[cn] = True
                 break
     out = []
+    out_paths = []
     emitted = np.zeros(u.num_unitigs, bool)
     for c in range(u.num_unitigs):
         if used_head[c] or emitted[c] or \
                 (mask is not None and not mask[u.starts[c]]):
             continue
         parts = [seqs[c]]
+        pparts = [paths[c]] if return_paths else None
         emitted[c] = True
         cn = next_chain[c]
         while cn >= 0 and not emitted[cn]:
             parts.append(seqs[cn][k - 1:])
+            if return_paths:
+                pparts.append(paths[cn])
             emitted[cn] = True
             cn = next_chain[cn]
         out.append(b"".join(parts))
+        if return_paths:
+            out_paths.append(np.concatenate(pparts))
     for c in range(u.num_unitigs):
         if not emitted[c] and (mask is None or mask[u.starts[c]]):
             out.append(seqs[c])
-    return out
+            if return_paths:
+                out_paths.append(paths[c])
+    return (out, out_paths) if return_paths else out

@@ -30,7 +30,16 @@ long fasta_encode(const unsigned char *data, long n,
                   long *rec_offsets, long max_recs, long *n_recs_out)
 {
     long o = 0, recs = 0, i = 0;
-    int fastq = (n > 0 && data[0] == '@');
+    /* sniff format from the first non-whitespace byte (a leading blank
+     * line must not demote FastQ to FASTA) */
+    long s = 0;
+    while (s < n && (data[s] == '\n' || data[s] == '\r' ||
+                     data[s] == ' ' || data[s] == '\t'))
+        s++;
+    if (s >= n) { *n_recs_out = 0; return 0; } /* all-whitespace file */
+    int fastq = (data[s] == '@');
+    if (data[s] != '>' && data[s] != '@')
+        return -1; /* unknown format: let the caller fall back */
     while (i < n) {
         unsigned char c = data[i];
         if (c == '>' || (fastq && c == '@')) {
@@ -59,7 +68,7 @@ long fasta_encode(const unsigned char *data, long n,
                 while (i < n) {
                     unsigned char b = data[i++];
                     if (b == '\n') break;
-                    if (b == '\r') continue;
+                    if (b == '\r' || b == ' ' || b == '\t') continue;
                     if (o >= out_cap) return -1;
                     out[o++] = table[b];
                 }

@@ -190,3 +190,55 @@ class FastaWriter:
 
     def __exit__(self, *a):
         self.close()
+
+
+class ExtendedFastaWriter(FastaWriter):
+    """FASTA writer with a per-k-mer count sidecar
+    (reference ExtendedFastaWriter, sequence_io.hpp:96-218): sequences go
+    to ``<base>.fasta.gz`` and counts to ``<base>.kmer_counts.gz`` — one
+    text line of space-separated uint32 counts per record, aligned with
+    the record order (our own container format; the role, not the bytes,
+    of the reference's serialized variant)."""
+
+    def __init__(self, base: str, k: int, header: str = "",
+                 enumerate_sequences: bool = True):
+        for suf in (".gz", ".fasta"):
+            if base.endswith(suf):
+                base = base[:-len(suf)]
+        super().__init__(base + ".fasta.gz", header, enumerate_sequences)
+        self.k = k
+        self._cf = gzip.open(base + ".kmer_counts.gz", "wb")
+
+    def write(self, seq, counts=None, name: Optional[str] = None):
+        super().write(seq, name)
+        n_kmers = len(seq) - self.k + 1
+        if counts is None:
+            counts = [1] * n_kmers
+        assert len(counts) == n_kmers, (len(counts), n_kmers)
+        self._cf.write(" ".join(str(int(c)) for c in counts).encode() + b"\n")
+
+    def close(self):
+        super().close()
+        self._cf.close()
+
+
+def kmer_counts_sidecar(path: str) -> Optional[str]:
+    """Path of the ``.kmer_counts.gz`` sidecar for a FASTA file, if any
+    (reference parse_sequences.hpp:107-113)."""
+    base = path
+    for suf in (".gz", ".fasta", ".fa"):
+        if base.endswith(suf):
+            base = base[:-len(suf)]
+    side = base + ".kmer_counts.gz"
+    return side if os.path.exists(side) else None
+
+
+def iter_weighted_records(path: str) -> Iterator[Tuple[SeqRecord, "np.ndarray"]]:
+    """Yield (record, per-k-mer counts) pairs from a FASTA + sidecar."""
+    import numpy as np
+    side = kmer_counts_sidecar(path)
+    assert side is not None
+    with gzip.open(side, "rb") as cf:
+        for rec, line in zip(parse_records(path), cf):
+            counts = np.array([int(x) for x in line.split()], np.uint32)
+            yield rec, counts
