@@ -306,6 +306,149 @@ class Aligner:
         results.sort(key=lambda a: -a.score)
         return results[:num_alternative_paths]
 
+    def align_batch(self, seqs: Sequence[bytes],
+                    both_strands: bool = False,
+                    num_alternative_paths: int = 1
+                    ) -> List[List[GraphAlignment]]:
+        """Batched alignment (reference DBGAligner::align_batch,
+        dbg_aligner.hpp:160): seeding, beam extension and CIGAR DP all
+        run batched on device via align/batch_extender.py — no per-read
+        Python DP. Falls back to the per-read path only for reads that
+        need suffix seeding."""
+        from .batch_extender import batched_cigars, beam_extend_batch
+        orientations = [(False, list(seqs))]
+        if both_strands:
+            orientations.append((True, [_revcomp(s) for s in seqs]))
+        per_read: List[List[GraphAlignment]] = [[] for _ in seqs]
+        for orientation, oseqs in orientations:
+            results = self._align_batch_oriented(oseqs, orientation,
+                                                 beam_extend_batch,
+                                                 batched_cigars)
+            for i, r in enumerate(results):
+                if r is not None:
+                    per_read[i].append(r)
+        out = []
+        for i, rs in enumerate(per_read):
+            n = max(len(seqs[i]), 1)
+            rs = [a for a in rs
+                  if a.num_matches >= self.config.min_exact_match * n]
+            rs.sort(key=lambda a: -a.score)
+            out.append(rs[:num_alternative_paths])
+        return out
+
+    def _align_batch_oriented(self, seqs, orientation, beam_extend_batch,
+                              batched_cigars):
+        g = self.graph
+        k = g.k
+        cfg = self.config
+        B = len(seqs)
+        results: List[Optional[GraphAlignment]] = [None] * B
+        # 1) batched seeding: map every read's windows
+        codes_l, runs_l = [], []
+        for s in seqs:
+            codes = self._tbl[np.frombuffer(s, np.uint8)].astype(np.int32)
+            codes_l.append(np.where(codes == 255, 0, codes))
+        seeded = []
+        for i, s in enumerate(seqs):
+            if len(s) < k:
+                runs_l.append([])
+                continue
+            nodes = np.asarray(g.map_to_nodes(s))
+            runs = self._exact_runs(nodes)
+            runs_l.append(runs)
+            if runs:
+                runs.sort(key=lambda r: (r[1] - r[0]), reverse=True)
+                seeded.append((i, nodes, runs[0]))
+        # reads without full-k seeds: per-read suffix-seed fallback
+        for i, s in enumerate(seqs):
+            if len(s) < k or not runs_l[i]:
+                cand, s_len = self._suffix_seeds(codes_l[i])
+                best = None
+                for node in cand:
+                    a = self._align_from_partial_seed(
+                        s, codes_l[i], node, s_len, orientation)
+                    if a is not None and (best is None
+                                          or a.score > best.score):
+                        best = a
+                results[i] = best
+        if not seeded:
+            return results
+        # 2) batched forward + backward beam extension
+        Lmax = max(len(seqs[i]) for i, _, _ in seeded)
+        nb = len(seeded)
+        fwd_tails = np.zeros((nb, Lmax), np.int32)
+        fwd_lens = np.zeros(nb, np.int32)
+        fwd_start = np.zeros(nb, np.int32)
+        bwd_tails = np.zeros((nb, Lmax), np.int32)
+        bwd_lens = np.zeros(nb, np.int32)
+        bwd_start = np.zeros(nb, np.int32)
+        seed_info = []
+        for bi, (i, nodes, (rs, re)) in enumerate(seeded):
+            seed_len = (re - rs) + k - 1
+            qb, qe = rs, rs + seed_len
+            fwd = codes_l[i][qe:]
+            bwd = codes_l[i][:qb][::-1]
+            fwd_tails[bi, :len(fwd)] = fwd
+            fwd_lens[bi] = len(fwd)
+            fwd_start[bi] = nodes[re - 1]
+            bwd_tails[bi, :len(bwd)] = bwd
+            bwd_lens[bi] = len(bwd)
+            bwd_start[bi] = nodes[rs]
+            seed_info.append((i, nodes, rs, re, seed_len, qb, qe))
+        f_scores, f_chars, f_nodes = beam_extend_batch(
+            g, fwd_start, fwd_tails, fwd_lens, cfg, backward=False)
+        b_scores, b_chars, b_nodes = beam_extend_batch(
+            g, bwd_start, bwd_tails, bwd_lens, cfg, backward=True)
+        # 3) batched CIGAR recovery over the winning paths
+        def pack(tails, lens, chars):
+            LQ = tails.shape[1]
+            LR = max([len(c) for c in chars] + [1])
+            r = np.zeros((nb, LR), np.int32)
+            rl = np.zeros(nb, np.int32)
+            for bi, c in enumerate(chars):
+                r[bi, :len(c)] = c
+                rl[bi] = len(c)
+            return tails, lens, r, rl
+        fq, fql, fr, frl = pack(fwd_tails, fwd_lens, f_chars)
+        bq, bql, br, brl = pack(bwd_tails, bwd_lens, b_chars)
+        f_cig = batched_cigars(fq, fr, fql, frl, self.sub,
+                               cfg.gap_opening_penalty,
+                               cfg.gap_extension_penalty, cfg.match_score,
+                               cfg.mm_transition_penalty,
+                               cfg.mm_transversion_penalty)
+        b_cig = batched_cigars(bq, br, bql, brl, self.sub,
+                               cfg.gap_opening_penalty,
+                               cfg.gap_extension_penalty, cfg.match_score,
+                               cfg.mm_transition_penalty,
+                               cfg.mm_transversion_penalty)
+        for bi, (i, nodes, rs, re, seed_len, qb, qe) in enumerate(seed_info):
+            seq = seqs[i]
+            score = cfg.match_score * seed_len
+            ops = ["="] * seed_len
+            path = [int(x) for x in nodes[rs:re]]
+            if fwd_lens[bi] and f_scores[bi] > 0:
+                s2, q_end, r_end, dops = f_cig[bi]
+                score += s2
+                path += [int(x) for x in f_nodes[bi][:r_end]]
+                ops += dops
+                qe += q_end
+            if bwd_lens[bi] and b_scores[bi] > 0:
+                s2, q_end, r_end, dops = b_cig[bi]
+                score += s2
+                path = [int(x) for x in b_nodes[bi][:r_end]][::-1] + path
+                ops = dops[::-1] + ops
+                qb -= q_end
+            cig = _compress_cigar(ops)
+            if qb > 0:
+                cig = f"{qb}S" + cig
+            if qe < len(seq):
+                cig = cig + f"{len(seq) - qe}S"
+            results[i] = GraphAlignment(
+                score=int(score), cigar=cig, query_begin=qb, query_end=qe,
+                sequence=self._spell(path), nodes=path,
+                orientation=orientation)
+        return results
+
     def _align_one(self, seq: bytes, orientation: bool
                    ) -> Optional[GraphAlignment]:
         g = self.graph

@@ -5,22 +5,25 @@ Re-design of the reference Multi-BRWT
 brwt_builders.hpp:18-59, clustering.hpp:27-48). Structure is the same —
 a tree whose every node stores the OR ("nonzero rows") bitvector of its
 column subset over the rows of its parent's support, with leaves owning
-single columns — but both construction and querying are reshaped for TPU:
+single columns — but construction, storage and querying are reshaped
+for TPU:
 
   * column clustering: pairwise similarity of subsampled columns is a
     bit-matrix product — computed as one (num_cols, R) x (R, num_cols)
     matmul on the MXU instead of per-pair popcount loops;
-  * query descent: one level at a time for a whole batch of query rows —
-    per level, the surviving (query, node) pairs gather their node
-    bitvector bit and rank-map their row into the child's support; all
-    gathers, no recursion.
-
-Node bitvectors are stored as dense rank-prefix arrays (BitRank), the
-same space/bandwidth trade as the rest of the framework.
+  * storage: all node bitvectors live in ONE packed uint32 word array
+    with a per-word rank prefix (`lax.population_count` finishes the
+    rank in-word) — 2 bits/bit instead of 32, the blocked-rank layout
+    the reference gets from sdsl rank_support;
+  * query descent: level-synchronous and fully jitted — per tree level
+    ONE device dispatch processes every live (query, node) pair with
+    gathers + popcounts, then expands survivors into child pairs with
+    an interval-expand scatter. No recursion, no per-node Python.
 """
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Sequence, Tuple
 
@@ -28,96 +31,114 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..common.ranksel import BitRank
 from .matrix import RowSparse
 
 
+# ---------------------------------------------------------------------------
+# construction-time tree (host side)
+# ---------------------------------------------------------------------------
+
 @dataclass
 class BrwtNode:
-    """One tree node: support bitvector over parent's support rows."""
-    prefix: np.ndarray           # (n_local + 1,) int64 rank prefix
+    """One tree node during construction: support bits over the parent's
+    support rows (bool array, host)."""
+    bits: np.ndarray             # (parent_support_size,) bool
     children: List["BrwtNode"]
     column: int = -1             # leaf: original column id
 
     @property
     def n_local(self) -> int:
-        return len(self.prefix) - 1
+        return len(self.bits)
 
     @property
     def num_set(self) -> int:
-        return int(self.prefix[-1])
+        return int(self.bits.sum())
 
+
+def _pack_words(bits: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """bool bits -> (uint32 words, int32 per-word exclusive rank)."""
+    n = len(bits)
+    n_words = max((n + 31) // 32, 1)
+    padded = np.zeros(n_words * 32, bool)
+    padded[:n] = bits
+    words = np.packbits(padded.reshape(-1, 32)[:, ::-1],
+                        axis=1)[:, ::-1].copy().view(np.uint32).reshape(-1)
+    pops = padded.reshape(-1, 32).sum(axis=1)
+    brank = np.concatenate([[0], np.cumsum(pops[:-1])]).astype(np.int32)
+    return words, brank
+
+
+# ---------------------------------------------------------------------------
+# flattened device form
+# ---------------------------------------------------------------------------
 
 @dataclass
 class Brwt:
-    root_children: List[BrwtNode]
-    root_prefix: np.ndarray      # rank prefix over all rows (root support)
+    """Flattened Multi-BRWT. Node 0 is the root (support over all rows);
+    nodes are in BFS order so each node's children are contiguous."""
+    parent: np.ndarray           # (M,) int32, -1 for root
+    column: np.ndarray           # (M,) int32, -1 internal
+    child_lo: np.ndarray         # (M,) int32
+    child_hi: np.ndarray         # (M,) int32
+    n_local: np.ndarray          # (M,) int32 support size of the PARENT
+    word_off: np.ndarray         # (M + 1,) int64 into words/brank
+    words: jax.Array             # (W,) uint32 packed node bitvectors
+    brank: jax.Array             # (W,) int32 node-relative exclusive rank
+    level_bounds: np.ndarray     # (L + 1,) node index range per level
     num_rows: int
     num_cols: int
 
     # -- stats (reference print_brwt_stats, stats.cpp) ---------------------
 
+    def num_tree_nodes(self) -> int:
+        return len(self.parent)
+
     def num_nodes(self) -> int:
-        def count(n):
-            return 1 + sum(count(c) for c in n.children)
-        return 1 + sum(count(c) for c in self.root_children)
+        return len(self.parent)
 
     def avg_arity(self) -> float:
-        internal, edges = [0], [0]
-
-        def walk(children):
-            if not children:
-                return
-            internal[0] += 1
-            edges[0] += len(children)
-            for c in children:
-                walk(c.children)
-        walk(self.root_children)
-        return edges[0] / internal[0] if internal[0] else 0.0
-
-    # -- queries -----------------------------------------------------------
-
-    def get_rows_dense(self, rows: np.ndarray) -> np.ndarray:
-        """(Q, num_cols) bool presence — batched level-order descent."""
-        rows = np.asarray(rows, np.int64)
-        out = np.zeros((len(rows), self.num_cols), bool)
-        # root support: map global rows into root-local indices
-        bit = self.root_prefix[rows + 1] - self.root_prefix[rows]
-        alive = bit > 0
-        local = self.root_prefix[rows + 1] - 1   # rank - 1
-        stack = [(c, rows, local, alive) for c in self.root_children]
-        while stack:
-            node, qrows, local, alive = stack.pop()
-            p = node.prefix
-            bit = np.zeros(len(qrows), np.int64)
-            li = np.clip(local, 0, node.n_local - 1)
-            bit[alive] = (p[li + 1] - p[li])[alive]
-            hit = alive & (bit > 0)
-            if not hit.any():
-                continue
-            child_local = p[li + 1] - 1
-            if node.column >= 0 and not node.children:
-                out[hit, node.column] = True
-                continue
-            for c in node.children:
-                stack.append((c, qrows, child_local, hit))
-        return out
-
-    def sum_rows(self, rows, weights) -> np.ndarray:
-        dense = self.get_rows_dense(np.asarray(rows))
-        return (dense * np.asarray(weights)[:, None]).sum(axis=0)
-
-    def presence(self, rows) -> np.ndarray:
-        """RowSparse-compatible query API (engine/annotated_dbg)."""
-        return self.get_rows_dense(np.asarray(rows))
+        internal = (self.child_hi > self.child_lo)
+        n_int = int(internal.sum())
+        return float((self.child_hi - self.child_lo)[internal].sum()) \
+            / n_int if n_int else 0.0
 
     @property
     def nnz(self) -> int:
-        def leaf_sum(n):
-            if n.column >= 0 and not n.children:
-                return n.num_set
-            return sum(leaf_sum(c) for c in n.children)
-        return sum(leaf_sum(c) for c in self.root_children)
+        # leaves' set bits
+        total = 0
+        wo = self.word_off
+        words_np = np.asarray(self.words)
+        for i in np.nonzero(np.asarray(self.column) >= 0)[0]:
+            w = words_np[wo[i]:wo[i + 1]]
+            total += int(np.bitwise_count(w).sum()) if hasattr(np, "bitwise_count") \
+                else int(sum(bin(int(x)).count("1") for x in w))
+        return total
+
+    # -- queries -----------------------------------------------------------
+
+    def _device_arrays(self):
+        return (jnp.asarray(self.words), jnp.asarray(self.brank),
+                jnp.asarray(self.word_off), jnp.asarray(self.column),
+                jnp.asarray(self.child_lo), jnp.asarray(self.child_hi))
+
+    def sum_rows(self, rows, weights) -> np.ndarray:
+        """(num_cols,) weighted column hit counts over the query rows —
+        the BinaryMatrix::sum_rows role (binary_matrix.cpp), computed by
+        the jitted level descent."""
+        rows = jnp.asarray(rows, jnp.int32)
+        weights = jnp.asarray(weights, jnp.int32)
+        counts, _ = self._descend(rows, weights, want_presence=False)
+        return np.asarray(counts)
+
+    def presence(self, rows) -> np.ndarray:
+        """(Q, num_cols) bool presence matrix (slice_rows role)."""
+        rows = jnp.asarray(np.asarray(rows, np.int64), jnp.int32)
+        _, pres = self._descend(
+            rows, jnp.ones(rows.shape, jnp.int32), want_presence=True)
+        return np.asarray(pres)
+
+    def get_rows_dense(self, rows: np.ndarray) -> np.ndarray:
+        return self.presence(rows)
 
     def get_rows(self, rows: np.ndarray) -> List[List[int]]:
         dense = self.get_rows_dense(rows)
@@ -132,6 +153,8 @@ class Brwt:
             r, c = np.nonzero(dense)
             chunks_r.append(r + s)
             chunks_c.append(c)
+        if not chunks_r:
+            chunks_r, chunks_c = [np.zeros(0, np.int64)], [np.zeros(0, np.int64)]
         return RowSparse.from_coo(np.concatenate(chunks_r),
                                   np.concatenate(chunks_c),
                                   self.num_rows, self.num_cols)
@@ -139,50 +162,191 @@ class Brwt:
     # -- serialization -----------------------------------------------------
 
     def to_npz_dict(self) -> dict:
-        flat: List[dict] = []
-
-        def emit(node, parent):
-            idx = len(flat)
-            flat.append({"prefix": node.prefix, "parent": parent,
-                         "column": node.column})
-            for c in node.children:
-                emit(c, idx)
-        for c in self.root_children:
-            emit(c, -1)
-        d = {"brwt_root_prefix": self.root_prefix,
-             "brwt_shape": np.array([self.num_rows, self.num_cols]),
-             "brwt_parents": np.array([f["parent"] for f in flat], np.int64),
-             "brwt_columns": np.array([f["column"] for f in flat], np.int64),
-             "brwt_prefix_lens": np.array([len(f["prefix"]) for f in flat],
-                                          np.int64),
-             "brwt_prefix_concat": (np.concatenate(
-                 [f["prefix"] for f in flat]) if flat
-                 else np.zeros(0, np.int64))}
-        return d
+        return {"brwt_shape": np.array([self.num_rows, self.num_cols]),
+                "brwt_parent": self.parent,
+                "brwt_column": self.column,
+                "brwt_child_lo": self.child_lo,
+                "brwt_child_hi": self.child_hi,
+                "brwt_n_local": self.n_local,
+                "brwt_word_off": self.word_off,
+                "brwt_words": np.asarray(self.words),
+                "brwt_brank": np.asarray(self.brank),
+                "brwt_level_bounds": self.level_bounds}
 
     @staticmethod
     def from_npz_dict(d) -> "Brwt":
         shape = d["brwt_shape"]
-        parents = d["brwt_parents"]
-        columns = d["brwt_columns"]
-        lens = d["brwt_prefix_lens"]
-        concat = d["brwt_prefix_concat"]
-        nodes: List[BrwtNode] = []
-        off = 0
-        for i in range(len(parents)):
-            prefix = concat[off:off + lens[i]]
-            off += lens[i]
-            nodes.append(BrwtNode(prefix=np.asarray(prefix), children=[],
-                                  column=int(columns[i])))
-        root_children = []
-        for i, par in enumerate(parents):
-            if par < 0:
-                root_children.append(nodes[i])
-            else:
-                nodes[par].children.append(nodes[i])
-        return Brwt(root_children=root_children,
-                    root_prefix=np.asarray(d["brwt_root_prefix"]),
+        return Brwt(parent=np.asarray(d["brwt_parent"]),
+                    column=np.asarray(d["brwt_column"]),
+                    child_lo=np.asarray(d["brwt_child_lo"]),
+                    child_hi=np.asarray(d["brwt_child_hi"]),
+                    n_local=np.asarray(d["brwt_n_local"]),
+                    word_off=np.asarray(d["brwt_word_off"]),
+                    words=jnp.asarray(d["brwt_words"]),
+                    brank=jnp.asarray(d["brwt_brank"]),
+                    level_bounds=np.asarray(d["brwt_level_bounds"]),
                     num_rows=int(shape[0]), num_cols=int(shape[1]))
+
+    # -- host-side reconstruction (relaxation, debugging) ------------------
+
+    def node_bits(self, i: int) -> np.ndarray:
+        """Expand node i's bitvector to a host bool array."""
+        w = np.asarray(self.words[self.word_off[i]:self.word_off[i + 1]])
+        bits = np.unpackbits(w.view(np.uint8), bitorder="little")
+        return bits[:self.n_local[i]].astype(bool)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("num_cols", "cap", "want_presence"))
+def _brwt_level_w(dev, w_q, q_idx, node, local, alive, counts, pres,
+                  num_cols, cap, want_presence):
+    """One level of the batched BRWT descent: probe every live
+    (query, node) pair's bit + in-node rank (packed words + per-word
+    rank + population_count), accumulate leaf hits, and interval-expand
+    survivors into child pairs (capacity `cap`; the returned spawn count
+    lets the host retry on overflow)."""
+    words, brank, word_off, column, child_lo, child_hi = dev
+    base = word_off[node]
+    li = jnp.maximum(local, 0)
+    wi = (base + (li >> 5)).astype(jnp.int64)
+    wi = jnp.clip(wi, 0, words.shape[0] - 1)
+    word = words[wi]
+    bitpos = (li & 31).astype(jnp.uint32)
+    bit = (word >> bitpos) & jnp.uint32(1)
+    mask = (jnp.uint32(1) << bitpos) - jnp.uint32(1)
+    in_word = jax.lax.population_count(word & mask).astype(jnp.int32)
+    rank_ex = brank[wi] + in_word
+    survive = alive & (bit == 1) & (local >= 0)
+    is_leaf = column[node] >= 0
+    leaf_mask = survive & is_leaf
+    col_ids = jnp.where(leaf_mask, column[node], num_cols)
+    counts = counts + jax.ops.segment_sum(
+        jnp.where(leaf_mask, w_q[q_idx], 0).astype(jnp.int32),
+        col_ids, num_segments=num_cols + 1)[:num_cols]
+    if want_presence:
+        flat = jnp.where(leaf_mask,
+                         q_idx.astype(jnp.int32) * num_cols
+                         + column[node], pres.shape[0] - 1)
+        pres = pres.at[flat].max(leaf_mask)
+    spawn = survive & ~is_leaf
+    n_child = jnp.where(spawn, child_hi[node] - child_lo[node], 0)
+    offs = jnp.cumsum(n_child) - n_child
+    total = (offs[-1] + n_child[-1]) if n_child.shape[0] else jnp.int32(0)
+    slots = jnp.arange(cap, dtype=jnp.int32)
+    src0 = jnp.zeros((cap,), jnp.int32)
+    put = jnp.where(spawn & (offs < cap), offs, cap - 1)
+    src0 = src0.at[put].max(jnp.where(spawn, jnp.arange(
+        n_child.shape[0], dtype=jnp.int32) + 1, 0))
+    src = jax.lax.cummax(src0) - 1
+    src_ok = (src >= 0) & (slots < total)
+    src_c = jnp.clip(src, 0, n_child.shape[0] - 1)
+    child_rank = slots - offs[src_c]
+    nxt_node = child_lo[node[src_c]] + child_rank
+    nxt_q = q_idx[src_c]
+    nxt_local = rank_ex[src_c]
+    nxt_alive = src_ok & spawn[src_c] & (child_rank < n_child[src_c])
+    return (nxt_q, nxt_node.astype(jnp.int32),
+            jnp.where(nxt_alive, nxt_local, -1).astype(jnp.int32),
+            nxt_alive, counts, pres, total)
+
+
+# rebind Brwt._descend to use the weighted kernel
+def _descend_impl(self, rows: jax.Array, weights: jax.Array,
+                  want_presence: bool):
+    dev = self._device_arrays()
+    Q = int(rows.shape[0])
+    counts = jnp.zeros((self.num_cols,), jnp.int32)
+    pres = jnp.zeros((Q * self.num_cols + 1,), jnp.bool_) \
+        if want_presence else jnp.zeros((1,), jnp.bool_)
+    q_idx = jnp.arange(Q, dtype=jnp.int32)
+    node = jnp.zeros((Q,), jnp.int32)
+    local = rows.astype(jnp.int32)
+    alive = jnp.ones((Q,), jnp.bool_)
+    w_q = weights.astype(jnp.int32)
+    cap = max(int(2 ** np.ceil(np.log2(max(Q, 1)))), 16)
+    n_levels = len(self.level_bounds) - 1
+    state = (q_idx, node, local, alive)
+    for _ in range(n_levels):
+        q_idx, node, local, alive = state
+        out = _brwt_level_w(dev, w_q, q_idx, node, local, alive, counts,
+                            pres, num_cols=self.num_cols, cap=cap,
+                            want_presence=want_presence)
+        needed = int(out[6])
+        while needed > cap:
+            cap = max(cap * 2,
+                      int(2 ** np.ceil(np.log2(max(needed, 2)))))
+            out = _brwt_level_w(dev, w_q, q_idx, node, local, alive,
+                                counts, pres, num_cols=self.num_cols,
+                                cap=cap, want_presence=want_presence)
+            needed = int(out[6])
+        state = (out[0], out[1], out[2], out[3])
+        counts, pres = out[4], out[5]
+        if needed == 0:
+            break
+    if want_presence:
+        pres = pres[:Q * self.num_cols].reshape(Q, self.num_cols)
+    return counts, pres
+
+
+Brwt._descend = _descend_impl
+
+
+# ---------------------------------------------------------------------------
+# flattening (tree -> device arrays)
+# ---------------------------------------------------------------------------
+
+def flatten_tree(root_bits: np.ndarray, root_children: List[BrwtNode],
+                 num_rows: int, num_cols: int) -> Brwt:
+    """BFS-flatten a construction tree into the packed query form.
+    Node 0 is the root whose bitvector is its support over all rows."""
+    # BFS order so children of each node are contiguous
+    nodes: List[Tuple[BrwtNode, int, int]] = []   # (node, parent, level)
+    order: List[BrwtNode] = []
+    root = BrwtNode(bits=root_bits, children=root_children, column=-1)
+    queue = [(root, -1, 0)]
+    while queue:
+        nxt = []
+        for n, par, lvl in queue:
+            nodes.append((n, par, lvl))
+        for idx, (n, par, lvl) in enumerate(nodes[len(nodes) - len(queue):],
+                                            start=len(nodes) - len(queue)):
+            for c in n.children:
+                nxt.append((c, idx, lvl + 1))
+        queue = nxt
+    M = len(nodes)
+    parent = np.full(M, -1, np.int32)
+    column = np.full(M, -1, np.int32)
+    level = np.zeros(M, np.int32)
+    n_local = np.zeros(M, np.int32)
+    child_lo = np.zeros(M, np.int32)
+    child_hi = np.zeros(M, np.int32)
+    words_l, brank_l = [], []
+    word_off = np.zeros(M + 1, np.int64)
+    for i, (n, par, lvl) in enumerate(nodes):
+        parent[i] = par
+        column[i] = n.column
+        level[i] = lvl
+        n_local[i] = len(n.bits)
+        w, b = _pack_words(np.asarray(n.bits, bool))
+        words_l.append(w)
+        brank_l.append(b)
+        word_off[i + 1] = word_off[i] + len(w)
+    # children ranges: BFS order -> contiguous
+    for i, (n, par, lvl) in enumerate(nodes):
+        if par >= 0:
+            if child_hi[par] == 0:
+                child_lo[par] = i
+            child_hi[par] = i + 1
+    n_levels = int(level.max()) + 1 if M else 1
+    level_bounds = np.searchsorted(level, np.arange(n_levels + 1))
+    return Brwt(parent=parent, column=column, child_lo=child_lo,
+                child_hi=child_hi, n_local=n_local, word_off=word_off,
+                words=jnp.asarray(np.concatenate(words_l)
+                                  if words_l else np.zeros(0, np.uint32)),
+                brank=jnp.asarray(np.concatenate(brank_l)
+                                  if brank_l else np.zeros(0, np.int32)),
+                level_bounds=level_bounds.astype(np.int64),
+                num_rows=num_rows, num_cols=num_cols)
 
 
 # ---------------------------------------------------------------------------
@@ -193,10 +357,11 @@ def _column_bitmaps(matrix: RowSparse) -> List[np.ndarray]:
     """Per-column sorted row-index arrays."""
     rows = np.asarray(matrix.rows)
     cols = np.asarray(matrix.cols)
-    out = []
-    for c in range(matrix.num_cols):
-        out.append(np.sort(rows[cols == c]))
-    return out
+    order = np.argsort(cols, kind="stable")
+    rows_s, cols_s = rows[order], cols[order]
+    bounds = np.searchsorted(cols_s, np.arange(matrix.num_cols + 1))
+    return [np.sort(rows_s[bounds[c]:bounds[c + 1]])
+            for c in range(matrix.num_cols)]
 
 
 def greedy_linkage(columns: List[np.ndarray], num_rows: int,
@@ -219,11 +384,10 @@ def greedy_linkage(columns: List[np.ndarray], num_rows: int,
     for i, col in enumerate(columns):
         mask = np.isin(keep, col, assume_unique=True)
         M[i, mask] = 1.0
-    S = np.array(jnp.asarray(M) @ jnp.asarray(M).T)  # MXU similarity (writable copy)
+    S = np.array(jnp.asarray(M) @ jnp.asarray(M).T)  # MXU similarity
     np.fill_diagonal(S, -1.0)
     pairs = []
     used = np.zeros(n, bool)
-    # greedy max-similarity matching
     order = np.dstack(np.unravel_index(np.argsort(-S, axis=None),
                                        S.shape))[0]
     for i, j in order:
@@ -238,18 +402,11 @@ def greedy_linkage(columns: List[np.ndarray], num_rows: int,
 def build_brwt(matrix: RowSparse, arity: int = 2,
                subsample: int = 1_000_000) -> Brwt:
     """Bottom-up Multi-BRWT build (BRWTBottomUpBuilder semantics):
-    greedily pair similar columns level by level until one root."""
+    greedily pair similar columns level by level until one root, then
+    flatten into the packed device form."""
     num_rows, num_cols = matrix.num_rows, matrix.num_cols
     col_rows = _column_bitmaps(matrix)
 
-    # current level: list of (support_rows_global_sorted, node)
-    def leaf(c):
-        return (col_rows[c], None, c)
-
-    level = [leaf(c) for c in range(num_cols)]
-    # materialize leaves lazily: a node's prefix depends on its parent
-    # support, so build top-down after the merge tree is known. First
-    # construct the merge tree over column groups:
     trees: List = [("leaf", c) for c in range(num_cols)]
     supports: List[np.ndarray] = [col_rows[c] for c in range(num_cols)]
     while len(trees) > 1:
@@ -260,8 +417,7 @@ def build_brwt(matrix: RowSparse, arity: int = 2,
         used = set()
         for i, j in pairs:
             merged_trees.append(("node", trees[i], trees[j]))
-            merged_supports.append(
-                np.union1d(supports[i], supports[j]))
+            merged_supports.append(np.union1d(supports[i], supports[j]))
             used.add(i)
             used.add(j)
         for i in range(len(trees)):
@@ -272,22 +428,7 @@ def build_brwt(matrix: RowSparse, arity: int = 2,
 
     root_support = supports[0] if supports else np.zeros(0, np.int64)
     root_bits = np.zeros(num_rows, bool)
-    root_bits[root_support] = True
-    root_prefix = np.concatenate([[0], np.cumsum(root_bits)]).astype(np.int64)
-
-    def build_node(tree, parent_support: np.ndarray) -> BrwtNode:
-        if tree[0] == "leaf":
-            c = tree[1]
-            support = col_rows[c]
-        else:
-            support = collect_support(tree)
-        bits = np.isin(parent_support, support, assume_unique=True)
-        prefix = np.concatenate([[0], np.cumsum(bits)]).astype(np.int64)
-        if tree[0] == "leaf":
-            return BrwtNode(prefix=prefix, children=[], column=tree[1])
-        node = BrwtNode(prefix=prefix, children=[], column=-1)
-        node.children = [build_node(t, support) for t in tree[1:]]
-        return node
+    root_bits[root_support.astype(np.int64)] = True
 
     support_cache: Dict[int, np.ndarray] = {}
 
@@ -304,43 +445,54 @@ def build_brwt(matrix: RowSparse, arity: int = 2,
         support_cache[key] = s
         return s
 
+    def build_node(tree, parent_support: np.ndarray) -> BrwtNode:
+        support = collect_support(tree)
+        bits = np.isin(parent_support, support, assume_unique=True)
+        if tree[0] == "leaf":
+            return BrwtNode(bits=bits, children=[], column=tree[1])
+        node = BrwtNode(bits=bits, children=[], column=-1)
+        node.children = [build_node(t, support) for t in tree[1:]]
+        return node
+
     if not trees:
-        return Brwt(root_children=[], root_prefix=root_prefix,
-                    num_rows=num_rows, num_cols=num_cols)
+        return flatten_tree(root_bits, [], num_rows, num_cols)
     root_tree = trees[0]
     if root_tree[0] == "leaf":
         children = [build_node(root_tree, root_support)]
     else:
         children = [build_node(t, root_support) for t in root_tree[1:]]
-    return Brwt(root_children=children, root_prefix=root_prefix,
-                num_rows=num_rows, num_cols=num_cols)
+    return flatten_tree(root_bits, children, num_rows, num_cols)
 
 
 def relax_brwt(brwt: Brwt, max_arity: int = 8) -> Brwt:
     """Arity relaxation (reference BRWTOptimizer / `relax_brwt` CLI):
     collapse chains of internal nodes into wider nodes up to max_arity,
     re-ranking child bitvectors into the grandparent's support."""
+    # reconstruct the host tree from the flat form
+    def rebuild(i: int) -> BrwtNode:
+        kids = [rebuild(j) for j in range(brwt.child_lo[i],
+                                          brwt.child_hi[i])]
+        return BrwtNode(bits=brwt.node_bits(i), children=kids,
+                        column=int(brwt.column[i]))
+
+    root_kids = [rebuild(j) for j in range(brwt.child_lo[0],
+                                           brwt.child_hi[0])]
+    root_bits = brwt.node_bits(0)
 
     def relax(node: BrwtNode) -> BrwtNode:
         node.children = [relax(c) for c in node.children]
-        # merge a child into this node when total arity stays in bounds
         changed = True
         while changed:
             changed = False
             for i, c in enumerate(node.children):
                 if c.column < 0 and c.children and \
                         len(node.children) - 1 + len(c.children) <= max_arity:
-                    # child c's children see c's support; lift to node's
-                    # support: compose rank prefixes
+                    set_pos = np.nonzero(c.bits)[0]
                     lifted = []
-                    set_pos = np.nonzero(np.diff(c.prefix) > 0)[0]
                     for gc in c.children:
                         bits = np.zeros(c.n_local, bool)
-                        gbits = np.diff(gc.prefix) > 0
-                        bits[set_pos] = gbits
-                        prefix = np.concatenate(
-                            [[0], np.cumsum(bits)]).astype(np.int64)
-                        lifted.append(BrwtNode(prefix=prefix,
+                        bits[set_pos] = gc.bits
+                        lifted.append(BrwtNode(bits=bits,
                                                children=gc.children,
                                                column=gc.column))
                     node.children = (node.children[:i] + lifted
@@ -349,9 +501,7 @@ def relax_brwt(brwt: Brwt, max_arity: int = 8) -> Brwt:
                     break
         return node
 
-    fake_root = BrwtNode(prefix=brwt.root_prefix.astype(np.int64),
-                         children=brwt.root_children, column=-1)
-    relaxed = relax(fake_root)
-    return Brwt(root_children=relaxed.children,
-                root_prefix=brwt.root_prefix,
-                num_rows=brwt.num_rows, num_cols=brwt.num_cols)
+    fake = BrwtNode(bits=root_bits, children=root_kids, column=-1)
+    relaxed = relax(fake)
+    return flatten_tree(root_bits, relaxed.children,
+                        brwt.num_rows, brwt.num_cols)

@@ -139,6 +139,21 @@ class RowSparse:
         qs = jnp.where(valid, q, row_idx.shape[0])
         return out.at[qs, col].set(True, mode="drop")
 
+    def values_dense(self, row_idx: jax.Array,
+                     capacity: Optional[int] = None) -> jax.Array:
+        """(Q, num_cols) int32 dense values per queried row (0 where
+        unset) — the IntMatrix::get_row_values role with static shapes."""
+        assert self.values is not None
+        lo, hi = self.row_ranges(row_idx)
+        cap = self._expand_capacity(lo, hi, capacity)
+        q, flat, valid = _expand_intervals(lo, hi, cap)
+        fc = jnp.clip(flat, 0, max(self.nnz - 1, 0))
+        col = self.cols[fc]
+        out = jnp.zeros((row_idx.shape[0], self.num_cols), jnp.int32)
+        qs = jnp.where(valid, q, row_idx.shape[0])
+        return out.at[qs, col].add(jnp.where(valid, self.values[fc], 0),
+                                   mode="drop")
+
     def get_column(self, col: int) -> jax.Array:
         """Sorted row indices with the given column set (host-sized)."""
         mask = self.cols == col

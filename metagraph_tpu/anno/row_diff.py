@@ -67,41 +67,34 @@ class RowDiff:
 
     # -- queries -----------------------------------------------------------
 
-    def get_rows_dense(self, rows: np.ndarray) -> np.ndarray:
-        """(Q, num_cols) bool — batched anchor-walk with XOR accumulation
-        (reference row_diff.hpp:153-221)."""
-        rows = np.asarray(rows, np.int64)
-        Q = len(rows)
-        acc = np.zeros((Q, self.num_cols), bool)
-        cur = rows.copy()
-        done = np.zeros(Q, bool)
-        # fixed-shape masked walk: every step queries all Q rows (done rows
-        # query a sentinel) so shapes stay constant and kernels compile once
-        sentinel = self.num_rows  # out-of-range row: empty delta
-        # fixed expand capacity: keeps one compiled shape across ALL steps
-        cap = max(1, Q * max(self._max_row_nnz, 1))
+    def _walk_inputs(self, rows) -> Tuple[jax.Array, jax.Array, jax.Array,
+                                          int, int]:
+        rows_d = jnp.asarray(np.asarray(rows, np.int64), jnp.int32)
+        anchor_d = jnp.asarray(self.anchor)
+        succ_d = jnp.asarray(self.succ.astype(np.int32))
+        cap = max(1, int(rows_d.shape[0]) * max(self._max_row_nnz, 1))
         cap = 1 << (cap - 1).bit_length()
-        for _ in range(self.max_length + 1):
-            if done.all():
-                break
-            probe = np.where(done, sentinel, cur).astype(np.int32)
-            delta = np.asarray(self.diffs.presence(jnp.asarray(probe),
-                                                   capacity=cap))
-            acc ^= delta & ~done[:, None]
-            hit = self.anchor[np.clip(cur, 0, self.num_rows - 1)] & ~done
-            done |= hit
-            nxt = self.succ[np.clip(cur, 0, self.num_rows - 1)]
-            bad = (nxt < 0) & ~done
-            done |= bad
-            cur = np.where(done, cur, nxt)
-        return acc
+        return rows_d, anchor_d, succ_d, cap, self.max_length + 1
+
+    def get_rows_dense(self, rows: np.ndarray) -> np.ndarray:
+        """(Q, num_cols) bool — the whole anchor-walk XOR accumulation is
+        ONE jitted dispatch: a fori_loop of masked interval-expand
+        presence gathers (reference row_diff.hpp:153-221; replaces the
+        round-1 host-numpy per-step loop)."""
+        rows_d, anchor_d, succ_d, cap, steps = self._walk_inputs(rows)
+        acc = _rd_walk_bits(self.diffs, anchor_d, succ_d, rows_d,
+                            cap=cap, steps=steps)
+        return np.asarray(acc)
 
     def presence(self, rows) -> np.ndarray:
         return self.get_rows_dense(np.asarray(rows))
 
     def sum_rows(self, rows, weights) -> np.ndarray:
-        dense = self.get_rows_dense(np.asarray(rows))
-        return (dense * np.asarray(weights)[:, None]).sum(axis=0)
+        rows_d, anchor_d, succ_d, cap, steps = self._walk_inputs(rows)
+        acc = _rd_walk_bits(self.diffs, anchor_d, succ_d, rows_d,
+                            cap=cap, steps=steps)
+        w = jnp.asarray(np.asarray(weights), jnp.int32)
+        return np.asarray((acc * w[:, None]).sum(axis=0))
 
     def get_rows(self, rows: np.ndarray) -> List[List[int]]:
         dense = self.get_rows_dense(rows)
@@ -140,6 +133,64 @@ class RowDiff:
                        max_length=int(d["rd_max_length"]))
 
 
+import functools
+
+
+@functools.partial(jax.jit, static_argnames=("cap", "steps"))
+def _rd_walk_bits(diffs: RowSparse, anchor_d, succ_d, rows0, cap, steps):
+    """Batched anchor walk with XOR accumulation — one compiled dispatch
+    for the whole walk (masked fixed shapes; done rows probe an
+    out-of-range sentinel whose delta is empty)."""
+    Q = rows0.shape[0]
+    sentinel = jnp.int32(diffs.num_rows + 1)
+    nmax = jnp.int32(max(diffs.num_rows - 1, 0))
+
+    def body(_, state):
+        acc, cur, done = state
+        probe = jnp.where(done, sentinel, cur)
+        delta = diffs.presence(probe, capacity=cap)
+        acc = acc ^ (delta & ~done[:, None])
+        curc = jnp.clip(cur, 0, nmax)
+        done = done | (anchor_d[curc] & ~done)
+        nxt = succ_d[curc]
+        done = done | ((nxt < 0) & ~done)
+        cur = jnp.where(done, cur, nxt)
+        return acc, cur, done
+
+    acc0 = jnp.zeros((Q, diffs.num_cols), bool)
+    acc, _, _ = jax.lax.fori_loop(
+        0, steps, body,
+        (acc0, rows0, jnp.zeros((Q,), bool)))
+    return acc
+
+
+@functools.partial(jax.jit, static_argnames=("cap", "steps"))
+def _rd_walk_vals(diffs: RowSparse, anchor_d, succ_d, rows0, cap, steps):
+    """Batched anchor walk summing integer deltas (IntRowDiff query),
+    one compiled dispatch."""
+    Q = rows0.shape[0]
+    sentinel = jnp.int32(diffs.num_rows + 1)
+    nmax = jnp.int32(max(diffs.num_rows - 1, 0))
+
+    def body(_, state):
+        acc, cur, done = state
+        probe = jnp.where(done, sentinel, cur)
+        delta = diffs.values_dense(probe, capacity=cap)
+        acc = acc + jnp.where(done[:, None], 0, delta)
+        curc = jnp.clip(cur, 0, nmax)
+        done = done | (anchor_d[curc] & ~done)
+        nxt = succ_d[curc]
+        done = done | ((nxt < 0) & ~done)
+        cur = jnp.where(done, cur, nxt)
+        return acc, cur, done
+
+    acc0 = jnp.zeros((Q, diffs.num_cols), jnp.int32)
+    acc, _, _ = jax.lax.fori_loop(
+        0, steps, body,
+        (acc0, rows0, jnp.zeros((Q,), bool)))
+    return acc
+
+
 @dataclass
 class IntRowDiff:
     """Integer (count) annotations delta-compressed along graph paths
@@ -159,33 +210,35 @@ class IntRowDiff:
     def nnz(self) -> int:
         return len(self.rows)
 
-    def _dense_rows(self, idx: np.ndarray) -> np.ndarray:
-        out = np.zeros((len(idx), self.num_cols), np.int64)
-        lo = np.searchsorted(self.rows, idx, side="left")
-        hi = np.searchsorted(self.rows, idx, side="right")
-        for i, (l, h) in enumerate(zip(lo, hi)):
-            out[i, self.cols[l:h]] = self.vals[l:h]
-        return out
+    @property
+    def _diffs(self) -> RowSparse:
+        """Device RowSparse view over the delta triples (cached)."""
+        if not hasattr(self, "_diffs_cache"):
+            object.__setattr__(self, "_diffs_cache", RowSparse(
+                rows=jnp.asarray(self.rows.astype(np.int32)),
+                cols=jnp.asarray(self.cols.astype(np.int32)),
+                num_rows=self.num_rows, num_cols=self.num_cols,
+                values=jnp.asarray(self.vals.astype(np.int32))))
+        return self._diffs_cache
+
+    @property
+    def _max_row_nnz(self) -> int:
+        if not hasattr(self, "_max_row_nnz_cache"):
+            r = np.asarray(self.rows)
+            object.__setattr__(self, "_max_row_nnz_cache",
+                               int(np.bincount(r).max()) if len(r) else 1)
+        return self._max_row_nnz_cache
 
     def get_row_values_dense(self, rows: np.ndarray) -> np.ndarray:
-        """(Q, num_cols) int64 values via batched anchor walks."""
-        rows = np.asarray(rows, np.int64)
-        Q = len(rows)
-        acc = np.zeros((Q, self.num_cols), np.int64)
-        cur = rows.copy()
-        done = np.zeros(Q, bool)
-        for _ in range(self.max_length + 1):
-            if done.all():
-                break
-            active = ~done
-            acc[active] += self._dense_rows(cur[active])
-            hit = self.anchor[np.clip(cur, 0, self.num_rows - 1)] & active
-            done |= hit
-            nxt = self.succ[np.clip(cur, 0, self.num_rows - 1)]
-            bad = (nxt < 0) & ~done
-            done |= bad
-            cur = np.where(done, cur, nxt)
-        return acc
+        """(Q, num_cols) values — the whole delta-summing anchor walk is
+        one jitted dispatch (replaces the round-1 host per-step loop)."""
+        rows_d = jnp.asarray(np.asarray(rows, np.int64), jnp.int32)
+        cap = max(1, int(rows_d.shape[0]) * max(self._max_row_nnz, 1))
+        cap = 1 << (cap - 1).bit_length()
+        acc = _rd_walk_vals(self._diffs, jnp.asarray(self.anchor),
+                            jnp.asarray(self.succ.astype(np.int32)),
+                            rows_d, cap=cap, steps=self.max_length + 1)
+        return np.asarray(acc).astype(np.int64)
 
     def presence(self, rows) -> np.ndarray:
         return self.get_row_values_dense(np.asarray(rows)) > 0
@@ -197,6 +250,12 @@ class IntRowDiff:
     def sum_row_values(self, rows, weights) -> np.ndarray:
         dense = self.get_row_values_dense(np.asarray(rows))
         return (dense * np.asarray(weights)[:, None]).sum(axis=0)
+
+    def row_values_list(self, rows: np.ndarray):
+        """(cols, values) pairs over requested rows (quantile queries)."""
+        dense = self.get_row_values_dense(rows)
+        q, c = np.nonzero(dense)
+        return c, dense[q, c]
 
     def to_npz_dict(self) -> dict:
         return {"ird_rows": self.rows, "ird_cols": self.cols,

@@ -604,40 +604,47 @@ def cmd_align(args):
         cfg.gap_extension_penalty = 1
     aligner = Aligner(g, cfg)
     out = open(args.outfile_base, "w") if args.outfile_base else sys.stdout
+    recs = []
     for f in args.fnames:
-        for rec in parse_records(f):
+        recs.extend(parse_records(f))
+    if args.map_only:
+        for rec in recs:
             name = rec.name.decode()
-            if args.map_only:
-                nodes = np.asarray(g.map_to_nodes(rec.seq))
-                n_disc = int((nodes > 0).sum())
-                if args.count_kmers:
-                    # name \t discovered/total/unique (align.cpp:212-226)
-                    n_uniq = len(np.unique(nodes[nodes > 0]))
-                    out.write(f"{name}\t{n_disc}/{len(nodes)}/{n_uniq}\n")
-                else:
-                    for i, v in enumerate(nodes):
-                        out.write(
-                            f"{rec.seq[i:i + g.k].decode()}: {int(v)}\n")
-                continue
-            results = aligner.align(
-                rec.seq, num_alternative_paths=args.num_alternative_paths,
-                both_strands=args.align_both_strands)
-            if args.json:
-                for r in results:
-                    out.write(json.dumps(
-                        r.to_json(name)) + "\n")
-                continue
-            # header \t query [\t +/- \t seq \t score \t matches \t cigar
-            # \t offset]... (format_alignment, aligner_alignment.hpp:180)
-            row = f"{name}\t{rec.seq.decode()}"
-            if not results:
-                row += "\t*\t*\t0\t*\t*\t*"
+            nodes = np.asarray(g.map_to_nodes(rec.seq))
+            n_disc = int((nodes > 0).sum())
+            if args.count_kmers:
+                # name \t discovered/total/unique (align.cpp:212-226)
+                n_uniq = len(np.unique(nodes[nodes > 0]))
+                out.write(f"{name}\t{n_disc}/{len(nodes)}/{n_uniq}\n")
             else:
-                for r in results:
-                    strand = "-" if r.orientation else "+"
-                    row += (f"\t{strand}\t{r.sequence.decode()}\t{r.score}"
-                            f"\t{r.num_matches}\t{r.cigar}\t0")
-            out.write(row + "\n")
+                for i, v in enumerate(nodes):
+                    out.write(f"{rec.seq[i:i + g.k].decode()}: {int(v)}\n")
+        if out is not sys.stdout:
+            out.close()
+        return
+    t0 = time.time()
+    all_results = aligner.align_batch(
+        [r.seq for r in recs], both_strands=args.align_both_strands,
+        num_alternative_paths=args.num_alternative_paths)
+    log(f"Aligned {len(recs)} reads in {time.time() - t0:.2f} s "
+        f"({len(recs) / max(time.time() - t0, 1e-9):.0f} reads/s)")
+    for rec, results in zip(recs, all_results):
+        name = rec.name.decode()
+        if args.json:
+            for r in results:
+                out.write(json.dumps(r.to_json(name)) + "\n")
+            continue
+        # header \t query [\t +/- \t seq \t score \t matches \t cigar
+        # \t offset]... (format_alignment, aligner_alignment.hpp:180)
+        row = f"{name}\t{rec.seq.decode()}"
+        if not results:
+            row += "\t*\t*\t0\t*\t*\t*"
+        else:
+            for r in results:
+                strand = "-" if r.orientation else "+"
+                row += (f"\t{strand}\t{r.sequence.decode()}\t{r.score}"
+                        f"\t{r.num_matches}\t{r.cigar}\t0")
+        out.write(row + "\n")
     if out is not sys.stdout:
         out.close()
 
@@ -927,6 +934,21 @@ def build_parser() -> argparse.ArgumentParser:
 
     def common_out(sp):
         sp.add_argument("-o", "--outfile-base", default="graph")
+
+    _subparsers = []
+    _orig_add_parser = sub.add_parser
+
+    def _add_parser(*a, **kw):
+        sp = _orig_add_parser(*a, **kw)
+        # global flags accepted by every subcommand (reference Config):
+        # -v enables span telemetry, -p is accepted for CLI parity (the
+        # XLA runtime manages its own threading)
+        sp.add_argument("-v", "--verbose", action="store_true")
+        sp.add_argument("-p", "--parallel", type=int, default=1)
+        _subparsers.append(sp)
+        return sp
+
+    sub.add_parser = _add_parser
 
     sp = sub.add_parser("build")
     sp.add_argument("-k", "--kmer-length", dest="k", type=int, required=True)

@@ -26,6 +26,7 @@ DATA = "/root/reference/metagraph/tests/data"
 TMP = tempfile.mkdtemp(prefix="golden_probe_")
 
 PASS, FAIL = 0, 0
+FAILURES = []
 
 
 def run(argv):
@@ -45,6 +46,8 @@ def check(name, got, want):
     PASS += ok
     FAIL += not ok
     mark = "ok  " if ok else "FAIL"
+    if not ok:
+        FAILURES.append(f"{name}: got={got!r} want={want!r}")
     print(f"[{mark}] {name}: got={got!r} want={want!r}", flush=True)
 
 

@@ -30,9 +30,11 @@ def test_exact_read(ref_graph):
 
 
 def test_reverse_complement_read(ref_graph):
+    # rc reads align only under --align-both-strands on a basic graph
+    # (reference dbg_aligner.hpp:160 forward-only default)
     g, ref = ref_graph
     read = _revcomp(ref[100:200])
-    aln = Aligner(g).align(read)[0]
+    aln = Aligner(g).align(read, both_strands=True)[0]
     assert aln.orientation
     assert aln.score == 2 * len(read)
     assert aln.sequence == ref[100:200]

@@ -242,16 +242,19 @@ def test_align_cli_and_json(workdir, capsys):
     qfa = str(tmp / "reads.fa")
     write_fasta(qfa, [seqs[0][20:90]], names=["r0"])
     main(["align", "-i", out, qfa])
+    # reference TSV contract (aligner_alignment.hpp:180):
+    # name, query, orientation, sequence, score, matches, cigar, offset
     line = capsys.readouterr().out.strip().split("\t")
     assert line[0] == "r0"
-    assert line[2] == str(2 * 70) and line[3] == "70="
+    assert line[2] == "+"
+    assert line[4] == str(2 * 70) and line[6] == "70="
     main(["align", "-i", out, "--json", qfa])
     import json as _json
     rec = _json.loads(capsys.readouterr().out.strip())
     assert rec["score"] == 140 and rec["cigar"] == "70="
-    # map-only
-    main(["align", "-i", out, "--map", qfa])
-    assert capsys.readouterr().out.strip() == "r0\t60/60"
+    # map with counts (align.cpp:212-226 format)
+    main(["align", "-i", out, "--map", "--count-kmers", qfa])
+    assert capsys.readouterr().out.strip() == "r0\t60/60/60"
 
 
 def test_build_dna5(workdir, capsys, tmp_path):
