@@ -85,7 +85,8 @@ def cmd_build(args):
             bits_per_count=bits_per_count)
         log(f"Graph construction: {time.time() - t0:.2f} s")
         graph = DbgSuccinct.from_boss(boss, DNA, mode)
-        out = graph_io.save_graph(args.outfile_base, graph)
+        out = graph_io.save_graph(args.outfile_base, graph,
+                                  state=getattr(args, "state", "fast"))
         log(f"Serialized to {out}")
         return
 
@@ -150,7 +151,8 @@ def cmd_build(args):
                           bits_per_count=bits_per_count)
     log(f"Graph construction: {time.time() - t0:.2f} s")
     graph = DbgSuccinct.from_boss(boss, DNA, mode)
-    out = graph_io.save_graph(args.outfile_base, graph)
+    out = graph_io.save_graph(args.outfile_base, graph,
+                              state=getattr(args, "state", "fast"))
     log(f"Serialized to {out}")
 
 
@@ -193,7 +195,8 @@ def _build_weighted_from_sidecars(args, DNA, bits_per_count, mode):
         bits_per_count=bits_per_count)
     log(f"Graph construction: {time.time() - t0:.2f} s")
     graph = DbgSuccinct.from_boss(boss, DNA, mode)
-    out = graph_io.save_graph(args.outfile_base, graph)
+    out = graph_io.save_graph(args.outfile_base, graph,
+                              state=getattr(args, "state", "fast"))
     log(f"Serialized to {out}")
 
 
@@ -219,13 +222,17 @@ def cmd_stats(args):
             print(f"nnz weights: {nnz}")
             # %.6g: match C++ std::cout default double formatting
             print(f"avg weight: {w.sum() / max(nnz, 1):.6g}")
+        from ..graph.io import index_bytes
+        nbytes = index_bytes(g)
+        print(f"index bytes: {nbytes}")
+        print(f"bytes/edge: {nbytes / max(g.boss.num_edges, 1):.3g}")
         print("========================================================")
         boss = g.boss
         print("====================== BOSS STATS ======================")
         print(f"k: {boss.k + 1}")
         print(f"nodes (k-1): {int(boss.num_nodes())}")
         print(f"edges ( k ): {boss.num_edges}")
-        print("state: fast")
+        print(f"state: {'fast' if boss.edge_lanes is not None else 'small'}")
         counts = np.asarray(boss.char_counts_W())
         letters = g.alphabet.letters
         pairs = ", ".join(f"'{letters[i]}': {int(counts[i])}"
@@ -237,7 +244,7 @@ def cmd_stats(args):
             fparts.append(f"'{letters[i - 1]}': {int(F[i] - F[i - 1])}")
         fparts.append(f"'{letters[-1]}': {boss.num_edges - int(F[-1])}")
         print("F stats: {" + ", ".join(fparts) + "}")
-        if args.count_dummy:
+        if args.count_dummy and boss.edge_lanes is not None:
             nsrc, nsink = boss.num_dummy_edges()
             print(f"dummy source edges: {int(nsrc)}")
             print(f"dummy sink edges: {int(nsink)}")
@@ -749,6 +756,16 @@ def cmd_transform(args):
         # accept and no-op the Bloom prefilter flags for CLI parity
         log("Bloom filter subsumed by batched membership; nothing to do")
         return
+    if args.state:
+        # BOSS state switching (transform_graph.cpp): small drops the
+        # packed-kmer search accelerator (rank/select-only queries)
+        from ..graph import io as graph_io
+        if args.state == "fast" and g.boss.edge_lanes is None:
+            log("small -> fast state restore is not supported yet; rebuild")
+            sys.exit(1)
+        out = graph_io.save_graph(args.outfile_base, g, state=args.state)
+        log(f"Serialized {args.state}-state graph to {out}")
+        return
     if args.to_fasta:
         from ..seqio.fasta import FastaWriter
         if args.primary_kmers:
@@ -968,6 +985,7 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--alphabet", default="DNA",
                     choices=["DNA", "DNA5", "Protein"])
     sp.add_argument("--fwd-and-reverse", action="store_true")
+    sp.add_argument("--state", choices=["fast", "small"], default="fast")
     common_out(sp)
     sp.add_argument("fnames", nargs="+")
     sp.set_defaults(func=cmd_build)
@@ -1098,6 +1116,7 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--to-gfa", action="store_true")
     sp.add_argument("--compacted", action="store_true")
     sp.add_argument("--to-adj-list", action="store_true")
+    sp.add_argument("--state", choices=["fast", "small"], default=None)
     sp.add_argument("--initialize-bloom", action="store_true")
     sp.add_argument("--bloom-fpp", type=float, default=None)
     sp.set_defaults(func=cmd_transform)

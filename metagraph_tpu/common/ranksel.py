@@ -1,22 +1,20 @@
-"""Rank/select over device tensors.
+"""Blocked rank/select over device tensors.
 
 TPU-native replacement for the reference's succinct bit-vector / wavelet
 tree hierarchy (metagraph/src/common/vectors/bit_vector.hpp:12,
-wavelet_tree.hpp:13). The reference optimizes for *space* with
-rank-support samples and pointer-heavy wavelet trees; on TPU the winning
-trade is *dense prefix-sum tables* + batched gathers:
+wavelet_tree.hpp:13), now in the blocked layout the docstring of round 1
+promised:
 
-  * ``rank(i)`` = one gather from a cumulative-count table;
-  * ``select(r)`` = one vectorized binary search (searchsorted) over the
-    same monotone table;
-  * per-symbol ranks over a small alphabet (the BOSS W array, sigma<=10)
-    = one gather from an (N+1, sigma) table.
-
-Cost: O(4·sigma) bytes/position instead of o(1) extra bits — deliberate:
-HBM capacity is traded for strictly gather-shaped queries, which is what
-the hardware does at full bandwidth. A blocked variant (prefix per 2^b
-block + in-block popcount) is the planned compression step and keeps the
-same API.
+  * ``BitRank``: bits packed into uint32 words + one int32 exclusive
+    rank per word — 0.25 B/position (vs 4 B for the round-1 dense
+    prefix). rank = gather + ``lax.population_count``; select = binary
+    search over word ranks + a 5-step in-word bisection (pure
+    arithmetic, no extra tables).
+  * ``SymbolRank``: the sequence itself (int8) + per-128-position
+    per-symbol block counts — ~1.3 B/position for sigma=10 (vs 40 B
+    round-1). rank = block gather + one (Q, 128) in-block row gather
+    with masked compare; select = per-query binary search over block
+    counts + in-block cumsum/argmax.
 
 All query methods are batched: they take (Q,) index tensors.
 """
@@ -29,113 +27,206 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+_BS = 128          # SymbolRank block size (positions)
+_BS_LOG = 7
+
+
+def _pack_bits_device(bits: jax.Array) -> jax.Array:
+    """(n,) bool -> (ceil(n/32),) uint32, little-endian within word."""
+    n = bits.shape[0]
+    nw = max((n + 31) // 32, 1)
+    padded = jnp.zeros((nw * 32,), jnp.uint32).at[:n].set(
+        bits.astype(jnp.uint32))
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    return jnp.sum(padded.reshape(nw, 32) << shifts[None, :], axis=1,
+                   dtype=jnp.uint32)
+
+
+def _low_mask(b: jax.Array) -> jax.Array:
+    """uint32 mask of bits 0..b inclusive (b in [0, 31])."""
+    return jnp.uint32(0xFFFFFFFF) >> (jnp.uint32(31) - b.astype(jnp.uint32))
+
+
+def _in_word_select(word: jax.Array, r: jax.Array) -> jax.Array:
+    """Position (0-based) of the r-th (1-based) set bit of each word."""
+    pos = jnp.zeros_like(r)
+    w = word
+    rr = r
+    for width in (16, 8, 4, 2, 1):
+        low = w & ((jnp.uint32(1) << width) - jnp.uint32(1))
+        cnt = jax.lax.population_count(low).astype(rr.dtype)
+        go_high = cnt < rr
+        rr = jnp.where(go_high, rr - cnt, rr)
+        pos = jnp.where(go_high, pos + width, pos)
+        w = jnp.where(go_high, w >> width, low)
+    return pos
+
 
 @dataclass(frozen=True)
 class BitRank:
-    """Rank/select over a boolean vector via a dense inclusive prefix table.
-
-    prefix[i] = popcount(bits[0..i-1]);  len(prefix) = n+1.
-    """
-    prefix: jax.Array  # (n+1,) int32
+    """Blocked rank/select over a boolean vector."""
+    words: jax.Array   # (nw,) uint32
+    brank: jax.Array   # (nw,) int32 exclusive rank before each word
+    total: jax.Array   # () int32 number of set bits
     n: int
 
     @staticmethod
     def build(bits: jax.Array) -> "BitRank":
-        prefix = jnp.concatenate([
-            jnp.zeros((1,), jnp.int32),
-            jnp.cumsum(bits.astype(jnp.int32)),
-        ])
-        return BitRank(prefix=prefix, n=bits.shape[0])
+        words = _pack_bits_device(jnp.asarray(bits))
+        pops = jax.lax.population_count(words).astype(jnp.int32)
+        brank = jnp.cumsum(pops) - pops
+        total = brank[-1] + pops[-1] if words.shape[0] else jnp.int32(0)
+        return BitRank(words=words, brank=brank, total=total,
+                       n=int(jnp.asarray(bits).shape[0]))
 
     @property
     def num_set(self) -> jax.Array:
-        return self.prefix[self.n]
+        return self.total
+
+    def bit(self, i: jax.Array) -> jax.Array:
+        """bits[i] as bool (i clipped into range; i<0 -> False)."""
+        ic = jnp.clip(i, 0, max(self.n - 1, 0))
+        w = self.words[ic >> 5]
+        b = (w >> (ic & 31).astype(jnp.uint32)) & jnp.uint32(1)
+        return (b == 1) & (i >= 0) & (i < self.n)
 
     def rank1(self, i: jax.Array) -> jax.Array:
         """#ones in bits[0..i] (inclusive, like bit_vector::rank1)."""
         i = jnp.clip(i, -1, self.n - 1)
-        return self.prefix[i + 1]
+        ic = jnp.maximum(i, 0)
+        wi = ic >> 5
+        r = self.brank[wi] + jax.lax.population_count(
+            self.words[wi] & _low_mask(ic & 31)).astype(jnp.int32)
+        return jnp.where(i < 0, 0, r)
 
     def rank0(self, i: jax.Array) -> jax.Array:
         return i + 1 - self.rank1(i)
 
     def select1(self, r: jax.Array) -> jax.Array:
         """Position of the r-th one (1-based r), as in bit_vector::select1."""
-        return jnp.searchsorted(self.prefix, r, side="left") - 1
+        r = r.astype(jnp.int32)
+        wi = jnp.searchsorted(self.brank, r, side="left").astype(jnp.int32) - 1
+        wi = jnp.clip(wi, 0, max(self.words.shape[0] - 1, 0))
+        rr = r - self.brank[wi]
+        pos = _in_word_select(self.words[wi], rr)
+        return (wi << 5) + pos
 
     def next1(self, i: jax.Array) -> jax.Array:
         """Smallest j >= i with bits[j] set, else n (reference next1)."""
         r = self.rank1(i - 1) + 1
         pos = self.select1(r)
-        return jnp.where(r <= self.num_set, pos, self.n)
+        return jnp.where(r <= self.total, pos, self.n)
 
     def prev1(self, i: jax.Array) -> jax.Array:
         """Largest j <= i with bits[j] set, else n (reference prev1)."""
         r = self.rank1(i)
         return jnp.where(r > 0, self.select1(r), self.n)
 
+    # -- host helpers ------------------------------------------------------
+
+    def bits_host(self) -> np.ndarray:
+        """(n,) bool on host."""
+        w = np.asarray(self.words)
+        bits = np.unpackbits(w.view(np.uint8), bitorder="little")
+        return bits[:self.n].astype(bool)
+
+    def set_positions(self) -> np.ndarray:
+        """Sorted positions of set bits (host)."""
+        return np.nonzero(self.bits_host())[0]
+
 
 @dataclass(frozen=True)
 class SymbolRank:
-    """Per-symbol rank/select over a small-alphabet sequence (wavelet-tree
-    replacement for the BOSS W array).
-
-    prefix[i, c] = #occurrences of c in seq[0..i-1]; shape (n+1, sigma).
-    """
-    prefix: jax.Array   # (n+1, sigma) int32
-    seq: jax.Array      # (n,) int32 — kept for direct access
+    """Per-symbol blocked rank/select over a small-alphabet sequence
+    (wavelet-tree replacement for the BOSS W array). The sequence itself
+    lives only in ``seq_pad`` (padded to the block size) — no duplicate
+    copy."""
+    seq_pad: jax.Array  # (nb * _BS,) int8 padded with an out-of-range code
+    blocks: jax.Array   # (nb + 1, sigma) int32 exclusive counts per block
     sigma: int
+    n_seq: int
 
     @staticmethod
     def build(seq: jax.Array, sigma: int) -> "SymbolRank":
-        onehot = jax.nn.one_hot(seq.astype(jnp.int32), sigma, dtype=jnp.int32)
-        prefix = jnp.concatenate([
-            jnp.zeros((1, sigma), jnp.int32),
-            jnp.cumsum(onehot, axis=0),
-        ])
-        return SymbolRank(prefix=prefix, seq=seq.astype(jnp.int32), sigma=sigma)
+        seq = jnp.asarray(seq)
+        n = int(seq.shape[0])
+        nb = max((n + _BS - 1) // _BS, 1)
+        pad = jnp.full((nb * _BS,), sigma, jnp.int8).at[:n].set(
+            seq.astype(jnp.int8))
+        hist = []
+        for c in range(sigma):
+            hist.append(jnp.sum((pad == c).reshape(nb, _BS), axis=1,
+                                dtype=jnp.int32))
+        hist = jnp.stack(hist, axis=1)                 # (nb, sigma)
+        blocks = jnp.concatenate(
+            [jnp.zeros((1, sigma), jnp.int32), jnp.cumsum(hist, axis=0)])
+        return SymbolRank(seq_pad=pad, blocks=blocks, sigma=sigma, n_seq=n)
+
+    @property
+    def seq(self) -> jax.Array:
+        return self.seq_pad[:self.n_seq]
 
     @property
     def n(self) -> int:
-        return self.seq.shape[0]
+        return self.n_seq
+
+    def _row(self, blk: jax.Array) -> jax.Array:
+        """(Q, _BS) int8 block contents."""
+        idx = (blk[:, None] << _BS_LOG) + jnp.arange(_BS, dtype=jnp.int32)
+        return self.seq_pad[idx]
 
     def rank(self, c: jax.Array, i: jax.Array) -> jax.Array:
         """#occurrences of symbol c in seq[0..i] (inclusive)."""
-        i = jnp.clip(i, -1, self.n - 1)
-        return self.prefix[i + 1, c]
+        c, i = jnp.broadcast_arrays(jnp.asarray(c), jnp.asarray(i))
+        shape = c.shape
+        c = c.reshape(-1).astype(jnp.int32)
+        i = i.reshape(-1)
+        p = jnp.clip(i + 1, 0, self.n)                 # exclusive position
+        blk = (p >> _BS_LOG).astype(jnp.int32)
+        base = self.blocks[blk, c]
+        rem = (p & (_BS - 1)).astype(jnp.int32)
+        row = self._row(blk)
+        j = jnp.arange(_BS, dtype=jnp.int32)[None, :]
+        cnt = jnp.sum((row == c[:, None].astype(jnp.int8))
+                      & (j < rem[:, None]), axis=1, dtype=jnp.int32)
+        return (base + cnt).reshape(shape)
 
     def select(self, c: jax.Array, r: jax.Array) -> jax.Array:
-        """Position of the r-th (1-based) occurrence of c.
-
-        Vectorized binary search on the per-symbol prefix column; handles a
-        batch of (c, r) pairs with log2(n) gather rounds.
-        """
-        n = self.n
-        q = jnp.broadcast_arrays(c, r)
-        c, r = q[0], q[1]
-        steps = max(1, int(np.ceil(np.log2(n + 2))))
-        lo = jnp.zeros_like(r)          # invariant: prefix[lo, c] < r
-        hi = jnp.full_like(r, n)
+        """Position of the r-th (1-based) occurrence of c."""
+        c, r = jnp.broadcast_arrays(jnp.asarray(c), jnp.asarray(r))
+        shape = c.shape
+        c = c.reshape(-1).astype(jnp.int32)
+        r = r.reshape(-1).astype(jnp.int32)
+        nb = self.blocks.shape[0] - 1
+        steps = max(1, int(np.ceil(np.log2(nb + 2))))
+        lo = jnp.zeros_like(r)              # invariant: blocks[lo, c] < r
+        hi = jnp.full_like(r, nb)
 
         def body(_, state):
             lo, hi = state
             mid = (lo + hi + 1) >> 1
-            go_up = self.prefix[mid, c] < r
+            go_up = self.blocks[mid, c] < r
             lo = jnp.where(go_up, mid, lo)
             hi = jnp.where(go_up, hi, mid - 1)
             return lo, hi
 
-        lo, hi = jax.lax.fori_loop(0, steps, lambda s, st: body(s, st), (lo, hi))
-        # prefix[lo, c] < r <= prefix[lo+1, c]  ->  occurrence at position lo
-        return lo
+        lo, hi = jax.lax.fori_loop(0, steps, body, (lo, hi))
+        rr = r - self.blocks[lo, c]
+        row = self._row(lo)
+        is_c = (row == c[:, None].astype(jnp.int8)).astype(jnp.int32)
+        cum = jnp.cumsum(is_c, axis=1)
+        pos = jnp.argmax((cum == rr[:, None]) & (is_c == 1), axis=1)
+        return ((lo << _BS_LOG) + pos.astype(jnp.int32)).reshape(shape)
 
     def __getitem__(self, i):
-        return self.seq[i]
+        return self.seq_pad[i].astype(jnp.int32)
 
 
 def register_pytrees():
-    jax.tree_util.register_dataclass(BitRank, ["prefix"], ["n"])
-    jax.tree_util.register_dataclass(SymbolRank, ["prefix", "seq"], ["sigma"])
+    jax.tree_util.register_dataclass(
+        BitRank, ["words", "brank", "total"], ["n"])
+    jax.tree_util.register_dataclass(
+        SymbolRank, ["seq_pad", "blocks"], ["sigma", "n_seq"])
 
 
 register_pytrees()

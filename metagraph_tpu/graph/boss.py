@@ -43,11 +43,9 @@ class Boss:
     k: int                      # node length (edge k-mer has k+1 chars)
     alph_size: int
     bits_per_char: int
-    # core arrays, length num_edges+1 (index 0 = sentinel row)
-    W: jax.Array                # (m,) int32, values in [0, 2*alph_size)
-    last: jax.Array             # (m,) bool
+    # core arrays (logical length num_edges+1; index 0 = sentinel row)
+    # W and last live INSIDE the blocked rank structures — no duplicates
     F: jax.Array                # (alph_size,) int32
-    # derived rank structures
     last_rank: BitRank
     W_rank: SymbolRank
     NF: jax.Array               # (alph_size,) int32: rank_last(F[c])
@@ -67,31 +65,36 @@ class Boss:
         W = W.astype(jnp.int32)
         last = last.astype(bool)
         F = F.astype(jnp.int32)
+        # blocked rank structures (0.25 B/pos for last, ~1.3 B/pos for W)
+        last_rank = BitRank.build(last)
+        W_rank = SymbolRank.build(W, 2 * alph_size)
+        NF = last_rank.rank1(F)
         if edge_lanes is not None and edge_lanes.shape[1] > 0:
-            # one fused dispatch builds every derived index (rank prefixes,
-            # NF, top-16-bit search LUT); one scalar sync sizes the search
-            (last_prefix, W_prefix, NF, lut,
-             max_bucket) = _finalize_index(W, last, F, edge_lanes,
-                                           2 * alph_size)
-            last_rank = BitRank(prefix=last_prefix, n=last.shape[0])
-            W_rank = SymbolRank(prefix=W_prefix, seq=W, sigma=2 * alph_size)
+            lut, max_bucket = _build_lut(edge_lanes)
             lut_steps = max(1, int(np.ceil(np.log2(int(max_bucket) + 1))))
         else:
-            last_rank = BitRank.build(last)
-            W_rank = SymbolRank.build(W, 2 * alph_size)
-            NF = last_rank.rank1(F)
             lut, lut_steps = None, 0
         return Boss(k=k, alph_size=alph_size, bits_per_char=bits_per_char,
-                    W=W, last=last, F=F,
-                    last_rank=last_rank, W_rank=W_rank, NF=NF,
+                    F=F, last_rank=last_rank, W_rank=W_rank, NF=NF,
                     edge_lanes=edge_lanes, weights=weights,
                     lut=lut, lut_steps=lut_steps)
 
     # -- basic accessors ---------------------------------------------------
 
     @property
+    def W(self) -> jax.Array:
+        """(m,) int8 view of the W array (stored inside W_rank)."""
+        return self.W_rank.seq
+
+    @property
+    def last(self) -> jax.Array:
+        """(m,) bool view of the last bitvector (host-materialized from
+        the packed words; use last_rank for device queries)."""
+        return jnp.asarray(self.last_rank.bits_host())
+
+    @property
     def num_edges(self) -> int:
-        return int(self.W.shape[0]) - 1
+        return self.W_rank.n_seq - 1
 
     def num_nodes(self) -> jax.Array:
         return self.last_rank.num_set
@@ -102,10 +105,11 @@ class Boss:
         return self.k + 1
 
     def get_W(self, i: jax.Array) -> jax.Array:
-        return self.W[i]
+        return self.W_rank.seq_pad[
+            jnp.clip(i, 0, self.W_rank.n_seq - 1)].astype(jnp.int32)
 
     def get_last(self, i: jax.Array) -> jax.Array:
-        return self.last[i]
+        return self.last_rank.bit(i)
 
     # -- rank / select (1-based semantics, matching boss.hpp) --------------
 
@@ -160,14 +164,65 @@ class Boss:
 
     # -- searching ---------------------------------------------------------
 
+    def index_edge_ranksel(self, chars: jax.Array) -> jax.Array:
+        """Rank/select-only edge lookup (no edge_lanes accelerator):
+        the reference's index + pick_edge search (boss.hpp:640-750).
+
+        ``chars``: (Q, K) int32 edge k-mers in sequence order
+        (node chars u_1..u_k then the edge label). Per query: an initial
+        F range on u_1, k-1 tighten_range steps (rank_W + select_last via
+        NF), then pick_edge over the terminal node's edge rows."""
+        Q, K = chars.shape
+        k = self.k
+        m = self.num_edges
+        alph = self.alph_size
+        chars = chars.astype(jnp.int32)
+        ok = jnp.all((chars >= 1) & (chars < alph), axis=1)
+        u1 = jnp.clip(chars[:, 0], 0, alph - 1)
+        rl = jnp.minimum(self.F[u1] + 1, m + 1)
+        ru = jnp.where(u1 + 1 < alph,
+                       self.F[jnp.minimum(u1 + 1, alph - 1)], m)
+        ok = ok & (rl <= ru)
+        for i in range(1, k):
+            s = jnp.clip(chars[:, i], 0, alph - 1)
+            rk_rl = self.rank_W(rl - 1, s) + 1
+            rk_ru = self.rank_W(ru, s)
+            step_ok = rk_rl <= rk_ru
+            safe_rl = jnp.maximum(self.NF[s] + rk_rl - 1, 1)
+            safe_ru = jnp.maximum(self.NF[s] + rk_ru, 1)
+            nrl = self.select_last(safe_rl) + 1
+            nru = self.select_last(safe_ru)
+            ok = ok & step_ok
+            rl = jnp.where(ok, nrl, rl)
+            ru = jnp.where(ok, nru, ru)
+        # pick_edge(ru, label): search the node's edge rows for W == c
+        # or c + alph (boss.hpp pick_edge)
+        c = jnp.clip(chars[:, k], 0, alph - 1)
+        lo = self.pred_last(ru - 1) + 1
+
+        def probe(cc):
+            r = self.rank_W(ru, cc)
+            pos = self.select_W(jnp.maximum(r, 1), cc)
+            return jnp.where((r >= 1) & (pos >= lo), pos, 0)
+
+        p1 = probe(c)
+        p2 = probe(c + alph)
+        res = jnp.where(p1 > 0, p1, p2)
+        return jnp.where(ok, res, 0).astype(jnp.int32)
+
     def map_to_edges(self, query_lanes: jax.Array) -> jax.Array:
         """Map packed edge k-mers (BOSS layout, sentinel codes) to 1-based
         edge indexes; 0 = not present.
 
-        One batched binary search over the stored sorted edge-kmer tensor
-        (replaces BOSS::map_to_edges / index_range, boss.cpp:908-975).
+        With the ``edge_lanes`` accelerator: one batched binary search
+        over the stored sorted edge-kmer tensor (replaces
+        BOSS::map_to_edges / index_range, boss.cpp:908-975). Without it
+        (small state): the rank/select tightening search above.
         """
-        assert self.edge_lanes is not None, "edge_lanes accelerator required"
+        if self.edge_lanes is None:
+            chars = packing.unpack_to_chars(
+                query_lanes, self.K, self.bits_per_char).astype(jnp.int32)
+            return self.index_edge_ranksel(chars)
         n = self.edge_lanes.shape[1]
         if self.lut is not None:
             t = query_lanes[0] >> 16
@@ -213,19 +268,6 @@ class Boss:
         return jnp.sum(is_src.astype(jnp.int32)), jnp.sum(is_sink.astype(jnp.int32))
 
 
-@functools.partial(jax.jit, static_argnames=("sigma",))
-def _finalize_index(W, last, F, edge_lanes, sigma: int):
-    """All derived Boss indexes in one dispatch."""
-    last_prefix = jnp.concatenate([
-        jnp.zeros((1,), jnp.int32), jnp.cumsum(last.astype(jnp.int32))])
-    onehot = jax.nn.one_hot(W, sigma, dtype=jnp.int32)
-    W_prefix = jnp.concatenate([
-        jnp.zeros((1, sigma), jnp.int32), jnp.cumsum(onehot, axis=0)])
-    NF = last_prefix[jnp.clip(F, -1, last.shape[0] - 1) + 1]
-    lut, max_bucket = _build_lut.__wrapped__(edge_lanes)
-    return last_prefix, W_prefix, NF, lut, max_bucket
-
-
 @jax.jit
 def _build_lut(edge_lanes: jax.Array):
     """(2^16+1,) bucket-start table over the top lane's high 16 bits, plus
@@ -258,8 +300,7 @@ def _increment_masked(lanes: jax.Array, nbits: int) -> jax.Array:
 def register_pytrees():
     jax.tree_util.register_dataclass(
         Boss,
-        ["W", "last", "F", "last_rank", "W_rank", "NF", "edge_lanes",
-         "weights", "lut"],
+        ["F", "last_rank", "W_rank", "NF", "edge_lanes", "weights", "lut"],
         ["k", "alph_size", "bits_per_char", "lut_steps"],
     )
 

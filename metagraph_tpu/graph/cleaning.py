@@ -24,13 +24,7 @@ from .traversal import Unitigs, unitig_decomposition
 
 def node_weight_histogram(g: DbgSuccinct) -> np.ndarray:
     """hist[c] = #nodes with k-mer count c (c >= 1)."""
-    assert g.boss.weights is not None, "graph built without --count-kmers"
-    w = np.asarray(g.boss.weights)
-    # node weights = weights at valid edge rows
-    valid = np.asarray(g.valid_rank.prefix)
-    rows = np.nonzero(np.diff(valid) > 0)[0]  # valid positions
-    counts = w[rows]
-    hist = np.bincount(counts, minlength=10).astype(np.uint64)
+    hist = np.bincount(node_weights(g)[1:], minlength=10).astype(np.uint64)
     hist[0] = 0
     return hist
 
@@ -128,8 +122,7 @@ def node_weights(g: DbgSuccinct) -> np.ndarray:
     the valid-edge node numbering)."""
     assert g.boss.weights is not None, "graph built without --count-kmers"
     w = np.asarray(g.boss.weights)
-    valid_prefix = np.asarray(g.valid_rank.prefix)
-    rows = np.nonzero(np.diff(valid_prefix) > 0)[0]
+    rows = g.valid_rank.set_positions()
     return np.concatenate([[0], w[rows]])
 
 

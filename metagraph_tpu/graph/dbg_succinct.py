@@ -44,11 +44,16 @@ class DbgSuccinct:
 
     @staticmethod
     def from_boss(boss: Boss, alphabet: Alphabet = DNA,
-                  mode: str = MODE_BASIC) -> "DbgSuccinct":
+                  mode: str = MODE_BASIC,
+                  valid: "Optional[jax.Array]" = None) -> "DbgSuccinct":
+        """``valid``: (m,) bool real-edge mask incl. sentinel row 0; derived
+        from edge_lanes when present, required for small-state graphs."""
         B = alphabet.bits_per_char
-        assert boss.edge_lanes is not None
-        is_dummy = packing.contains_sentinel(boss.edge_lanes, boss.K, B)
-        valid = jnp.concatenate([jnp.zeros((1,), bool), ~is_dummy])
+        if valid is None:
+            assert boss.edge_lanes is not None, \
+                "small-state graphs need an explicit valid-edge mask"
+            is_dummy = packing.contains_sentinel(boss.edge_lanes, boss.K, B)
+            valid = jnp.concatenate([jnp.zeros((1,), bool), ~is_dummy])
         return DbgSuccinct(boss=boss, alphabet=alphabet, mode=mode,
                            valid_rank=BitRank.build(valid))
 
@@ -65,9 +70,7 @@ class DbgSuccinct:
 
     def edge_to_node(self, edge: jax.Array) -> jax.Array:
         """BOSS edge row -> DBG node index (0 if dummy/absent)."""
-        valid = self.valid_rank.prefix[jnp.maximum(edge, 0) + 1] \
-            - self.valid_rank.prefix[jnp.maximum(edge, 0)]
-        return jnp.where((edge > 0) & (valid > 0),
+        return jnp.where((edge > 0) & self.valid_rank.bit(edge),
                          self.valid_rank.rank1(edge), 0)
 
     def node_to_edge(self, node: jax.Array) -> jax.Array:
