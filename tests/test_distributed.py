@@ -108,3 +108,24 @@ def test_distributed_build_canonical(rng):
     plain = build_boss(seqs, 7, mode="canonical")
     dist = build_boss_distributed(seqs, 7, mesh, mode="canonical")
     np.testing.assert_array_equal(np.asarray(dist.W), np.asarray(plain.W))
+
+
+def test_full_sharded_finish_bit_identity(rng):
+    """The fully sharded build (splitter routing + per-shard rc closure,
+    dummy joins, levels and emit) is bit-identical to the single-device
+    build on the 8-device mesh, both modes (VERDICT r1 item 5)."""
+    from metagraph_tpu.parallel.distributed import (
+        build_boss_distributed_full, make_mesh)
+    from metagraph_tpu.graph.boss_construct import build_boss
+    from conftest import random_dna
+
+    seqs = [random_dna(rng, 350) for _ in range(10)]
+    mesh = make_mesh(8)
+    for mode in ("basic", "canonical"):
+        dist = build_boss_distributed_full(seqs, 11, mesh, mode=mode,
+                                           bits_per_count=8)
+        plain = build_boss(seqs, 11, mode=mode, bits_per_count=8)
+        for f in ("W", "last", "F", "weights", "edge_lanes"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(dist, f)),
+                np.asarray(getattr(plain, f)), err_msg=f"{mode} {f}")
