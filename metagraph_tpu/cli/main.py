@@ -103,6 +103,30 @@ def cmd_build(args):
         _build_weighted_from_sidecars(args, DNA, bits_per_count, mode)
         return
 
+    if args.suffix:
+        # one suffix bucket -> chunk file (reference build --suffix,
+        # build.cpp:103-155); concatenate merges the chunks
+        from ..parallel.sharded_build import build_shard_kmers, save_chunk
+        from ..seqio.fasta import parse_records
+        seqs = []
+        for f in args.fnames:
+            seqs.extend(r.seq for r in parse_records(f))
+        from ..kmer import packing as _kp
+        sfx = tuple(DNA.letters.index(ch) for ch in args.suffix)
+        if 0 in sfx:     # '$' bucket: dummies are generated at finish
+            L = _kp.lanes_for(args.k, DNA.bits_per_char)
+            lanes = np.zeros((L, 0), np.uint32)
+            counts = np.zeros((0,), np.int32)
+        else:
+            lanes, counts, n = build_shard_kmers(
+                seqs, args.k, sfx, DNA,
+                canonical=mode in ("canonical", "primary"))
+        name = args.suffix.replace("$", "S")
+        out = f"{args.outfile_base}.{name}.chunk.npz"
+        save_chunk(out, lanes, counts, args.k, DNA.name, sfx)
+        log(f"Serialized chunk to {out}")
+        return
+
     seqs = []
     codes_direct = None
     if (len(args.fnames) == 1
@@ -132,10 +156,13 @@ def cmd_build(args):
             f"({sum(map(len, seqs)) / 1e6:.1f} Mbp)")
     t0 = time.time()
     if args.disk_swap:
-        # bounded-HBM streaming collection (the --disk-swap role)
+        # bounded-HBM streaming collection; a real directory engages the
+        # on-disk chunk tier (SortedSetDisk role)
         from ..parallel.streaming import build_boss_streaming
+        swap_dir = args.disk_swap if os.path.isdir(args.disk_swap) else None
         boss = build_boss_streaming(seqs, args.k, alphabet=DNA, mode=mode,
-                                    bits_per_count=bits_per_count)
+                                    bits_per_count=bits_per_count,
+                                    disk_dir=swap_dir)
     elif args.suffix_len > 0 or args.num_shards > 1:
         boss = build_boss_sharded(
             seqs, args.k, alphabet=DNA, mode=mode,
@@ -832,10 +859,22 @@ def _write_gfa(g, path, compacted: bool = True):
 
 
 def cmd_concatenate(args):
-    # merge chunked graphs produced by sharded builds
-    from ..parallel.sharded_build import concatenate_chunks
-    concatenate_chunks(args.fnames, args.outfile_base)
-    log(f"Concatenated {len(args.fnames)} chunks -> {args.outfile_base}")
+    # merge chunked graphs produced by sharded builds (reference
+    # concatenate, build.cpp:359-456)
+    from ..parallel.sharded_build import concatenate_chunks, suffix_buckets
+    from ..kmer.alphabets import DNA
+    files = list(args.fnames)
+    if not files and args.infile_base:
+        # gather <base>.<suffix>.chunk.npz in bucket colex order
+        for sfx in suffix_buckets(DNA, args.len_suffix):
+            name = "".join(DNA.letters[c] for c in sfx)
+            p = f"{args.infile_base}.{name}.chunk.npz"
+            if os.path.exists(p):
+                files.append(p)
+    concatenate_chunks(
+        files, args.outfile_base, mode=args.mode,
+        bits_per_count=args.count_width if args.count_kmers else 0)
+    log(f"Concatenated {len(files)} chunks -> {args.outfile_base}")
 
 
 def cmd_merge(args):
@@ -941,6 +980,49 @@ def cmd_server_query(args):
 
 
 # ---------------------------------------------------------------------------
+# distributed workflow (reference scripts/cloud/server.py role)
+# ---------------------------------------------------------------------------
+
+def cmd_coordinator(args):
+    """Serve a work queue of per-suffix chunk-build jobs, wait for
+    workers, then concatenate the chunks into the final graph
+    (reference cloud work-queue server, scripts/cloud/server.py:88-230)."""
+    from ..kmer.alphabets import DNA
+    from ..parallel.coordinator import serve_queue
+    from ..parallel.sharded_build import concatenate_chunks, suffix_buckets
+    jobs = []
+    chunk_files = []
+    for sfx in suffix_buckets(DNA, args.suffix_len):
+        name = "".join(DNA.letters[c] for c in sfx)
+        argv = (["build", "-k", str(args.k), "--mode", args.mode,
+                 "--suffix", name, "-o", args.outfile_base]
+                + (["--count-kmers"] if args.count_kmers else [])
+                + args.fnames)
+        jobs.append({"argv": argv})
+        chunk_files.append(f"{args.outfile_base}.{name}.chunk.npz")
+    httpd, queue = serve_queue(jobs, host=args.host, port=args.port)
+    log(f"Coordinator: {len(jobs)} jobs on "
+        f"http://{httpd.server_address[0]}:{httpd.server_address[1]}")
+    try:
+        while not queue.finished():
+            time.sleep(0.5)
+    finally:
+        httpd.shutdown()
+    concatenate_chunks(
+        chunk_files, args.outfile_base, mode=args.mode,
+        bits_per_count=args.count_width if args.count_kmers else 0)
+    log(f"Distributed build complete -> {args.outfile_base}")
+
+
+def cmd_worker(args):
+    """Pull and run jobs from a coordinator until the queue drains
+    (reference cloud worker, scripts/cloud/client.py)."""
+    from ..parallel.coordinator import Worker
+    Worker(args.server, name=args.name).run_until_empty()
+    log("Worker done: queue drained")
+
+
+# ---------------------------------------------------------------------------
 # argument parsing
 # ---------------------------------------------------------------------------
 
@@ -975,6 +1057,7 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--count-width", type=int, default=8)
     sp.add_argument("--mask-dummy", action="store_true")  # always on
     sp.add_argument("--suffix-len", type=int, default=0)
+    sp.add_argument("--suffix", default=None)
     sp.add_argument("--num-shards", type=int, default=1)
     sp.add_argument("--graph", default="succinct")
     sp.add_argument("--disk-swap", default="")
@@ -1123,7 +1206,13 @@ def build_parser() -> argparse.ArgumentParser:
 
     sp = sub.add_parser("concatenate")
     common_out(sp)
-    sp.add_argument("fnames", nargs="+")
+    sp.add_argument("-i", "--infile-base", default=None)
+    sp.add_argument("--len-suffix", type=int, default=1)
+    sp.add_argument("--mode", choices=["basic", "canonical", "primary"],
+                    default="basic")
+    sp.add_argument("--count-kmers", action="store_true")
+    sp.add_argument("--count-width", type=int, default=8)
+    sp.add_argument("fnames", nargs="*")
     sp.set_defaults(func=cmd_concatenate)
 
     sp = sub.add_parser("merge")
@@ -1155,6 +1244,24 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("fnames", nargs="+")
     sp.set_defaults(func=cmd_relax_brwt)
 
+    sp = sub.add_parser("coordinator")
+    sp.add_argument("-k", "--kmer-length", dest="k", type=int, required=True)
+    sp.add_argument("--mode", choices=["basic", "canonical", "primary"],
+                    default="basic")
+    sp.add_argument("--count-kmers", action="store_true")
+    sp.add_argument("--count-width", type=int, default=8)
+    sp.add_argument("--suffix-len", type=int, default=1)
+    sp.add_argument("--host", default="127.0.0.1")
+    sp.add_argument("--port", type=int, default=0)
+    common_out(sp)
+    sp.add_argument("fnames", nargs="+")
+    sp.set_defaults(func=cmd_coordinator)
+
+    sp = sub.add_parser("worker")
+    sp.add_argument("--server", required=True)
+    sp.add_argument("--name", default="worker")
+    sp.set_defaults(func=cmd_worker)
+
     sp = sub.add_parser("server_query")
     sp.add_argument("-i", "--infile-base", required=True)
     sp.add_argument("-a", "--annotation", required=True)
@@ -1166,7 +1273,19 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv: Optional[Sequence[str]] = None):
+    # honor JAX_PLATFORMS even when a sitecustomize pre-initialized a
+    # different backend (worker subprocesses force CPU this way)
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        try:
+            import jax
+            jax.config.update("jax_platforms", plat)
+        except Exception:
+            pass
     args = build_parser().parse_args(argv)
+    if getattr(args, "verbose", False):
+        from ..common import telemetry
+        telemetry.VERBOSE = True
     args.func(args)
 
 

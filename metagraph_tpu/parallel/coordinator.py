@@ -196,10 +196,16 @@ class Worker:
     @staticmethod
     def _default_execute(payload: dict) -> dict:
         """Default job type: run a metagraph_tpu CLI command."""
+        import os
         argv = payload["argv"]
+        env = dict(os.environ)
+        # a child process must register its own accelerator backend; an
+        # inherited registration marker deadlocks plugin init
+        env.pop("_AXON_REGISTERED", None)
         proc = subprocess.run(
             [sys.executable, "-m", "metagraph_tpu.cli.main"] + argv,
-            capture_output=True, timeout=payload.get("timeout", 86400))
+            capture_output=True, env=env,
+            timeout=payload.get("timeout", 86400))
         if proc.returncode != 0:
             raise RuntimeError(proc.stderr.decode()[-2000:])
         return {"returncode": 0}

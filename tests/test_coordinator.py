@@ -104,3 +104,63 @@ def test_sharded_build_via_queue(tmp_path, rng):
     assert got.num_nodes() == want.num_nodes()
     np.testing.assert_array_equal(np.asarray(got.boss.W),
                                   np.asarray(want.boss.W))
+
+
+def test_two_process_distributed_build(tmp_path, rng):
+    """Two separate worker PROCESSES complete a sharded build through the
+    work queue; the concatenated graph matches a direct build
+    (VERDICT r1 item 7)."""
+    import os
+    import subprocess
+    import sys
+    import time as _time
+
+    from conftest import random_dna
+    from metagraph_tpu.cli.main import main as cli_main
+    from metagraph_tpu.parallel.coordinator import serve_queue
+    from metagraph_tpu.parallel.sharded_build import (concatenate_chunks,
+                                                      suffix_buckets)
+    from metagraph_tpu.kmer.alphabets import DNA
+    from metagraph_tpu.graph import io as graph_io
+
+    fa = str(tmp_path / "in.fa")
+    seqs = [random_dna(rng, 300) for _ in range(5)]
+    with open(fa, "w") as f:
+        for i, s in enumerate(seqs):
+            f.write(f">s{i}\n{s.decode()}\n")
+    base = str(tmp_path / "dg")
+    jobs, chunks = [], []
+    for sfx in suffix_buckets(DNA, 1):
+        name = "".join(DNA.letters[c] for c in sfx)
+        jobs.append({"argv": ["build", "-k", "11", "--suffix", name,
+                              "-o", base, fa]})
+        chunks.append(f"{base}.{name}.chunk.npz")
+    httpd, queue = serve_queue(jobs)
+    server = f"http://{httpd.server_address[0]}:{httpd.server_address[1]}"
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               PYTHONPATH=os.pathsep.join(
+                   [os.path.dirname(os.path.dirname(
+                       os.path.abspath(__file__)))]
+                   + os.environ.get("PYTHONPATH", "").split(os.pathsep)))
+    # children must register their own accelerator backend (an inherited
+    # marker deadlocks plugin init)
+    env.pop("_AXON_REGISTERED", None)
+    workers = [subprocess.Popen(
+        [sys.executable, "-m", "metagraph_tpu.cli.main", "worker",
+         "--server", server, "--name", f"w{i}"], env=env)
+        for i in range(2)]
+    deadline = _time.time() + 560
+    while not queue.finished() and _time.time() < deadline:
+        _time.sleep(0.5)
+    for w in workers:
+        w.wait(timeout=60)
+    httpd.shutdown()
+    assert queue.finished(), queue.status()
+    concatenate_chunks(chunks, base)
+    got = graph_io.load_graph(base)
+    cli_main(["build", "-k", "11", "-o", str(tmp_path / "direct"), fa])
+    want = graph_io.load_graph(str(tmp_path / "direct"))
+    np.testing.assert_array_equal(np.asarray(got.boss.W),
+                                  np.asarray(want.boss.W))
+    np.testing.assert_array_equal(np.asarray(got.boss.last),
+                                  np.asarray(want.boss.last))

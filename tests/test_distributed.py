@@ -129,3 +129,25 @@ def test_full_sharded_finish_bit_identity(rng):
             np.testing.assert_array_equal(
                 np.asarray(getattr(dist, f)),
                 np.asarray(getattr(plain, f)), err_msg=f"{mode} {f}")
+
+
+def test_disk_swap_bit_identity(tmp_path, rng):
+    """--disk-swap tier: spilled memmap runs + cascaded block merges
+    produce the same build as in-RAM (VERDICT r1 item 6)."""
+    from metagraph_tpu.parallel.streaming import (build_boss_streaming,
+                                                  collect_kmers_streaming)
+    from metagraph_tpu.graph.boss_construct import build_boss
+    from conftest import random_dna
+
+    seqs = [random_dna(rng, 500) for _ in range(20)]
+    ld, cd = collect_kmers_streaming(seqs, 13, chunk_codes=2048,
+                                     disk_dir=str(tmp_path))
+    lr, cr = collect_kmers_streaming(seqs, 13, chunk_codes=2048)
+    np.testing.assert_array_equal(np.asarray(ld), lr)
+    np.testing.assert_array_equal(np.asarray(cd), cr)
+    bd = build_boss_streaming(seqs, 13, chunk_codes=2048,
+                              disk_dir=str(tmp_path), bits_per_count=8)
+    bp = build_boss(seqs, 13, bits_per_count=8)
+    for f in ("W", "last", "F", "weights", "edge_lanes"):
+        np.testing.assert_array_equal(np.asarray(getattr(bd, f)),
+                                      np.asarray(getattr(bp, f)))
