@@ -120,6 +120,12 @@ class Annotation:
             if "ur_codes" in keys:
                 from .unique_row import UniqueRow
                 mat = UniqueRow.from_npz_dict(d)
+            elif "trd_anchor" in keys:
+                from .coords import TupleRowDiff
+                mat = TupleRowDiff.from_npz_dict(d)
+            elif "rdb_anchor" in keys:
+                from .row_diff import RowDiffBrwt
+                mat = RowDiffBrwt.from_npz_dict(d)
             elif "coord_shape" in keys:
                 from .coords import CoordMatrix
                 mat = CoordMatrix.from_npz_dict(d)

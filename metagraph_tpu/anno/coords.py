@@ -92,6 +92,184 @@ class CoordMatrix:
         return (dense * np.asarray(weights)[:, None]).sum(axis=0)
 
 
+@dataclass
+class TupleRowDiff:
+    """Coordinate sets delta-compressed along graph successor paths
+    (reference TupleRowDiff, int_matrix/row_diff/tuple_row_diff.hpp:27):
+    each non-anchor row stores the symmetric difference of its
+    coordinate set against the successor's coordinates shifted by
+    SHIFT=-1 (coordinates advance by one per edge), so unitig interiors
+    store nothing. Queries walk to an anchor and fold the diffs back."""
+    diffs: CoordMatrix
+    anchor: np.ndarray           # (num_rows,) bool
+    succ: np.ndarray             # (num_rows,) int64 (-1 = none)
+    max_length: int
+
+    SHIFT = 1
+
+    @property
+    def num_rows(self) -> int:
+        return self.diffs.num_rows
+
+    @property
+    def num_cols(self) -> int:
+        return self.diffs.num_cols
+
+    @property
+    def nnz(self) -> int:
+        return self.diffs.nnz
+
+    # -- reconstruction ----------------------------------------------------
+
+    def _reconstruct_rows(self, rows: np.ndarray):
+        """{row: {col: sorted coord array}} for the requested rows via
+        memoized anchor walks."""
+        memo = {}
+
+        def tuples_of(r):
+            if r in memo:
+                return memo[r]
+            path = []
+            cur = int(r)
+            for _ in range(self.max_length + 1):
+                path.append(cur)
+                if cur in memo or self.anchor[cur] or self.succ[cur] < 0:
+                    break
+                cur = int(self.succ[cur])
+            # base case
+            base = memo.get(path[-1])
+            if base is None:
+                base = self._diff_of(path[-1])
+                memo[path[-1]] = base
+            for v in reversed(path[:-1]):
+                d = self._diff_of(v)
+                # T(v) = symdiff(D(v), T(succ) - SHIFT) per column
+                shifted = {c: t - self.SHIFT for c, t in base.items()}
+                out = {}
+                for c in set(d) | set(shifted):
+                    a = d.get(c, np.zeros(0, np.int64))
+                    b = shifted.get(c, np.zeros(0, np.int64))
+                    s = np.setxor1d(a, b)
+                    if len(s):
+                        out[c] = s
+                memo[v] = out
+                base = out
+            return memo[r]
+
+        return {int(r): tuples_of(int(r)) for r in rows}
+
+    def _diff_of(self, r: int):
+        m = self.diffs
+        lo = np.searchsorted(m.rows, r, side="left")
+        hi = np.searchsorted(m.rows, r, side="right")
+        out = {}
+        cols = m.cols[lo:hi]
+        coords = m.coords[lo:hi]
+        for c in np.unique(cols):
+            out[int(c)] = coords[cols == c]
+        return out
+
+    # -- CoordMatrix-compatible query surface ------------------------------
+
+    def get_tuples(self, query_rows: np.ndarray, col: int) -> List[List[int]]:
+        q = np.asarray(query_rows, np.int64)
+        ok = (q >= 0) & (q < self.num_rows)
+        rec = self._reconstruct_rows(np.unique(q[ok]))
+        out = []
+        for r, valid in zip(q, ok):
+            if not valid:
+                out.append([])
+                continue
+            t = rec[int(r)].get(col)
+            out.append(sorted(int(x) for x in t) if t is not None else [])
+        return out
+
+    def columns_of_rows(self, query_rows: np.ndarray) -> np.ndarray:
+        q = np.asarray(query_rows, np.int64)
+        out = np.zeros((len(q), self.num_cols), bool)
+        ok = (q >= 0) & (q < self.num_rows)
+        rec = self._reconstruct_rows(np.unique(q[ok]))
+        for i, (r, valid) in enumerate(zip(q, ok)):
+            if valid:
+                for c in rec[int(r)]:
+                    out[i, c] = True
+        return out
+
+    def presence(self, rows) -> np.ndarray:
+        return self.columns_of_rows(np.asarray(rows))
+
+    def sum_rows(self, rows, weights) -> np.ndarray:
+        dense = self.columns_of_rows(np.asarray(rows))
+        return (dense * np.asarray(weights)[:, None]).sum(axis=0)
+
+    # -- serialization -----------------------------------------------------
+
+    def to_npz_dict(self) -> dict:
+        d = {("trd_" + k): v for k, v in self.diffs.to_npz_dict().items()}
+        d["trd_anchor"] = np.packbits(self.anchor)
+        d["trd_anchor_len"] = np.array(len(self.anchor))
+        d["trd_succ"] = self.succ
+        d["trd_max_length"] = np.array(self.max_length)
+        return d
+
+    @staticmethod
+    def from_npz_dict(d) -> "TupleRowDiff":
+        inner = {k[len("trd_"):]: d[k] for k in d.keys()
+                 if k.startswith("trd_coord_")}
+        n = int(d["trd_anchor_len"])
+        return TupleRowDiff(
+            diffs=CoordMatrix.from_npz_dict(inner),
+            anchor=np.unpackbits(d["trd_anchor"])[:n].astype(bool),
+            succ=np.asarray(d["trd_succ"]),
+            max_length=int(d["trd_max_length"]))
+
+
+def build_tuple_row_diff(matrix: CoordMatrix, graph,
+                         max_length: int = 64) -> TupleRowDiff:
+    """Delta-compress a coordinate annotation along successor paths:
+    D(v) = symdiff(T(v), T(succ(v)) - SHIFT) per column; anchors store
+    full coordinate sets."""
+    from .row_diff import assign_successors_and_anchors
+    succ, anchor = assign_successors_and_anchors(graph, max_length)
+    rows = matrix.rows
+    cols = matrix.cols
+    coords = matrix.coords
+    C = matrix.num_cols
+    # keys: (row, col, coord) triple as two int64s for xor-cancellation
+    base_key = (rows * C + cols)
+    # successor triples pulled onto each non-anchor row, shifted by -1
+    v_ids = np.nonzero(~anchor)[0]
+    sv = succ[v_ids]
+    okm = sv >= 0
+    v_ids, sv = v_ids[okm], sv[okm]
+    lo = np.searchsorted(rows, sv, side="left")
+    hi = np.searchsorted(rows, sv, side="right")
+    sizes = hi - lo
+    vv = np.repeat(v_ids, sizes)
+    flat = np.concatenate([np.arange(l, h) for l, h in zip(lo, hi)]) \
+        if len(lo) else np.zeros(0, np.int64)
+    all_rows = np.concatenate([rows, vv])
+    all_cols = np.concatenate([cols, cols[flat]])
+    all_coords = np.concatenate(
+        [coords, coords[flat] - TupleRowDiff.SHIFT])
+    # triples appearing an odd number of times survive (symdiff)
+    order = np.lexsort((all_coords, all_cols, all_rows))
+    r_s, c_s, t_s = (all_rows[order], all_cols[order], all_coords[order])
+    first = np.concatenate([[True], (r_s[1:] != r_s[:-1])
+                            | (c_s[1:] != c_s[:-1])
+                            | (t_s[1:] != t_s[:-1])])
+    group = np.cumsum(first) - 1
+    counts = np.bincount(group)
+    fidx = np.nonzero(first)[0]
+    odd = (counts % 2) == 1
+    keep = fidx[odd]
+    diffs = CoordMatrix(rows=r_s[keep], cols=c_s[keep],
+                        coords=t_s[keep], num_rows=matrix.num_rows,
+                        num_cols=C)
+    return TupleRowDiff(diffs=diffs, anchor=anchor, succ=succ,
+                        max_length=max_length)
+
+
 class CoordAnnotator:
     """Accumulates (row, label, coordinate) triples during annotation
     (reference annotate.cpp:384 annotate_coordinates)."""

@@ -279,6 +279,101 @@ class IntRowDiff:
             num_rows=int(shape[0]), num_cols=int(shape[1]))
 
 
+@dataclass
+class RowDiffBrwt:
+    """RowDiff whose delta matrix is a Multi-BRWT (the reference's
+    RowDiffBRWT annotator, static_annotators_def.hpp): XOR anchor walks
+    over BRWT-compressed diffs. The walk runs at host level, one batched
+    BRWT descent per step (each descent is itself fully jitted)."""
+    diffs: "object"              # Brwt
+    anchor: np.ndarray
+    succ: np.ndarray
+    max_length: int
+
+    @property
+    def num_rows(self) -> int:
+        return self.diffs.num_rows
+
+    @property
+    def num_cols(self) -> int:
+        return self.diffs.num_cols
+
+    @property
+    def nnz(self) -> int:
+        return self.diffs.nnz
+
+    def num_anchors(self) -> int:
+        return int(self.anchor.sum())
+
+    def get_rows_dense(self, rows: np.ndarray) -> np.ndarray:
+        rows = np.asarray(rows, np.int64)
+        Q = len(rows)
+        acc = np.zeros((Q, self.num_cols), bool)
+        cur = rows.copy()
+        done = np.zeros(Q, bool)
+        for _ in range(self.max_length + 1):
+            if done.all():
+                break
+            curc = np.clip(cur, 0, self.num_rows - 1)
+            delta = self.diffs.presence(curc)
+            acc ^= delta & ~done[:, None]
+            done |= self.anchor[curc] & ~done
+            nxt = self.succ[curc]
+            done |= (nxt < 0) & ~done
+            cur = np.where(done, cur, nxt)
+        return acc
+
+    def presence(self, rows) -> np.ndarray:
+        return self.get_rows_dense(np.asarray(rows))
+
+    def sum_rows(self, rows, weights) -> np.ndarray:
+        dense = self.get_rows_dense(np.asarray(rows))
+        return (dense * np.asarray(weights)[:, None]).sum(axis=0)
+
+    def to_row_sparse(self) -> RowSparse:
+        chunks_r, chunks_c = [], []
+        B = 1 << 15
+        for s in range(0, self.num_rows, B):
+            rows = np.arange(s, min(s + B, self.num_rows))
+            dense = self.get_rows_dense(rows)
+            r, c = np.nonzero(dense)
+            chunks_r.append(r + s)
+            chunks_c.append(c)
+        return RowSparse.from_coo(np.concatenate(chunks_r),
+                                  np.concatenate(chunks_c),
+                                  self.num_rows, self.num_cols)
+
+    def to_npz_dict(self) -> dict:
+        d = self.diffs.to_npz_dict()
+        d["rdb_anchor"] = np.packbits(self.anchor)
+        d["rdb_anchor_len"] = np.array(len(self.anchor))
+        d["rdb_succ"] = self.succ
+        d["rdb_max_length"] = np.array(self.max_length)
+        return d
+
+    @staticmethod
+    def from_npz_dict(d) -> "RowDiffBrwt":
+        from .brwt import Brwt
+        n = int(d["rdb_anchor_len"])
+        return RowDiffBrwt(
+            diffs=Brwt.from_npz_dict(d),
+            anchor=np.unpackbits(d["rdb_anchor"])[:n].astype(bool),
+            succ=np.asarray(d["rdb_succ"]),
+            max_length=int(d["rdb_max_length"]))
+
+
+def build_row_diff_brwt(matrix: RowSparse, graph,
+                        max_length: int = DEFAULT_MAX_LENGTH,
+                        subsample: int = 1_000_000) -> RowDiffBrwt:
+    """RowDiff deltas compressed into a Multi-BRWT (the reference's
+    row_diff_brwt transform target)."""
+    from .brwt import build_brwt
+    rd = build_row_diff(matrix, graph, max_length)
+    return RowDiffBrwt(diffs=build_brwt(rd.diffs, subsample=subsample),
+                       anchor=rd.anchor, succ=rd.succ,
+                       max_length=rd.max_length)
+
+
 def build_int_row_diff(matrix: RowSparse, graph,
                        max_length: int = DEFAULT_MAX_LENGTH) -> IntRowDiff:
     """Delta-compress integer annotation values along successor paths."""

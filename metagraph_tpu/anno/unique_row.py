@@ -45,32 +45,41 @@ class UniqueRow:
 
     @staticmethod
     def from_row_sparse(m: RowSparse) -> "UniqueRow":
+        """Vectorized row deduplication: pad every row's column list to
+        the max row width (-1 fill) and group identical rows with one
+        np.unique(axis=0) — no per-row Python loop."""
         rows = np.asarray(m.rows)
         cols = np.asarray(m.cols)
-        # row signature = sorted tuple of columns; hash rows via sorting
-        # their (row, col) pairs which are already sorted
-        # build per-row column-lists boundaries
-        starts = np.searchsorted(rows, np.arange(m.num_rows), side="left")
-        ends = np.searchsorted(rows, np.arange(m.num_rows), side="right")
-        sigs = {}
-        codes = np.zeros(m.num_rows, np.int32)
-        d_rows: List[int] = []
-        d_cols: List[int] = []
-        for r in range(m.num_rows):
-            sig = tuple(cols[starts[r]:ends[r]])
-            code = sigs.get(sig)
-            if code is None:
-                code = len(sigs)
-                sigs[sig] = code
-                for c in sig:
-                    d_rows.append(code)
-                    d_cols.append(int(c))
-            codes[r] = code
+        if m.num_rows == 0:
+            return UniqueRow(codes=np.zeros(0, np.int32),
+                             distinct=RowSparse.from_coo(
+                                 np.zeros(0, np.int32), np.zeros(0, np.int32),
+                                 1, m.num_cols), num_rows=0)
+        counts = np.bincount(rows, minlength=m.num_rows)
+        width = max(int(counts.max()), 1)
+        padded = np.full((m.num_rows, width), -1, np.int32)
+        offs = np.concatenate([[0], np.cumsum(counts)])
+        pos = np.arange(len(rows)) - offs[rows]
+        padded[rows, pos] = cols
+        uniq, codes = np.unique(padded, axis=0, return_inverse=True)
+        d_rows, d_pos = np.nonzero(uniq >= 0)
+        d_cols = uniq[d_rows, d_pos]
         distinct = RowSparse.from_coo(
-            np.array(d_rows, np.int32), np.array(d_cols, np.int32),
-            max(len(sigs), 1), m.num_cols, dedupe=False)
-        return UniqueRow(codes=codes, distinct=distinct,
+            d_rows.astype(np.int32), d_cols.astype(np.int32),
+            max(uniq.shape[0], 1), m.num_cols, dedupe=False)
+        return UniqueRow(codes=codes.astype(np.int32), distinct=distinct,
                          num_rows=m.num_rows)
+
+    def with_brwt_distinct(self, subsample: int = 1_000_000) -> "UniqueRow":
+        """Rainbow<BRWT> (rainbowfish/rainbow.hpp:15): the distinct-row
+        store becomes a Multi-BRWT."""
+        from .brwt import build_brwt
+        distinct = self.distinct
+        if not isinstance(distinct, RowSparse):
+            distinct = distinct.to_row_sparse()
+        return UniqueRow(codes=self.codes,
+                         distinct=build_brwt(distinct, subsample=subsample),
+                         num_rows=self.num_rows)
 
     # -- RowSparse-compatible query surface --------------------------------
 
@@ -89,30 +98,42 @@ class UniqueRow:
         return [list(np.nonzero(r)[0]) for r in dense]
 
     def to_row_sparse(self) -> RowSparse:
-        out_r, out_c = [], []
-        d_rows = np.asarray(self.distinct.rows)
-        d_cols = np.asarray(self.distinct.cols)
-        for r in range(self.num_rows):
-            code = self.codes[r]
-            lo = np.searchsorted(d_rows, code, side="left")
-            hi = np.searchsorted(d_rows, code, side="right")
-            out_r.extend([r] * (hi - lo))
-            out_c.extend(d_cols[lo:hi])
-        return RowSparse.from_coo(np.array(out_r, np.int32),
-                                  np.array(out_c, np.int32),
+        dm = self.distinct if isinstance(self.distinct, RowSparse) \
+            else self.distinct.to_row_sparse()
+        d_rows = np.asarray(dm.rows)
+        d_cols = np.asarray(dm.cols)
+        lo = np.searchsorted(d_rows, self.codes, side="left")
+        hi = np.searchsorted(d_rows, self.codes, side="right")
+        sizes = hi - lo
+        out_r = np.repeat(np.arange(self.num_rows), sizes)
+        flat = np.concatenate([np.arange(l, h) for l, h in zip(lo, hi)]) \
+            if len(lo) else np.zeros(0, np.int64)
+        out_c = d_cols[flat.astype(np.int64)]
+        return RowSparse.from_coo(out_r.astype(np.int32),
+                                  out_c.astype(np.int32),
                                   self.num_rows, self.num_cols,
                                   dedupe=False)
 
     # -- serialization -----------------------------------------------------
 
     def to_npz_dict(self) -> dict:
-        d = self.distinct.to_npz_dict(prefix="ur_")
+        if isinstance(self.distinct, RowSparse):
+            d = self.distinct.to_npz_dict(prefix="ur_")
+        else:
+            # Rainbow<BRWT>: the distinct store is a Multi-BRWT
+            d = self.distinct.to_npz_dict()
+            d["ur_brwt"] = np.array(1)
         d["ur_codes"] = self.codes
         d["ur_num_rows"] = np.array(self.num_rows)
         return d
 
     @staticmethod
     def from_npz_dict(d) -> "UniqueRow":
+        if "ur_brwt" in (d.keys() if hasattr(d, "keys") else d):
+            from .brwt import Brwt
+            distinct = Brwt.from_npz_dict(d)
+        else:
+            distinct = RowSparse.from_npz_dict(d, prefix="ur_")
         return UniqueRow(codes=np.asarray(d["ur_codes"]),
-                         distinct=RowSparse.from_npz_dict(d, prefix="ur_"),
+                         distinct=distinct,
                          num_rows=int(d["ur_num_rows"]))

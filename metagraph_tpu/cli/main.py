@@ -426,7 +426,7 @@ def cmd_query(args):
     simple = not (args.print_signature or args.query_coords
                   or args.query_counts or args.count_quantiles)
     aligner = None
-    if args.align:
+    if args.align or args.batch_align:
         from ..align.aligner import Aligner, AlignerConfig
         aligner = Aligner(g, AlignerConfig(
             min_exact_match=args.align_min_exact_match))
@@ -446,10 +446,12 @@ def cmd_query(args):
                     name=rec.name, seq=rec.seq.translate(comp)[::-1]))
             batch = expanded
         if aligner is not None:
-            # reference query --align: replace each read with its best
-            # aligned path spelling before querying (query.cpp:993-999)
-            for rec in batch:
-                res = aligner.align(rec.seq)
+            # reference query --align / --batch-align: replace each read
+            # with its best aligned path spelling before querying
+            # (query.cpp:993-999; the --batch-align hull's role is
+            # subsumed by the batched full-graph aligner, query.cpp:735)
+            all_res = aligner.align_batch([rec.seq for rec in batch])
+            for rec, res in zip(batch, all_res):
                 if res:
                     rec.seq = res[0].sequence
         if simple and args.count_labels:
@@ -946,11 +948,34 @@ def cmd_transform_anno(args):
         g = _load_graph(args.infile_base)
         out_mat = build_int_row_diff(mat, g,
                                      max_length=args.max_path_length)
+    elif target == "row_diff_brwt":
+        from ..anno.row_diff import build_row_diff_brwt
+        assert args.infile_base, "row_diff_brwt requires the graph (-i)"
+        g = _load_graph(args.infile_base)
+        if not isinstance(mat, RowSparse):
+            mat = mat.to_row_sparse()
+        out_mat = build_row_diff_brwt(mat, g,
+                                      max_length=args.max_path_length,
+                                      subsample=args.num_rows_subsampled)
+    elif target in ("row_diff_coord", "tuple_row_diff"):
+        from ..anno.coords import CoordMatrix, build_tuple_row_diff
+        assert args.infile_base, "row_diff_coord requires the graph (-i)"
+        assert isinstance(mat, CoordMatrix), \
+            "row_diff_coord needs a coordinate annotation input"
+        g = _load_graph(args.infile_base)
+        out_mat = build_tuple_row_diff(mat, g,
+                                       max_length=args.max_path_length)
     elif target in ("unique_row", "rbfish"):
         from ..anno.unique_row import UniqueRow
         if not isinstance(mat, RowSparse):
             mat = mat.to_row_sparse()
         out_mat = UniqueRow.from_row_sparse(mat)
+    elif target == "rb_brwt":
+        from ..anno.unique_row import UniqueRow
+        if not isinstance(mat, RowSparse):
+            mat = mat.to_row_sparse()
+        out_mat = UniqueRow.from_row_sparse(mat).with_brwt_distinct(
+            subsample=args.num_rows_subsampled)
     elif target in ("column", "row_sparse", "flat"):
         out_mat = mat if isinstance(mat, RowSparse) else mat.to_row_sparse()
     else:
@@ -1231,7 +1256,9 @@ def build_parser() -> argparse.ArgumentParser:
                     help="graph (required for row_diff)")
     sp.add_argument("--anno-type", default="column",
                     choices=["column", "row_sparse", "flat", "brwt",
-                             "row_diff", "int_row_diff", "unique_row", "rbfish"])
+                             "row_diff", "int_row_diff", "unique_row",
+                             "rbfish", "rb_brwt", "row_diff_brwt",
+                             "row_diff_coord", "tuple_row_diff"])
     sp.add_argument("--max-path-length", type=int, default=64)
     sp.add_argument("--relax-arity", type=int, default=2)
     sp.add_argument("--num-rows-subsampled", type=int, default=1000000)

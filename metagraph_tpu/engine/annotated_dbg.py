@@ -199,25 +199,49 @@ class AnnotatedDbg:
 
     def score_kmer_presence_mask(self, mask: np.ndarray,
                                  match_score: int = 1,
-                                 mismatch_score: int = 2) -> float:
-        """Alignment-free quality score of a presence mask
-        (annotated_dbg.cpp:score_kmer_presence_mask)."""
-        if mask.size == 0:
-            return 0.0
-        score = 0
-        run = 0
+                                 mismatch_score: int = 2) -> int:
+        """Alignment-free quality score of a presence mask — the exact
+        reference semantics (annotated_dbg.cpp:706-900): autocorrelate
+        the mask over a (kmer_adjust=3)-window, run-length encode with a
+        +1 correction on every run but the last, sum one-runs, apply the
+        BIGSI SNP penalty to zero-runs, and scale by
+        sequence_length / mask_length."""
+        mask = np.asarray(mask, bool)
+        n = mask.size
+        if n == 0:
+            return 0
         k = self.graph.k
-        # contiguous stretches of present k-mers scored like exact matches
-        for bit in mask:
-            if bit:
-                run += 1
-            else:
-                if run:
-                    score += match_score * (run + k - 1)
-                run = 0
-        if run:
-            score += match_score * (run + k - 1)
-        return float(score)
+        kmer_adjust = 3
+        seq_len = n + k - 1
+        snp_t = float(k + kmer_adjust)
+        # autocorrelate(v, 3): out[i] = AND of v[i..i+2] (bits past the
+        # end count as set, vector_algorithm.cpp:519)
+        ac = mask.copy()
+        for j in range(1, kmer_adjust):
+            ac &= np.concatenate([mask[j:], np.ones(j, bool)])
+        # tabulate_score(ac, correction=1): run lengths, +1 on all but
+        # the final run (annotated_dbg.cpp:710-770)
+        change = np.nonzero(ac[1:] != ac[:-1])[0]
+        bounds = np.concatenate([[0], change + 1, [n]])
+        lens = np.diff(bounds).astype(np.int64)
+        vals = ac[bounds[:-1]]
+        lens_c = lens.copy()
+        lens_c[:-1] += 1
+        ones = lens_c[vals]
+        zeros = lens_c[~vals]
+        score = float(int(ones.sum()) * match_score)
+        if score == 0:
+            return 0
+        if len(zeros) == 0:
+            return int(score * seq_len / n)
+        c = zeros.astype(np.float64)
+        min_n = c / snp_t
+        max_n = np.maximum(c - snp_t + 1, min_n)
+        mean_n = max_n * 0.05 + min_n
+        mean_penalty = mean_n * mismatch_score
+        score += float(((c - mean_penalty) * match_score
+                        - mean_penalty).sum())
+        return int(max(score * seq_len / n, 0.0))
 
 
 def _row_values_host(matrix, rows: np.ndarray):

@@ -25,37 +25,82 @@ class QueryService:
         self.aligner = aligner
 
     def search(self, payload: dict) -> list:
+        """POST /search (reference process_search_request,
+        server.cpp:126-193): count-label search, optionally aligning the
+        reads first (``align``) and/or attaching per-k-mer presence
+        signatures + BIGSI scores (``with_signature``)."""
         fasta = payload["FASTA"]
         discovery = float(payload.get("discovery_fraction", 0.7))
         num_labels = int(payload.get("num_labels", 2 ** 32))
         with_counts = bool(payload.get("abundance_sum", False))
+        with_signature = bool(payload.get("with_signature", False))
+        do_align = bool(payload.get("align", False))
         records = list(_parse_fasta_string(fasta))
+        aligned = [None] * len(records)
+        if do_align and self.aligner is not None:
+            self.aligner.config.min_exact_match = float(
+                payload.get("min_exact_match",
+                            self.aligner.config.min_exact_match))
+            seqs = [seq.encode() for _, seq in records]
+            batches = self.aligner.align_batch(seqs)
+            for i, res in enumerate(batches):
+                if res:
+                    aligned[i] = res[0]
+                    records[i] = (records[i][0], res[0].sequence.decode())
+        results = []
+        if with_signature:
+            for (name, seq), aln in zip(records, aligned):
+                tops = self.adbg.get_top_label_signatures(
+                    seq.encode(), num_labels, discovery)
+                entry = {
+                    "seq_description": name,
+                    "results": [
+                        {"sample": label,
+                         "kmer_count": int(mask.sum()),
+                         "signature": "".join(
+                             "1" if b else "0" for b in mask)}
+                        for label, mask in tops
+                    ],
+                }
+                if aln is not None:
+                    entry["sequence"] = seq
+                    entry["score"] = int(aln.score)
+                    entry["cigar"] = aln.cigar
+                results.append(entry)
+            return results
         from ..engine.annotated_dbg import BatchQuery
         tops_all = BatchQuery(self.adbg).get_top_labels_batch(
             [seq.encode() for _, seq in records], num_labels, discovery,
             with_kmer_counts=with_counts)
-        results = []
-        for (name, _seq), tops in zip(records, tops_all):
-            results.append({
+        for (name, seq), tops, aln in zip(records, tops_all, aligned):
+            entry = {
                 "seq_description": name,
                 "results": [
                     {"sample": label, "kmer_count": int(count)}
                     for label, count in tops
                 ],
-            })
+            }
+            if aln is not None:
+                entry["sequence"] = seq
+                entry["score"] = int(aln.score)
+                entry["cigar"] = aln.cigar
+            results.append(entry)
         return results
 
     def align(self, payload: dict) -> list:
         fasta = payload["FASTA"]
-        out = []
-        for name, seq in _parse_fasta_string(fasta):
-            alignments = (self.aligner.align(seq.encode())
-                          if self.aligner else [])
-            out.append({
-                "seq_description": name,
-                "alignments": [a.to_json(name) for a in alignments],
-            })
-        return out
+        records = list(_parse_fasta_string(fasta))
+        if self.aligner is not None:
+            batches = self.aligner.align_batch(
+                [seq.encode() for _, seq in records],
+                num_alternative_paths=int(
+                    payload.get("max_alternative_alignments", 1)))
+        else:
+            batches = [[] for _ in records]
+        return [{
+            "seq_description": name,
+            "alignments": [a.to_json(name) for a in alignments],
+        } for (name, _seq), alignments in zip(records, batches)]
 
     def column_labels(self) -> list:
         return self.adbg.annotation.encoder.labels
