@@ -141,6 +141,35 @@ def bench_align_kernel():
         f"{R*LQ*LR/dt/1e9:.2f} Gcells/s, {R/dt:.0f} alignments/s")
 
 
+def bench_align_batch(boss, seqs):
+    """Secondary metric: end-to-end batched aligner reads/sec."""
+    from metagraph_tpu.align.aligner import Aligner
+    from metagraph_tpu.graph.dbg_succinct import DbgSuccinct
+    from metagraph_tpu.kmer.alphabets import DNA
+    g = DbgSuccinct.from_boss(boss, DNA, "basic")
+    rng = np.random.default_rng(1)
+    reads = []
+    sub = {65: 67, 67: 65, 71: 84, 84: 71}
+    for _ in range(512):
+        s = seqs[rng.integers(0, len(seqs))]
+        if len(s) < 130:
+            continue
+        p = rng.integers(0, len(s) - 110)
+        r = bytearray(s[p:p + 100])
+        # one substitution per read: exercises the extension DP
+        q = rng.integers(10, 90)
+        r[q] = sub.get(r[q], 65)
+        reads.append(bytes(r))
+    al = Aligner(g)
+    al.align_batch(reads[:32])             # warm up / compile
+    t0 = time.time()
+    res = al.align_batch(reads)
+    dt = time.time() - t0
+    n_ok = sum(1 for r in res if r)
+    log(f"align_batch: {len(reads)} reads in {dt:.2f}s -> "
+        f"{len(reads)/dt:.0f} reads/s ({n_ok} aligned)")
+
+
 def main():
     seqs = read_fasta(DATA)
     total_bp = sum(map(len, seqs))
@@ -163,6 +192,7 @@ def main():
         try:
             bench_query(boss, seqs)
             bench_align_kernel()
+            bench_align_batch(boss, seqs)
         except Exception as e:
             log(f"secondary benches failed: {e}")
     total_windows = base["total_windows"]

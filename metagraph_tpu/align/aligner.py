@@ -343,17 +343,19 @@ class Aligner:
         cfg = self.config
         B = len(seqs)
         results: List[Optional[GraphAlignment]] = [None] * B
-        # 1) batched seeding: map every read's windows
+        # 1) batched seeding: ONE device dispatch maps every read's
+        # windows (reads concatenated with separators)
         codes_l, runs_l = [], []
         for s in seqs:
             codes = self._tbl[np.frombuffer(s, np.uint8)].astype(np.int32)
             codes_l.append(np.where(codes == 255, 0, codes))
+        nodes_l = _map_batch_nodes(g, seqs)
         seeded = []
         for i, s in enumerate(seqs):
             if len(s) < k:
                 runs_l.append([])
                 continue
-            nodes = np.asarray(g.map_to_nodes(s))
+            nodes = nodes_l[i]
             runs = self._exact_runs(nodes)
             runs_l.append(runs)
             if runs:
@@ -421,6 +423,7 @@ class Aligner:
                                cfg.gap_extension_penalty, cfg.match_score,
                                cfg.mm_transition_penalty,
                                cfg.mm_transversion_penalty)
+        finals = []
         for bi, (i, nodes, rs, re, seed_len, qb, qe) in enumerate(seed_info):
             seq = seqs[i]
             score = cfg.match_score * seed_len
@@ -443,10 +446,13 @@ class Aligner:
                 cig = f"{qb}S" + cig
             if qe < len(seq):
                 cig = cig + f"{len(seq) - qe}S"
+            finals.append((i, score, cig, qb, qe, path))
+        # 4) ONE device dispatch spells every winning path
+        spells = self._spell_batch([f[5] for f in finals])
+        for (i, score, cig, qb, qe, path), spelled in zip(finals, spells):
             results[i] = GraphAlignment(
                 score=int(score), cigar=cig, query_begin=qb, query_end=qe,
-                sequence=self._spell(path), nodes=path,
-                orientation=orientation)
+                sequence=spelled, nodes=path, orientation=orientation)
         return results
 
     def _align_one(self, seq: bytes, orientation: bool
@@ -556,6 +562,55 @@ class Aligner:
         for i in range(1, len(path)):
             out.append(letters[chars[i][-1]])
         return bytes(out)
+
+    def _spell_batch(self, paths: Sequence[List[int]]) -> List[bytes]:
+        """Spell many paths with one node_kmers_chars dispatch: concatenate
+        all path nodes, decode once, slice back per path."""
+        g = self.graph
+        flat = np.concatenate(
+            [np.asarray(p, np.int64) for p in paths if p]
+            or [np.zeros(0, np.int64)])
+        if len(flat) == 0:
+            return [b"" for _ in paths]
+        # pad to a power-of-two bucket: compile per size class
+        cap = max(64, 1 << (len(flat) - 1).bit_length())
+        padded = np.concatenate([flat, np.ones(cap - len(flat), np.int64)])
+        chars = g.node_kmers_chars(padded)
+        letters = np.frombuffer(g.alphabet.letters.encode(), np.uint8)
+        out, off = [], 0
+        for p in paths:
+            if not p:
+                out.append(b"")
+                continue
+            c = chars[off:off + len(p)]
+            off += len(p)
+            out.append(bytes(letters[c[0]]) + bytes(letters[c[1:, -1]]))
+        return out
+
+
+def _map_batch_nodes(g, seqs: Sequence[bytes]) -> List[np.ndarray]:
+    """Map every read's k-mer windows to node ids in ONE device dispatch:
+    reads are concatenated with INVALID separators (windows spanning a
+    boundary are invalid by window_validity), mapped once, and sliced back
+    per read. Matches per-read g.map_to_nodes(s) exactly."""
+    from ..kmer.alphabets import INVALID_CODE
+    from ..kmer.extractor import encode_sequences
+    import jax.numpy as jnp
+    k = g.k
+    codes = encode_sequences(seqs, g.alphabet)       # trailing sep per read
+    n = len(codes)
+    if n < k:
+        return [np.zeros(max(0, len(s) - k + 1), np.int32) for s in seqs]
+    cap = max(64, 1 << (n - 1).bit_length())
+    codes = np.concatenate([codes, np.full(cap - n, INVALID_CODE, np.uint8)])
+    out = np.asarray(g.map_codes_to_nodes(jnp.asarray(codes)))
+    nodes_l, off = [], 0
+    for s in seqs:
+        ln = len(s)
+        nodes_l.append(out[off:off + max(0, ln - k + 1)].astype(np.int32)
+                       if ln >= k else np.zeros(0, np.int32))
+        off += ln + 1                                # +1 for the separator
+    return nodes_l
 
 
 _COMP = bytes.maketrans(b"ACGTacgt", b"TGCAtgca")

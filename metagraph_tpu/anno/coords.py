@@ -246,8 +246,8 @@ def build_tuple_row_diff(matrix: CoordMatrix, graph,
     hi = np.searchsorted(rows, sv, side="right")
     sizes = hi - lo
     vv = np.repeat(v_ids, sizes)
-    flat = np.concatenate([np.arange(l, h) for l, h in zip(lo, hi)]) \
-        if len(lo) else np.zeros(0, np.int64)
+    from .row_diff import _interval_expand
+    flat = _interval_expand(lo, sizes)
     all_rows = np.concatenate([rows, vv])
     all_cols = np.concatenate([cols, cols[flat]])
     all_coords = np.concatenate(

@@ -35,6 +35,18 @@ from .matrix import RowSparse
 DEFAULT_MAX_LENGTH = 64
 
 
+def _interval_expand(lo: np.ndarray, sizes: np.ndarray) -> np.ndarray:
+    """Vectorized concatenation of [lo[i], lo[i]+sizes[i]) ranges."""
+    total = int(sizes.sum())
+    if total == 0:
+        return np.zeros(0, np.int64)
+    starts = np.repeat(lo.astype(np.int64), sizes)
+    offs = np.arange(total, dtype=np.int64) - np.repeat(
+        np.cumsum(sizes) - sizes, sizes)
+    return starts + offs
+
+
+
 @dataclass
 class RowDiff:
     diffs: RowSparse             # sparse XOR deltas (full rows at anchors)
@@ -393,7 +405,7 @@ def build_int_row_diff(matrix: RowSparse, graph,
     hi = np.searchsorted(rows, sv, side="right")
     sizes = hi - lo
     vv = np.repeat(v_ids, sizes)
-    flat = np.concatenate([np.arange(l, h) for l, h in zip(lo, hi)])         if len(lo) else np.zeros(0, np.int64)
+    flat = _interval_expand(lo, sizes)
     all_keys = np.concatenate([rows * C + cols, vv * C + cols[flat]])
     all_vals = np.concatenate([vals, -vals[flat]])
     order = np.argsort(all_keys, kind="stable")
@@ -484,8 +496,7 @@ def build_row_diff(matrix: RowSparse, graph,
     hi = np.searchsorted(rows, sv, side="right")
     sizes = hi - lo
     vv = np.repeat(v_ids, sizes)
-    flat = np.concatenate([np.arange(l, h) for l, h in zip(lo, hi)]) \
-        if len(lo) else np.zeros(0, np.int64)
+    flat = _interval_expand(lo, sizes)
     succ_key = vv * num_cols + cols[flat]
     # anchors keep their rows; non-anchors get M XOR M_succ
     keep_orig = base_key  # all original pairs participate

@@ -154,6 +154,7 @@ def cmd_build(args):
             seqs.extend(s.translate(comp)[::-1] for s in list(seqs))
         log(f"Read {len(seqs)} sequences "
             f"({sum(map(len, seqs)) / 1e6:.1f} Mbp)")
+    from ..common import telemetry
     t0 = time.time()
     if args.disk_swap:
         # bounded-HBM streaming collection; a real directory engages the
@@ -170,16 +171,21 @@ def cmd_build(args):
             suffix_len=max(args.suffix_len, 1))
     elif codes_direct is not None:
         from ..graph.boss_construct import build_boss_from_codes
-        boss = build_boss_from_codes(codes_direct, args.k, alphabet=DNA,
-                                     mode=mode,
-                                     bits_per_count=bits_per_count)
+        with telemetry.span("construct", items=len(codes_direct),
+                            unit="chars"):
+            boss = build_boss_from_codes(codes_direct, args.k,
+                                         alphabet=DNA, mode=mode,
+                                         bits_per_count=bits_per_count)
     else:
-        boss = build_boss(seqs, args.k, alphabet=DNA, mode=mode,
-                          bits_per_count=bits_per_count)
+        with telemetry.span("construct",
+                            items=sum(map(len, seqs)), unit="chars"):
+            boss = build_boss(seqs, args.k, alphabet=DNA, mode=mode,
+                              bits_per_count=bits_per_count)
     log(f"Graph construction: {time.time() - t0:.2f} s")
-    graph = DbgSuccinct.from_boss(boss, DNA, mode)
-    out = graph_io.save_graph(args.outfile_base, graph,
-                              state=getattr(args, "state", "fast"))
+    with telemetry.span("serialize"):
+        graph = DbgSuccinct.from_boss(boss, DNA, mode)
+        out = graph_io.save_graph(args.outfile_base, graph,
+                                  state=getattr(args, "state", "fast"))
     log(f"Serialized to {out}")
 
 
@@ -432,8 +438,11 @@ def cmd_query(args):
             min_exact_match=args.align_min_exact_match))
     bq = BatchQuery(adbg) if simple else None
     idx = 0
-    for batch in iter_batches(args.fnames,
-                              batch_bytes=args.batch_size):
+    from ..seqio.fasta import BatchFeeder
+    # prefetch: host parsing of the next batch overlaps device compute
+    # (the reference's ThreadPool/BatchAccumulator pipeline role)
+    for batch in BatchFeeder(iter_batches(args.fnames,
+                                          batch_bytes=args.batch_size)):
         if args.fwd_and_reverse:
             # FastaParser with_reverse: every record is queried forward
             # and as its reverse complement (own output line each)

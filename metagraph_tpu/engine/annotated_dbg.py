@@ -258,9 +258,9 @@ def _row_values_host(matrix, rows: np.ndarray):
     cols_np = np.asarray(matrix.cols)
     vals_np = (np.asarray(matrix.values) if matrix.values is not None
                else np.ones_like(cols_np))
-    idx = np.concatenate([np.arange(l, h) for l, h in zip(lo, hi)]) \
-        if len(lo) else np.zeros(0, np.int64)
-    return cols_np[idx.astype(np.int64)], vals_np[idx.astype(np.int64)]
+    from ..anno.row_diff import _interval_expand
+    idx = _interval_expand(lo, hi - lo)
+    return cols_np[idx], vals_np[idx]
 
 
 class BatchQuery:

@@ -65,10 +65,16 @@ class Boss:
         W = W.astype(jnp.int32)
         last = last.astype(bool)
         F = F.astype(jnp.int32)
-        # blocked rank structures (0.25 B/pos for last, ~1.3 B/pos for W)
-        last_rank = BitRank.build(last)
-        W_rank = SymbolRank.build(W, 2 * alph_size)
-        NF = last_rank.rank1(F)
+        # blocked rank structures (0.25 B/pos for last, ~1.3 B/pos for W),
+        # built in ONE fused dispatch (host round trips dominate on the
+        # remote-dispatch runtime)
+        n = int(last.shape[0])
+        sigma = 2 * alph_size
+        (lw, lbr, ltot, seq_pad, blocks, NF) = _finalize_ranks(
+            W, last, F, sigma=sigma, n=n)
+        last_rank = BitRank(words=lw, brank=lbr, total=ltot, n=n)
+        W_rank = SymbolRank(seq_pad=seq_pad, blocks=blocks, sigma=sigma,
+                            n_seq=n)
         if edge_lanes is not None and edge_lanes.shape[1] > 0:
             lut, max_bucket = _build_lut(edge_lanes)
             lut_steps = max(1, int(np.ceil(np.log2(int(max_bucket) + 1))))
@@ -77,6 +83,35 @@ class Boss:
         return Boss(k=k, alph_size=alph_size, bits_per_char=bits_per_char,
                     F=F, last_rank=last_rank, W_rank=W_rank, NF=NF,
                     edge_lanes=edge_lanes, weights=weights,
+                    lut=lut, lut_steps=lut_steps)
+
+    @staticmethod
+    def from_finish(k: int, alph_size: int, bits_per_char: int,
+                    kept: jax.Array, W: jax.Array, last: jax.Array,
+                    F: jax.Array, n_kept: int,
+                    weights: Optional[jax.Array] = None,
+                    keep_kmer_index: bool = True) -> "Boss":
+        """Finalize straight from the construction finish-stage buffers:
+        slice-to-size, sentinel row, blocked ranks, NF and the LUT all in
+        ONE dispatch + one scalar sync (vs ~6 op-by-op dispatches through
+        from_arrays — host round trips dominate on the remote runtime)."""
+        sigma = 2 * alph_size
+        (lw, lbr, ltot, seq_pad, blocks, NF, F32, w_full, lanes, lut,
+         max_bucket) = _finalize_full(
+            kept, W, last, F, weights, sigma=sigma, n_kept=n_kept,
+            has_weights=weights is not None,
+            with_lanes=keep_kmer_index)
+        n = n_kept + 1
+        last_rank = BitRank(words=lw, brank=lbr, total=ltot, n=n)
+        W_rank = SymbolRank(seq_pad=seq_pad, blocks=blocks, sigma=sigma,
+                            n_seq=n)
+        if lut is not None:
+            lut_steps = max(1, int(np.ceil(np.log2(int(max_bucket) + 1))))
+        else:
+            lut_steps = 0
+        return Boss(k=k, alph_size=alph_size, bits_per_char=bits_per_char,
+                    F=F32, last_rank=last_rank, W_rank=W_rank, NF=NF,
+                    edge_lanes=lanes, weights=w_full,
                     lut=lut, lut_steps=lut_steps)
 
     # -- basic accessors ---------------------------------------------------
@@ -266,6 +301,57 @@ class Boss:
         is_src = first == 0
         is_sink = (lab == 0) & ~is_src
         return jnp.sum(is_src.astype(jnp.int32)), jnp.sum(is_sink.astype(jnp.int32))
+
+
+@functools.partial(jax.jit, static_argnames=("sigma", "n"))
+def _finalize_ranks(W, last, F, sigma: int, n: int):
+    """Blocked BitRank + SymbolRank + NF in one dispatch."""
+    from ..common.ranksel import _BS, _pack_bits_device
+    words = _pack_bits_device(last)
+    pops = jax.lax.population_count(words).astype(jnp.int32)
+    brank = jnp.cumsum(pops) - pops
+    total = (brank[-1] + pops[-1]) if words.shape[0] else jnp.int32(0)
+    nb = max((n + _BS - 1) // _BS, 1)
+    seq_pad = jnp.full((nb * _BS,), sigma, jnp.int8).at[:n].set(
+        W.astype(jnp.int8))
+    hist = jnp.stack([
+        jnp.sum((seq_pad == c).reshape(nb, _BS), axis=1, dtype=jnp.int32)
+        for c in range(sigma)], axis=1)
+    blocks = jnp.concatenate(
+        [jnp.zeros((1, sigma), jnp.int32), jnp.cumsum(hist, axis=0)])
+    # NF[c] = rank_last(F[c]) on the freshly built blocked rank
+    i = jnp.clip(F, -1, n - 1)
+    ic = jnp.maximum(i, 0)
+    wi = ic >> 5
+    low = jnp.uint32(0xFFFFFFFF) >> (jnp.uint32(31)
+                                     - (ic & 31).astype(jnp.uint32))
+    NF = jnp.where(i < 0, 0, brank[wi] + jax.lax.population_count(
+        words[wi] & low).astype(jnp.int32))
+    return words, brank, total, seq_pad, blocks, NF
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "sigma", "n_kept", "has_weights", "with_lanes"))
+def _finalize_full(kept, W, last, F, weights, sigma: int, n_kept: int,
+                   has_weights: bool, with_lanes: bool):
+    """from_finish body: sentinel-row concat + blocked ranks + NF + LUT."""
+    zero = jnp.zeros((1,), jnp.int32)
+    W_full = jnp.concatenate([zero, W[:n_kept].astype(jnp.int32)])
+    last_full = jnp.concatenate([zero.astype(bool),
+                                 last[:n_kept].astype(bool)])
+    F32 = F.astype(jnp.int32)
+    w_full = (jnp.concatenate([zero, weights[:n_kept].astype(jnp.int32)])
+              if has_weights else None)
+    n = n_kept + 1
+    lw, lbr, ltot, seq_pad, blocks, NF = _finalize_ranks.__wrapped__(
+        W_full, last_full, F32, sigma=sigma, n=n)
+    if with_lanes and n_kept > 0:
+        lanes = kept[:, :n_kept]
+        lut, max_bucket = _build_lut.__wrapped__(lanes)
+    else:
+        lanes, lut, max_bucket = None, None, jnp.int32(0)
+    return (lw, lbr, ltot, seq_pad, blocks, NF, F32, w_full, lanes, lut,
+            max_bucket)
 
 
 @jax.jit

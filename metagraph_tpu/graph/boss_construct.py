@@ -465,17 +465,11 @@ def build_boss_from_kmers(
             break
         cap_d = _bucket(max(n_sink_cand, n_src))
 
-    zero_row = jnp.zeros((1,), jnp.int32)
-    W_full = jnp.concatenate([zero_row, W[:n_kept]])
-    last_full = jnp.concatenate([zero_row.astype(bool), last[:n_kept]])
-    weights_full = (jnp.concatenate([zero_row, weights[:n_kept]])
-                    if bits_per_count else None)
-    edge_lanes = kept[:, :n_kept] if keep_kmer_index else None
-
-    return Boss.from_arrays(
+    return Boss.from_finish(
         k=K - 1, alph_size=alphabet.size, bits_per_char=B,
-        W=W_full, last=last_full, F=F,
-        edge_lanes=edge_lanes, weights=weights_full)
+        kept=kept, W=W, last=last, F=F, n_kept=n_kept,
+        weights=weights if bits_per_count else None,
+        keep_kmer_index=keep_kmer_index)
 
 
 def build_boss_from_codes(

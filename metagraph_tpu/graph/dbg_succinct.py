@@ -52,10 +52,12 @@ class DbgSuccinct:
         if valid is None:
             assert boss.edge_lanes is not None, \
                 "small-state graphs need an explicit valid-edge mask"
-            is_dummy = packing.contains_sentinel(boss.edge_lanes, boss.K, B)
-            valid = jnp.concatenate([jnp.zeros((1,), bool), ~is_dummy])
+            valid = _valid_mask_fused(boss.edge_lanes, boss.K, B)
+        n = int(valid.shape[0])
+        words, brank, total = _bitrank_fused(jnp.asarray(valid))
         return DbgSuccinct(boss=boss, alphabet=alphabet, mode=mode,
-                           valid_rank=BitRank.build(valid))
+                           valid_rank=BitRank(words=words, brank=brank,
+                                              total=total, n=n))
 
     # -- sizes -------------------------------------------------------------
 
@@ -183,6 +185,27 @@ class DbgSuccinct:
     def node_sequence(self, node: int) -> str:
         chars = self.node_kmers_chars(np.array([node]))[0]
         return self.alphabet.decode(chars)
+
+
+
+
+import functools
+
+
+@functools.partial(jax.jit, static_argnames=("K", "B"))
+def _valid_mask_fused(edge_lanes, K: int, B: int):
+    is_dummy = packing.contains_sentinel(edge_lanes, K, B)
+    return jnp.concatenate([jnp.zeros((1,), bool), ~is_dummy])
+
+
+@jax.jit
+def _bitrank_fused(bits):
+    from ..common.ranksel import _pack_bits_device
+    words = _pack_bits_device(bits)
+    pops = jax.lax.population_count(words).astype(jnp.int32)
+    brank = jnp.cumsum(pops) - pops
+    total = brank[-1] + pops[-1]
+    return words, brank, total
 
 
 def register_pytrees():
