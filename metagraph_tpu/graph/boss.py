@@ -90,25 +90,29 @@ class Boss:
                     kept: jax.Array, W: jax.Array, last: jax.Array,
                     F: jax.Array, n_kept: int,
                     weights: Optional[jax.Array] = None,
-                    keep_kmer_index: bool = True) -> "Boss":
+                    keep_kmer_index: bool = True,
+                    lut: Optional[jax.Array] = None,
+                    max_bucket: Optional[int] = None) -> "Boss":
         """Finalize straight from the construction finish-stage buffers:
-        slice-to-size, sentinel row, blocked ranks, NF and the LUT all in
-        ONE dispatch + one scalar sync (vs ~6 op-by-op dispatches through
-        from_arrays — host round trips dominate on the remote runtime)."""
+        slice-to-size, sentinel row, blocked ranks and NF in ONE dispatch
+        with NO host sync (vs ~6 op-by-op dispatches + 1 sync through
+        from_arrays — a round trip costs ~30 ms on the remote runtime).
+        ``lut``/``max_bucket`` come precomputed from the finish stage
+        (max_bucket rides the stats sync the builder already pays)."""
         sigma = 2 * alph_size
-        (lw, lbr, ltot, seq_pad, blocks, NF, F32, w_full, lanes, lut,
-         max_bucket) = _finalize_full(
-            kept, W, last, F, weights, sigma=sigma, n_kept=n_kept,
-            has_weights=weights is not None,
-            with_lanes=keep_kmer_index)
+        (lw, lbr, ltot, seq_pad, blocks, NF, F32, w_full, lanes) = \
+            _finalize_full(
+                kept, W, last, F, weights, sigma=sigma, n_kept=n_kept,
+                has_weights=weights is not None,
+                with_lanes=keep_kmer_index)
         n = n_kept + 1
         last_rank = BitRank(words=lw, brank=lbr, total=ltot, n=n)
         W_rank = SymbolRank(seq_pad=seq_pad, blocks=blocks, sigma=sigma,
                             n_seq=n)
-        if lut is not None:
-            lut_steps = max(1, int(np.ceil(np.log2(int(max_bucket) + 1))))
+        if keep_kmer_index and lut is not None and n_kept > 0:
+            lut_steps = max(1, int(np.ceil(np.log2(max_bucket + 1))))
         else:
-            lut_steps = 0
+            lut, lut_steps = None, 0
         return Boss(k=k, alph_size=alph_size, bits_per_char=bits_per_char,
                     F=F32, last_rank=last_rank, W_rank=W_rank, NF=NF,
                     edge_lanes=lanes, weights=w_full,
@@ -334,7 +338,7 @@ def _finalize_ranks(W, last, F, sigma: int, n: int):
     "sigma", "n_kept", "has_weights", "with_lanes"))
 def _finalize_full(kept, W, last, F, weights, sigma: int, n_kept: int,
                    has_weights: bool, with_lanes: bool):
-    """from_finish body: sentinel-row concat + blocked ranks + NF + LUT."""
+    """from_finish body: sentinel-row concat + blocked ranks + NF."""
     zero = jnp.zeros((1,), jnp.int32)
     W_full = jnp.concatenate([zero, W[:n_kept].astype(jnp.int32)])
     last_full = jnp.concatenate([zero.astype(bool),
@@ -345,13 +349,8 @@ def _finalize_full(kept, W, last, F, weights, sigma: int, n_kept: int,
     n = n_kept + 1
     lw, lbr, ltot, seq_pad, blocks, NF = _finalize_ranks.__wrapped__(
         W_full, last_full, F32, sigma=sigma, n=n)
-    if with_lanes and n_kept > 0:
-        lanes = kept[:, :n_kept]
-        lut, max_bucket = _build_lut.__wrapped__(lanes)
-    else:
-        lanes, lut, max_bucket = None, None, jnp.int32(0)
-    return (lw, lbr, ltot, seq_pad, blocks, NF, F32, w_full, lanes, lut,
-            max_bucket)
+    lanes = kept[:, :n_kept] if (with_lanes and n_kept > 0) else None
+    return (lw, lbr, ltot, seq_pad, blocks, NF, F32, w_full, lanes)
 
 
 @jax.jit

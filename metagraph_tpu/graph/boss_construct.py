@@ -277,9 +277,20 @@ def _finish_stage(real, counts, n_real, K: int, B: int, alph_size: int,
     kept, n_kept, W, last, F, weights = _merge_emit_body(
         real, counts, n_real, sinks, n_sinks, src, n_src, levels,
         n_levels_total, K, B, alph_size, max_count)
+    # search LUT over the padded kept buffer (tail is PAD = all-ones, and
+    # real top-16 values are < 0xFFFF, so bucket starts are exact); built
+    # here so the host learns max_bucket in the SAME sync as the stats —
+    # each host round trip costs ~30 ms on the remote runtime
+    top = (kept[0] >> 16).astype(jnp.uint32)
+    lut = jnp.searchsorted(top, jnp.arange(1 << 16, dtype=jnp.uint32),
+                           side="left").astype(jnp.int32)
+    lut = jnp.minimum(jnp.concatenate(
+        [lut, jnp.full((1,), kept.shape[1], jnp.int32)]), n_kept)
+    max_bucket = jnp.max(jnp.diff(lut))
     # n_sink_cand/n_src are TRUE counts (pre-truncation): host overflow check
-    stats = jnp.stack([n_kept, n_sink_cand, n_src, n_levels_total, n_real])
-    return kept, W, last, F, weights, stats
+    stats = jnp.stack([n_kept, n_sink_cand, n_src, n_levels_total, n_real,
+                       max_bucket])
+    return kept, W, last, F, weights, lut, stats
 
 
 @functools.partial(jax.jit, static_argnames=("K", "B", "alph_size", "max_count"))
@@ -456,7 +467,7 @@ def build_boss_from_kmers(
     max_count = (1 << bits_per_count) - 1 if bits_per_count else (1 << 31) - 1
     cap_d = max(real.shape[1] >> 4, 4096)
     while True:
-        kept, W, last, F, weights, stats = _finish_stage(
+        kept, W, last, F, weights, lut, stats = _finish_stage(
             real, counts, jnp.int32(n_real), K, B, alphabet.size,
             max_count, cap_d, mode == MODE_CANONICAL, alphabet.complement)
         stats = np.asarray(stats)          # the single host sync
@@ -469,7 +480,8 @@ def build_boss_from_kmers(
         k=K - 1, alph_size=alphabet.size, bits_per_char=B,
         kept=kept, W=W, last=last, F=F, n_kept=n_kept,
         weights=weights if bits_per_count else None,
-        keep_kmer_index=keep_kmer_index)
+        keep_kmer_index=keep_kmer_index,
+        lut=lut, max_bucket=int(stats[5]))
 
 
 def build_boss_from_codes(
