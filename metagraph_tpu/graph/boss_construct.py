@@ -464,6 +464,11 @@ def build_boss_from_kmers(
     whole post-collection pipeline is fused and dummy buffers use a
     static capacity with a host-side overflow check + retry."""
     B = alphabet.bits_per_char
+    if mode == MODE_CANONICAL and not alphabet.complement:
+        raise ValueError(
+            f"canonical mode needs a complemented alphabet; "
+            f"{alphabet.name} has no complement table (reference restricts "
+            f"canonical graphs to DNA alphabets, alphabets.hpp)")
     max_count = (1 << bits_per_count) - 1 if bits_per_count else (1 << 31) - 1
     cap_d = max(real.shape[1] >> 4, 4096)
     while True:
@@ -524,6 +529,10 @@ def build_boss(
     (edge k-mers have K = k characters; BOSS node length k-1, matching
     DBGSuccinct's k = BOSS k + 1, dbg_succinct.hpp:113)."""
     canonical = mode in (MODE_CANONICAL, MODE_PRIMARY)
+    if canonical and not alphabet.complement:
+        raise ValueError(
+            f"canonical/primary mode needs a complemented alphabet; "
+            f"{alphabet.name} has no complement table")
     real, counts, n_real = collect_kmers(
         seqs, k, alphabet, canonical=canonical, suffix=suffix)
     # PRIMARY keeps only the canonical forms; CANONICAL adds the closure

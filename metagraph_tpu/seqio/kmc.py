@@ -1,18 +1,29 @@
 """KMC k-mer counter database reader.
 
 Replaces the reference's KMC-api-based parser
-(metagraph/src/seq_io/kmc_parser.hpp). Reads KMC1 databases
+(metagraph/src/seq_io/kmc_parser.hpp). Reads KMC1 and KMC2 databases
 (.kmc_pre/.kmc_suf pair) directly and fully vectorized:
 
-  .kmc_pre:  "KMCP" + uint64 LUT[4^prefix_len] (record index of the
+  .kmc_pre (KMC1):
+             "KMCP" + uint64 LUT[4^prefix_len] (record index of the
              first k-mer with each prefix) + 64-byte header + uint32
              header_offset + "KMCP"
+  .kmc_pre (KMC2, version field 0x200):
+             "KMCP" + uint64 LUT[num_bins * 4^prefix_len] (per
+             signature-mapped bin, concatenated in record order)
+             + uint32 signature_map[4^signature_len + 1]
+             + header + uint32 header_offset + "KMCP"
   .kmc_suf:  "KMCS" + total_kmers records of
              (suffix_len/4 bytes packed suffix, counter_size counter)
 
+The header's final uint32 is the KMC version (0 = KMC1, 0x200 = KMC2);
+KMC2 inserts a ``signature_len`` field after ``lut_prefix_length``.
 K-mers use 2-bit codes A=0 C=1 G=2 T=3, most-significant-first; records
-are sorted by the full k-mer integer. Decoding expands LUT prefixes with
-np.repeat and unpacks suffix bytes with shifts — no per-k-mer loops.
+are sorted by the full k-mer integer (within each signature bin for
+KMC2 — immaterial here, since the build pipeline re-sorts). Decoding
+expands LUT prefixes with np.repeat (prefix = LUT bucket mod 4^p) and
+unpacks suffix bytes with shifts — no per-k-mer loops. The signature
+map is only needed for point lookups, which we never do.
 """
 
 from __future__ import annotations
@@ -34,6 +45,9 @@ class KmcHeader:
     max_count: int
     total_kmers: int
     both_strands: bool
+    version: int = 0             # 0 = KMC1, 0x200 = KMC2
+    signature_len: int = 0       # KMC2 only
+    num_lut_entries: int = 0     # total uint64 LUT entries stored
 
 
 def read_header(pre_path: str) -> KmcHeader:
@@ -42,17 +56,39 @@ def read_header(pre_path: str) -> KmcHeader:
     if data[:4] != b"KMCP" or data[-4:] != b"KMCP":
         raise ValueError(f"{pre_path}: not a KMC .kmc_pre file")
     hdr_off = struct.unpack("<I", data[-8:-4])[0]
+    if hdr_off + 8 > len(data) or hdr_off < 36:
+        raise ValueError(f"{pre_path}: malformed KMC header "
+                         f"(header_offset {hdr_off}, file {len(data)} B)")
     hdr = data[len(data) - 8 - hdr_off:len(data) - 8]
-    (k, mode, counter_size, lut_prefix_length, min_count, max_count,
-     total_lo, total_hi) = struct.unpack("<8I", hdr[:32])
-    both_strands = hdr[32] == 0  # 0 = canonical counting ("both strands")
-    expected = 4 + (4 ** lut_prefix_length) * 8 + hdr_off + 8
-    if expected != len(data):
-        raise ValueError(
-            f"{pre_path}: KMC2 signature-mapped databases are not "
-            f"supported yet (size {len(data)} != KMC1 layout {expected})")
+    version = struct.unpack("<I", hdr[-4:])[0]
+    if version == 0x200:  # KMC2: signature_len follows lut_prefix_length
+        (k, mode, counter_size, lut_prefix_length, signature_len,
+         min_count, max_count, total_lo, total_hi) = \
+            struct.unpack("<9I", hdr[:36])
+        both_strands = hdr[36] == 0
+        sig_map_bytes = ((4 ** signature_len) + 1) * 4
+        lut_bytes = len(data) - 4 - sig_map_bytes - hdr_off - 8
+        per_bin = (4 ** lut_prefix_length) * 8
+        if lut_bytes <= 0 or lut_bytes % per_bin:
+            raise ValueError(
+                f"{pre_path}: malformed KMC2 layout (LUT area {lut_bytes} B"
+                f" is not a multiple of the {per_bin} B per-bin LUT)")
+        n_lut = lut_bytes // 8
+    else:
+        (k, mode, counter_size, lut_prefix_length, min_count, max_count,
+         total_lo, total_hi) = struct.unpack("<8I", hdr[:32])
+        both_strands = hdr[32] == 0  # 0 = canonical ("both strands")
+        signature_len = 0
+        n_lut = 4 ** lut_prefix_length
+        expected = 4 + n_lut * 8 + hdr_off + 8
+        if expected != len(data):
+            raise ValueError(
+                f"{pre_path}: unrecognized KMC layout (size {len(data)} != "
+                f"KMC1 layout {expected}, header version {version:#x})")
     return KmcHeader(k, mode, counter_size, lut_prefix_length, min_count,
-                     max_count, total_lo | (total_hi << 32), both_strands)
+                     max_count, total_lo | (total_hi << 32), both_strands,
+                     version=version, signature_len=signature_len,
+                     num_lut_entries=n_lut)
 
 
 def read_kmers(
@@ -73,7 +109,10 @@ def read_kmers(
     with open(base + ".kmc_pre", "rb") as f:
         data = f.read()
     n_pref = 4 ** hdr.lut_prefix_length
-    lut = np.frombuffer(data, "<u8", count=n_pref, offset=4).astype(np.int64)
+    # KMC1: one LUT of 4^p entries. KMC2: num_bins LUTs of 4^p entries
+    # concatenated in record order; record prefix = bucket mod 4^p.
+    lut = np.frombuffer(data, "<u8", count=hdr.num_lut_entries,
+                        offset=4).astype(np.int64)
     with open(base + ".kmc_suf", "rb") as f:
         suf_data = f.read()
     if suf_data[:4] != b"KMCS":
@@ -88,11 +127,13 @@ def read_kmers(
     counts = np.zeros(n, np.int64)
     for b in range(hdr.counter_size):
         counts |= recs[:, suffix_bytes + b].astype(np.int64) << (8 * b)
-    # prefix of each record: LUT is the running start index per prefix
+    # prefix of each record: LUT is the running start index per bucket
     bounds = np.append(lut, n)
-    # prefix id for record i = index p with bounds[p] <= i < bounds[p+1]
-    prefix_ids = np.repeat(np.arange(n_pref, dtype=np.int64),
-                           np.diff(bounds).clip(min=0))[:n]
+    # bucket of record i = index b with bounds[b] <= i < bounds[b+1];
+    # the k-mer prefix is the bucket id within its bin's LUT
+    buckets = np.repeat(np.arange(len(lut), dtype=np.int64),
+                        np.diff(bounds).clip(min=0))[:n]
+    prefix_ids = buckets % n_pref
     # decode prefix chars (most significant char first)
     k = hdr.kmer_length
     out = np.empty((n, k), np.uint8)
