@@ -945,9 +945,21 @@ def cmd_transform_anno(args):
             from ..anno.brwt import relax_brwt
             out_mat = relax_brwt(out_mat, args.relax_arity)
     elif target == "row_diff":
-        from ..anno.row_diff import build_row_diff
         assert args.infile_base, "row_diff requires the graph (-i)"
         g = _load_graph(args.infile_base)
+        if args.disk_swap:
+            # out-of-core staged conversion (row_diff_builder.cpp:322-688):
+            # bounded RSS, input files streamed one at a time
+            from ..anno.row_diff_disk import build_row_diff_staged
+            out = build_row_diff_staged(
+                args.fnames, g, swap_dir=args.disk_swap,
+                mem_cap_mb=int(args.mem_cap_gb * 1024),
+                max_length=args.max_path_length)
+            path = args.outfile_base + f".{target}.annodbg.npz"
+            out.save(path)
+            log(f"Serialized {target} annotation to {path}")
+            return
+        from ..anno.row_diff import build_row_diff
         if not isinstance(mat, RowSparse):
             mat = mat.to_row_sparse()
         out_mat = build_row_diff(mat, g, max_length=args.max_path_length)
@@ -1271,6 +1283,11 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--max-path-length", type=int, default=64)
     sp.add_argument("--relax-arity", type=int, default=2)
     sp.add_argument("--num-rows-subsampled", type=int, default=1000000)
+    sp.add_argument("--disk-swap", default="",
+                    help="directory for the out-of-core staged row_diff "
+                         "conversion (bounded RSS)")
+    sp.add_argument("--mem-cap-gb", type=float, default=1.0,
+                    help="spill buffer cap for --disk-swap conversions")
     sp.add_argument("fnames", nargs="+")
     sp.set_defaults(func=cmd_transform_anno)
 
