@@ -36,6 +36,7 @@ class AlignerConfig:
     min_seed_length: int = 0
     min_exact_match: float = 0.7
     beam_width: int = 32
+    max_seeds_per_read: int = 4        # anchors extended per read/strand
 
     def score_matrix(self) -> np.ndarray:
         """(5, 5) substitution scores over codes $ACGT
@@ -148,6 +149,7 @@ class Aligner:
         self.graph = graph
         self.config = config or AlignerConfig()
         self.sub = self.config.score_matrix()
+        self.max_seeds_per_read = self.config.max_seeds_per_read
         self._tbl = graph.alphabet.encode_table()
 
     # -- seeding -----------------------------------------------------------
@@ -325,15 +327,22 @@ class Aligner:
                                                  beam_extend_batch,
                                                  batched_cigars)
             for i, r in enumerate(results):
-                if r is not None:
-                    per_read[i].append(r)
+                per_read[i].extend(r)
         out = []
         for i, rs in enumerate(per_read):
             n = max(len(seqs[i]), 1)
             rs = [a for a in rs
                   if a.num_matches >= self.config.min_exact_match * n]
             rs.sort(key=lambda a: -a.score)
-            out.append(rs[:num_alternative_paths])
+            # alternative seeds can converge on the same alignment: dedupe
+            seen, uniq = set(), []
+            for a in rs:
+                key = (a.query_begin, a.query_end, a.cigar, a.orientation,
+                       tuple(a.nodes))
+                if key not in seen:
+                    seen.add(key)
+                    uniq.append(a)
+            out.append(uniq[:num_alternative_paths])
         return out
 
     def _align_batch_oriented(self, seqs, orientation, beam_extend_batch,
@@ -342,7 +351,7 @@ class Aligner:
         k = g.k
         cfg = self.config
         B = len(seqs)
-        results: List[Optional[GraphAlignment]] = [None] * B
+        results: List[List[GraphAlignment]] = [[] for _ in range(B)]
         # 1) batched seeding: ONE device dispatch maps every read's
         # windows (reads concatenated with separators)
         codes_l, runs_l = [], []
@@ -359,8 +368,13 @@ class Aligner:
             runs = self._exact_runs(nodes)
             runs_l.append(runs)
             if runs:
+                # extend every seed, not just the longest (the reference
+                # extends all seeds and keeps the top-N alignments,
+                # dbg_aligner.cpp align_core); cap at max_seeds_per_read
+                # anchors ranked by run length
                 runs.sort(key=lambda r: (r[1] - r[0]), reverse=True)
-                seeded.append((i, nodes, runs[0]))
+                for run in runs[:self.max_seeds_per_read]:
+                    seeded.append((i, nodes, run))
         # reads without full-k seeds: per-read suffix-seed fallback
         for i, s in enumerate(seqs):
             if len(s) < k or not runs_l[i]:
@@ -372,7 +386,8 @@ class Aligner:
                     if a is not None and (best is None
                                           or a.score > best.score):
                         best = a
-                results[i] = best
+                if best is not None:
+                    results[i].append(best)
         if not seeded:
             return results
         # 2) batched forward + backward beam extension
@@ -450,9 +465,9 @@ class Aligner:
         # 4) ONE device dispatch spells every winning path
         spells = self._spell_batch([f[5] for f in finals])
         for (i, score, cig, qb, qe, path), spelled in zip(finals, spells):
-            results[i] = GraphAlignment(
+            results[i].append(GraphAlignment(
                 score=int(score), cigar=cig, query_begin=qb, query_end=qe,
-                sequence=spelled, nodes=path, orientation=orientation)
+                sequence=spelled, nodes=path, orientation=orientation))
         return results
 
     def _align_one(self, seq: bytes, orientation: bool

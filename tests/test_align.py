@@ -119,3 +119,31 @@ def test_suffix_seed_fallback(ref_graph):
     aln = res[0]
     assert aln.score >= 2 * len(frag) - 6  # mostly matching
     assert aln.query_begin == 0
+
+
+def test_multiple_seeds_extended(ref_graph):
+    """Every exact run is extended as its own anchor (the reference
+    extends all seeds and keeps top-N, dbg_aligner.cpp align_core):
+    a chimeric read half from one region, half from a distant region
+    must yield two distinct alternative alignments."""
+    g, ref = ref_graph
+    read = ref[50:90] + ref[300:340]   # two 40bp anchors, k=15
+    cfg = AlignerConfig(min_exact_match=0.3)
+    res = Aligner(g, cfg).align_batch([read], num_alternative_paths=4)[0]
+    assert len(res) >= 2
+    # the two alternatives anchor different query intervals
+    spans = {(a.query_begin, a.query_end) for a in res}
+    assert len(spans) >= 2
+    # each alternative's matched interval is a real exact region
+    best = res[0]
+    assert best.num_matches >= 40
+
+
+def test_batch_matches_single_with_multiseeds(ref_graph):
+    g, ref = ref_graph
+    rng = np.random.default_rng(3)
+    reads = [ref[i:i + 80] for i in (0, 77, 200)]
+    batch = Aligner(g).align_batch(reads)
+    for read, res in zip(reads, batch):
+        assert res and res[0].score == 2 * len(read)
+        assert res[0].cigar == f"{len(read)}="
