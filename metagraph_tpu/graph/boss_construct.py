@@ -45,9 +45,20 @@ MODE_PRIMARY = "primary"
 
 
 def _bucket(n: int, lo: int = 1024) -> int:
-    """Round capacity up to a power of two to bound recompilation."""
+    """Round capacity up to a bounded set of size classes.
+
+    Small sizes use powers of two (few classes, cheap compiles). Above
+    2^18, quarter-octave steps (1, 1.25, 1.5, 1.75 per octave): sort
+    time scales ~n log^2 n, so the power-of-two pad waste (avg 33%,
+    worst 50%) costs real wall time at the sizes where it matters, and
+    the extra size classes compile once into the persistent cache."""
     n = max(int(n), 1)
-    return max(lo, 1 << (n - 1).bit_length())
+    p2 = max(lo, 1 << (n - 1).bit_length())
+    if p2 <= (1 << 18):
+        return p2
+    base = p2 >> 1          # base <= n - 1 < p2 (n > lo here)
+    step = base >> 2
+    return base + -(-(n - base) // step) * step
 
 
 # ---------------------------------------------------------------------------
@@ -76,8 +87,29 @@ def _collect_stage(codes, K: int, B: int, suffix, canonical: bool, complement):
         valid = packed.valid_mask(lanes.shape[1], count)
         take_rc = packed.lt(rc, lanes) & valid
         lanes = jnp.where(take_rc[None, :], rc, lanes)
-    counts = jnp.ones((lanes.shape[1],), jnp.int32)
-    return _sort_unique_stage(lanes, counts, count)
+    return _sort_unique_ones_body(lanes, count)
+
+
+def _sort_unique_ones_body(lanes, count):
+    """Sort-unique when every input k-mer has count 1 (the from-sequence
+    path): the counts payload is dropped from the big sort — with unit
+    counts the exclusive running sum is just the position index, so
+    per-group counts come from compacted first-occurrence positions."""
+    cap = lanes.shape[1]
+    lanes_s, _ = packed.sort(lanes)
+    first = packed.neighbor_ne(lanes_s)
+    valid_s = packed.valid_mask(cap, count)      # PADs sorted to the back
+    umask = first & valid_s
+    excl = jnp.arange(cap, dtype=jnp.int32)
+    ulanes, ucount, (b,) = packed.compact(lanes_s, umask, cap, excl)
+    total = count.astype(jnp.int32) if hasattr(count, "astype") \
+        else jnp.int32(count)
+    nxt = jnp.concatenate([b[1:], total[None]])
+    pos_ok = packed.valid_mask(cap, ucount)
+    nxt = jnp.where(jnp.concatenate([pos_ok[1:], jnp.zeros((1,), bool)]),
+                    nxt, total)
+    ucounts = jnp.where(pos_ok, nxt - b, 0)
+    return ulanes, ucounts.astype(jnp.int32), ucount
 
 
 @jax.jit
