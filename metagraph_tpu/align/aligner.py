@@ -310,13 +310,22 @@ class Aligner:
 
     def align_batch(self, seqs: Sequence[bytes],
                     both_strands: bool = False,
-                    num_alternative_paths: int = 1
+                    num_alternative_paths: int = 1,
+                    with_cigar: bool = True
                     ) -> List[List[GraphAlignment]]:
         """Batched alignment (reference DBGAligner::align_batch,
         dbg_aligner.hpp:160): seeding, beam extension and CIGAR DP all
         run batched on device via align/batch_extender.py — no per-read
         Python DP. Falls back to the per-read path only for reads that
-        need suffix seeding."""
+        need suffix seeding.
+
+        ``with_cigar=False`` is the score-only fast path (query --align /
+        server align: only the path spelling is consumed): alignment ends
+        come from the Pallas wavefront kernel on TPU with no (B, LR, LQ)
+        matrix transfer; the min_exact_match filter then uses the exact
+        lower bound score/match_score <= num_matches (every non-match op
+        scores <= 0), so it only ever keeps a subset of the CIGAR path's
+        results."""
         from .batch_extender import batched_cigars, beam_extend_batch
         orientations = [(False, list(seqs))]
         if both_strands:
@@ -325,14 +334,20 @@ class Aligner:
         for orientation, oseqs in orientations:
             results = self._align_batch_oriented(oseqs, orientation,
                                                  beam_extend_batch,
-                                                 batched_cigars)
+                                                 batched_cigars,
+                                                 with_cigar=with_cigar)
             for i, r in enumerate(results):
                 per_read[i].extend(r)
         out = []
+        match = max(self.config.match_score, 1)
         for i, rs in enumerate(per_read):
             n = max(len(seqs[i]), 1)
-            rs = [a for a in rs
-                  if a.num_matches >= self.config.min_exact_match * n]
+            if with_cigar:
+                rs = [a for a in rs
+                      if a.num_matches >= self.config.min_exact_match * n]
+            else:
+                rs = [a for a in rs
+                      if a.score / match >= self.config.min_exact_match * n]
             rs.sort(key=lambda a: -a.score)
             # alternative seeds can converge on the same alignment: dedupe
             seen, uniq = set(), []
@@ -346,7 +361,7 @@ class Aligner:
         return out
 
     def _align_batch_oriented(self, seqs, orientation, beam_extend_batch,
-                              batched_cigars):
+                              batched_cigars, with_cigar: bool = True):
         g = self.graph
         k = g.k
         cfg = self.config
@@ -428,16 +443,32 @@ class Aligner:
             return tails, lens, r, rl
         fq, fql, fr, frl = pack(fwd_tails, fwd_lens, f_chars)
         bq, bql, br, brl = pack(bwd_tails, bwd_lens, b_chars)
-        f_cig = batched_cigars(fq, fr, fql, frl, self.sub,
-                               cfg.gap_opening_penalty,
-                               cfg.gap_extension_penalty, cfg.match_score,
-                               cfg.mm_transition_penalty,
-                               cfg.mm_transversion_penalty)
-        b_cig = batched_cigars(bq, br, bql, brl, self.sub,
-                               cfg.gap_opening_penalty,
-                               cfg.gap_extension_penalty, cfg.match_score,
-                               cfg.mm_transition_penalty,
-                               cfg.mm_transversion_penalty)
+        if with_cigar:
+            f_cig = batched_cigars(fq, fr, fql, frl, self.sub,
+                                   cfg.gap_opening_penalty,
+                                   cfg.gap_extension_penalty,
+                                   cfg.match_score,
+                                   cfg.mm_transition_penalty,
+                                   cfg.mm_transversion_penalty)
+            b_cig = batched_cigars(bq, br, bql, brl, self.sub,
+                                   cfg.gap_opening_penalty,
+                                   cfg.gap_extension_penalty,
+                                   cfg.match_score,
+                                   cfg.mm_transition_penalty,
+                                   cfg.mm_transversion_penalty)
+        else:
+            # score-only: Pallas ends kernel, no matrices, no traceback
+            from .batch_extender import batched_ends
+            fe = batched_ends(fq, fr, fql, frl, cfg.gap_opening_penalty,
+                              cfg.gap_extension_penalty, cfg.match_score,
+                              cfg.mm_transition_penalty,
+                              cfg.mm_transversion_penalty)
+            be = batched_ends(bq, br, bql, brl, cfg.gap_opening_penalty,
+                              cfg.gap_extension_penalty, cfg.match_score,
+                              cfg.mm_transition_penalty,
+                              cfg.mm_transversion_penalty)
+            f_cig = [(int(s), int(j), int(t), None) for s, t, j in fe]
+            b_cig = [(int(s), int(j), int(t), None) for s, t, j in be]
         finals = []
         for bi, (i, nodes, rs, re, seed_len, qb, qe) in enumerate(seed_info):
             seq = seqs[i]
@@ -448,15 +479,22 @@ class Aligner:
                 s2, q_end, r_end, dops = f_cig[bi]
                 score += s2
                 path += [int(x) for x in f_nodes[bi][:r_end]]
-                ops += dops
+                if dops is not None:
+                    ops += dops
                 qe += q_end
             if bwd_lens[bi] and b_scores[bi] > 0:
                 s2, q_end, r_end, dops = b_cig[bi]
                 score += s2
                 path = [int(x) for x in b_nodes[bi][:r_end]][::-1] + path
-                ops = dops[::-1] + ops
+                if dops is not None:
+                    ops = dops[::-1] + ops
                 qb -= q_end
-            cig = _compress_cigar(ops)
+            if with_cigar:
+                cig = _compress_cigar(ops)
+            else:
+                # aligned-span placeholder (consumers of the score-only
+                # path read .sequence/.score, never the cigar)
+                cig = f"{qe - qb}M"
             if qb > 0:
                 cig = f"{qb}S" + cig
             if qe < len(seq):

@@ -227,6 +227,49 @@ def _full_dp(q, r, qlens, rlens, match, tpen, tvpen, open_p, ext_p):
     return H, D, I
 
 
+@functools.partial(jax.jit, static_argnames=(
+    "match", "tpen", "tvpen", "open_p", "ext_p"))
+def _full_dp_ends(q, r, qlens, rlens, match, tpen, tvpen, open_p, ext_p):
+    """(B, 3) [score, r_end, q_end] via the XLA full DP + device argmax
+    (row-major first-max, same tie rule as np.argmax)."""
+    H, _, _ = _full_dp(q, r, qlens, rlens, match, tpen, tvpen,
+                       open_p, ext_p)
+    B, LRp, LQp = H.shape
+    tt = jnp.arange(LRp, dtype=jnp.int32)[None, :, None]
+    jjj = jnp.arange(LQp, dtype=jnp.int32)[None, None, :]
+    mask = (tt <= rlens[:, None, None]) & (jjj <= qlens[:, None, None])
+    Hm = jnp.where(mask, H, NEG)
+    flat = Hm.reshape(B, -1)
+    pos = jnp.argmax(flat, axis=1).astype(jnp.int32)
+    best = jnp.take_along_axis(flat, pos[:, None], axis=1)[:, 0]
+    return jnp.stack([best, pos // LQp, pos % LQp], axis=1)
+
+
+def batched_ends(q: np.ndarray, r: np.ndarray, qlens: np.ndarray,
+                 rlens: np.ndarray, open_p: int, ext_p: int, match: int,
+                 tpen: int, tvpen: int) -> np.ndarray:
+    """(B, 3) [score, r_end, q_end] — the score-only alignment engine.
+
+    On TPU this runs the Pallas wavefront kernel (align/pallas_dp.py):
+    O(B*LQ) memory, no (B, LR, LQ) matrix materialization or transfer.
+    Elsewhere it falls back to the XLA full DP with a device argmax.
+    Both produce identical results (same DP, same argmax tie rule)."""
+    B = len(q)
+    if B == 0:
+        return np.zeros((0, 3), np.int32)
+    args = (jnp.asarray(q.astype(np.int32)), jnp.asarray(r.astype(np.int32)),
+            jnp.asarray(qlens.astype(np.int32)),
+            jnp.asarray(rlens.astype(np.int32)))
+    if jax.default_backend() != "cpu":
+        from .pallas_dp import batch_align_ends
+        out = batch_align_ends(*args, match=match, tpen=tpen, tvpen=tvpen,
+                               open_p=open_p, ext_p=ext_p)
+    else:
+        out = _full_dp_ends(*args, match=match, tpen=tpen, tvpen=tvpen,
+                            open_p=open_p, ext_p=ext_p)
+    return np.asarray(out)
+
+
 def batched_cigars(q: np.ndarray, r: np.ndarray, qlens: np.ndarray,
                    rlens: np.ndarray, sub: np.ndarray, open_p: int,
                    ext_p: int, match: int, tpen: int, tvpen: int

@@ -74,9 +74,18 @@ def _dp_step(H, D, q_codes, c, jj, match, tpen, tvpen, open_p, ext_p):
     return jnp.maximum(Hn, I), Dn
 
 
+def _first_argmax(H, jj, mask):
+    """(R, 1) row max and the smallest j attaining it (np.argmax tie rule)."""
+    Hm = jnp.where(mask, H, NEG)
+    m = jnp.max(Hm, axis=1, keepdims=True)
+    BIG = jnp.int32(1 << 30)
+    j = jnp.min(jnp.where(Hm == m, jj, BIG), axis=1, keepdims=True)
+    return m, j
+
+
 def _score_kernel(q_ref, r_ref, qlen_ref, rlen_ref, out_ref,
                   *, LQ: int, LR: int, match: int, tpen: int, tvpen: int,
-                  open_p: int, ext_p: int):
+                  open_p: int, ext_p: int, with_ends: bool = False):
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
     R = q_ref.shape[0]
@@ -96,7 +105,7 @@ def _score_kernel(q_ref, r_ref, qlen_ref, rlen_ref, out_ref,
     _roll = lambda x: pltpu.roll(x, shift=LR - 1, axis=1)  # left-rotate by 1
 
     def body(t, state):
-        H, D, best, refbuf = state
+        H, D, best, bt, bj, refbuf = state
         c = refbuf[:, 0:1].astype(jnp.int32)
         refbuf = _roll(refbuf)
         Hn, Dn = _dp_step(H, D, q_codes, c, jj, match, tpen, tvpen,
@@ -105,14 +114,24 @@ def _score_kernel(q_ref, r_ref, qlen_ref, rlen_ref, out_ref,
         t_valid = (t < rlen)                       # (R, 1)
         Hn = jnp.where(t_valid, Hn, H)
         Dn = jnp.where(t_valid, Dn, D)
-        best = jnp.maximum(best, jnp.max(
-            jnp.where(j_valid & t_valid, Hn, NEG), axis=1, keepdims=True))
-        return Hn, Dn, best, refbuf
+        m, j = _first_argmax(Hn, jj, j_valid & t_valid)
+        # strictly-greater update keeps the earliest (t, j) — the same
+        # row-major first-max tie rule as np.argmax over the H matrix
+        upd = m > best
+        best = jnp.where(upd, m, best)
+        bt = jnp.where(upd, t + 1, bt)
+        bj = jnp.where(upd, j, bj)
+        return Hn, Dn, best, bt, bj, refbuf
 
-    best0 = jnp.max(jnp.where(j_valid, H0, NEG), axis=1, keepdims=True)
+    best0, bj0 = _first_argmax(H0, jj, j_valid)
+    bt0 = jnp.zeros((R, 1), jnp.int32)
     refbuf0 = r_ref[:, :]
-    H, D, best, _ = jax.lax.fori_loop(0, LR, body, (H0, D0, best0, refbuf0))
-    out_ref[:, :] = best
+    H, D, best, bt, bj, _ = jax.lax.fori_loop(
+        0, LR, body, (H0, D0, best0, bt0, bj0, refbuf0))
+    if with_ends:
+        out_ref[:, :] = jnp.concatenate([best, bt, bj], axis=1)
+    else:
+        out_ref[:, :] = best
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -159,6 +178,55 @@ def batch_align_scores(queries: jnp.ndarray, refs: jnp.ndarray,
         interpret=interpret,
     )(qp, rp, ql, rl)
     return out[:R, 0]
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "match", "tpen", "tvpen", "open_p", "ext_p", "interpret"))
+def batch_align_ends(queries: jnp.ndarray, refs: jnp.ndarray,
+                     qlens: jnp.ndarray, rlens: jnp.ndarray,
+                     match: int = 2, tpen: int = 3, tvpen: int = 3,
+                     open_p: int = 5, ext_p: int = 2,
+                     interpret: bool = False) -> jnp.ndarray:
+    """(R, 3) [best score, r_end, q_end] per (query, ref) pair.
+
+    Ends follow np.argmax's row-major first-max tie rule over the full H
+    matrix, so results are bit-identical to the XLA full-DP path
+    (batch_extender._full_dp + host argmax) — the production scoring
+    engine for score-only alignment (query --align / server align),
+    where no CIGAR and therefore no (B, LR, LQ) matrix transfer is
+    needed."""
+    from jax.experimental import pallas as pl
+
+    R, LQ = queries.shape
+    LR = refs.shape[1]
+    TILE_R = min(8, R)
+    R_pad = -(-R // TILE_R) * TILE_R
+    qp = jnp.zeros((R_pad, LQ), jnp.int32).at[:R].set(
+        queries.astype(jnp.int32))
+    rp = jnp.zeros((R_pad, LR), jnp.int32).at[:R].set(refs.astype(jnp.int32))
+    ql = jnp.zeros((R_pad, 1), jnp.int32).at[:R, 0].set(
+        qlens.astype(jnp.int32))
+    rl = jnp.zeros((R_pad, 1), jnp.int32).at[:R, 0].set(
+        rlens.astype(jnp.int32))
+
+    kernel = functools.partial(
+        _score_kernel, LQ=LQ, LR=LR, match=match, tpen=tpen, tvpen=tvpen,
+        open_p=open_p, ext_p=ext_p, with_ends=True)
+    grid = (R_pad // TILE_R,)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((R_pad, 3), jnp.int32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((TILE_R, LQ), lambda i: (i, 0)),
+            pl.BlockSpec((TILE_R, LR), lambda i: (i, 0)),
+            pl.BlockSpec((TILE_R, 1), lambda i: (i, 0)),
+            pl.BlockSpec((TILE_R, 1), lambda i: (i, 0)),
+        ],
+        out_specs=pl.BlockSpec((TILE_R, 3), lambda i: (i, 0)),
+        interpret=interpret,
+    )(qp, rp, ql, rl)
+    return out[:R]
 
 
 def batch_align_scores_reference(queries, refs, qlens, rlens,

@@ -282,7 +282,11 @@ def cmd_stats(args):
             print(f"dummy source edges: {int(nsrc)}")
             print(f"dummy sink edges: {int(nsink)}")
             print(f"real edges: {boss.num_edges - int(nsrc) - int(nsink)}")
-        print("indexed suffix length: 0")
+        # the always-on top-16-bit search LUT plays the role of the
+        # reference's index_suffix_ranges (boss.cpp:index_suffix_ranges);
+        # report the equivalent indexed char count honestly
+        suf_chars = (16 // boss.bits_per_char) if boss.lut is not None else 0
+        print(f"indexed suffix length: {suf_chars}")
         print("========================================================")
 
 
@@ -459,7 +463,10 @@ def cmd_query(args):
             # with its best aligned path spelling before querying
             # (query.cpp:993-999; the --batch-align hull's role is
             # subsumed by the batched full-graph aligner, query.cpp:735)
-            all_res = aligner.align_batch([rec.seq for rec in batch])
+            # score-only alignment: query consumes just the best path
+            # spelling, so skip CIGAR recovery (Pallas ends kernel on TPU)
+            all_res = aligner.align_batch([rec.seq for rec in batch],
+                                          with_cigar=False)
             for rec, res in zip(batch, all_res):
                 if res:
                     rec.seq = res[0].sequence
@@ -899,19 +906,30 @@ def cmd_merge(args):
     k = graphs[0].k
     alphabet = graphs[0].alphabet
     B = alphabet.bits_per_char
-    # merge = union of real edge k-mers, then rebuild dummies
-    all_lanes = []
+    # merge = union of real edge k-mers, then rebuild dummies; weighted
+    # inputs sum their counts per k-mer (reference merge accumulates
+    # weights, boss_merge.cpp traversal + weight sum)
+    weighted = all(g.boss.weights is not None for g in graphs)
+    all_lanes, all_counts = [], []
     for g in graphs:
         lanes = g.boss.edge_lanes
         real = ~kp.contains_sentinel(lanes, k, B)
-        comp, cnt, _ = packed.compact(lanes, real, lanes.shape[1])
-        all_lanes.append(comp[:, :int(cnt)])
+        # weights are (m,) with slot 0 = sentinel row; edge_lanes is (L, m-1)
+        w = (g.boss.weights[1:] if weighted
+             else jnp.ones((lanes.shape[1],), jnp.int32))
+        comp, cnt, (wc,) = packed.compact(lanes, real, lanes.shape[1],
+                                          w.astype(jnp.int32))
+        n = int(cnt)
+        all_lanes.append(comp[:, :n])
+        all_counts.append(wc[:n])
     merged = jnp.concatenate(all_lanes, axis=1)
-    counts = jnp.ones((merged.shape[1],), jnp.int32)
+    counts = jnp.concatenate(all_counts)
     from ..graph.boss_construct import _sort_unique_stage
     u, ucounts, ucount = _sort_unique_stage(merged, counts,
                                             jnp.int32(merged.shape[1]))
-    boss = build_boss_from_kmers(u, ucounts, int(ucount), k, alphabet)
+    boss = build_boss_from_kmers(
+        u, ucounts, int(ucount), k, alphabet,
+        bits_per_count=8 if weighted else 0)
     out = graph_io.save_graph(args.outfile_base,
                               DbgSuccinct.from_boss(boss, alphabet,
                                                     graphs[0].mode))

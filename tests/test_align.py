@@ -147,3 +147,47 @@ def test_batch_matches_single_with_multiseeds(ref_graph):
     for read, res in zip(reads, batch):
         assert res and res[0].score == 2 * len(read)
         assert res[0].cigar == f"{len(read)}="
+
+
+def test_batched_ends_match_cigar_ends(rng, ref_graph):
+    """batched_ends (score-only engine) must agree with batched_cigars'
+    (score, q_end, r_end) exactly — same DP, same argmax tie rule."""
+    from metagraph_tpu.align.batch_extender import batched_cigars, batched_ends
+    cfg = AlignerConfig()
+    sub = cfg.score_matrix()
+    B, LQ, LR = 9, 33, 37
+    q = rng.integers(1, 5, (B, LQ)).astype(np.int32)
+    r = rng.integers(1, 5, (B, LR)).astype(np.int32)
+    # make some pairs related so scores vary
+    r[0, :LQ] = q[0]
+    r[1, :20] = q[1, :20]
+    qlens = rng.integers(5, LQ + 1, B).astype(np.int32)
+    rlens = rng.integers(5, LR + 1, B).astype(np.int32)
+    args = (cfg.gap_opening_penalty, cfg.gap_extension_penalty,
+            cfg.match_score, cfg.mm_transition_penalty,
+            cfg.mm_transversion_penalty)
+    cig = batched_cigars(q, r, qlens, rlens, sub, *args)
+    ends = batched_ends(q, r, qlens, rlens, *args)
+    for b in range(B):
+        score, q_end, r_end, _ = cig[b]
+        assert ends[b, 0] == score
+        assert ends[b, 1] == r_end
+        assert ends[b, 2] == q_end
+
+
+def test_align_batch_score_only(ref_graph):
+    """with_cigar=False returns the same sequences/scores/spans as the
+    CIGAR path for reads it keeps."""
+    g, ref = ref_graph
+    reads = [ref[10:90], ref[200:280]]
+    reads.append(bytearray(ref[100:180]))
+    reads[2][40] = ord("T") if reads[2][40] != ord("T") else ord("A")
+    reads[2] = bytes(reads[2])
+    full = Aligner(g).align_batch(reads)
+    fast = Aligner(g).align_batch(reads, with_cigar=False)
+    for fu, fa in zip(full, fast):
+        assert fu and fa
+        assert fa[0].score == fu[0].score
+        assert fa[0].sequence == fu[0].sequence
+        assert (fa[0].query_begin, fa[0].query_end) == \
+            (fu[0].query_begin, fu[0].query_end)

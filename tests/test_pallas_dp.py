@@ -77,3 +77,23 @@ def test_scoring_params(rng):
     want = batch_align_scores_reference(q, r_tv, [6], [6],
                                         tpen=1, tvpen=5)
     assert s_tv == want[0]
+
+
+def test_ends_kernel_interpret(rng):
+    """batch_align_ends (interpret) matches the XLA full-DP argmax."""
+    from metagraph_tpu.align.pallas_dp import batch_align_ends
+    from metagraph_tpu.align.batch_extender import _full_dp_ends
+    import jax.numpy as jnp
+    B, LQ, LR = 6, 17, 21
+    q = rng.integers(1, 5, (B, LQ)).astype(np.int32)
+    r = rng.integers(1, 5, (B, LR)).astype(np.int32)
+    r[0, :LQ] = q[0]
+    qlens = rng.integers(3, LQ + 1, B).astype(np.int32)
+    rlens = rng.integers(3, LR + 1, B).astype(np.int32)
+    got = np.asarray(batch_align_ends(
+        jnp.asarray(q), jnp.asarray(r), jnp.asarray(qlens),
+        jnp.asarray(rlens), interpret=True))
+    want = np.asarray(_full_dp_ends(
+        jnp.asarray(q), jnp.asarray(r), jnp.asarray(qlens),
+        jnp.asarray(rlens), match=2, tpen=3, tvpen=3, open_p=5, ext_p=2))
+    np.testing.assert_array_equal(got, want)
