@@ -255,18 +255,38 @@ def contig_sequences(g: DbgSuccinct, return_paths: bool = False):
     sel = u.pos[1:] == (u.lengths[u.chain_id[1:]] - 1)
     last_nodes[u.chain_id[1:][sel]] = for_nodes[sel]
     succ = np.asarray(g.successors(jnp.asarray(last_nodes)))
-    start_chain = {int(u.starts[c]): c for c in range(u.num_unitigs)}
-    used_head = np.zeros(u.num_unitigs, bool)
-    next_chain = np.full(u.num_unitigs, -1, np.int64)
-    for c in range(u.num_unitigs):
-        if u.is_cycle[c] or (mask is not None and not mask[u.starts[c]]):
-            continue
-        for s in succ[c]:
-            cn = start_chain.get(int(s), -1)
-            if cn >= 0 and cn != c and not used_head[cn] and not u.is_cycle[cn]:
-                next_chain[c] = cn
-                used_head[cn] = True
-                break
+    U = u.num_unitigs
+    # vectorized greedy tail->head matching (any maximal-ish matching is a
+    # valid cover): map successor nodes to chain ids, then up to sigma-1
+    # propose/resolve rounds — each round every unmatched tail proposes its
+    # first still-free head candidate and each head keeps its lowest tail
+    chain_of_start = np.full(int(g.num_nodes()) + 1, -1, np.int64)
+    chain_of_start[u.starts] = np.arange(U)
+    cand = chain_of_start[np.clip(succ, 0, g.num_nodes())]   # (U, sigma-1)
+    cand[succ <= 0] = -1
+    tails = np.arange(U)
+    eligible_tail = ~u.is_cycle
+    if mask is not None:
+        eligible_tail &= mask[u.starts]
+    ok = (cand >= 0) & (cand != tails[:, None]) & eligible_tail[:, None]
+    ok &= np.where(cand >= 0, ~u.is_cycle[np.clip(cand, 0, None)], False)
+    used_head = np.zeros(U, bool)
+    next_chain = np.full(U, -1, np.int64)
+    for _ in range(succ.shape[1]):
+        avail = ok & ~used_head[np.clip(cand, 0, None)] & (cand >= 0)
+        avail &= (next_chain[:, None] < 0)
+        has = avail.any(axis=1)
+        if not has.any():
+            break
+        pick = cand[tails, np.argmax(avail, axis=1)]          # (U,)
+        pick = np.where(has, pick, -1)
+        # resolve head conflicts: lowest tail wins each head
+        order = np.lexsort((tails, pick))
+        p_sorted, t_sorted = pick[order], tails[order]
+        win_first = np.concatenate([[True], p_sorted[1:] != p_sorted[:-1]])
+        winners = (p_sorted >= 0) & win_first
+        next_chain[t_sorted[winners]] = p_sorted[winners]
+        used_head[p_sorted[winners]] = True
     out = []
     out_paths = []
     emitted = np.zeros(u.num_unitigs, bool)

@@ -319,3 +319,32 @@ def test_transform_adj_list(workdir, capsys, tmp_path):
     succ = np.asarray(gg.successors(jnp.asarray(np.array([int(node)]))))[0]
     assert sorted(int(t) for t in targets.split() if t) == \
         sorted(int(t) for t in succ if t > 0)
+
+
+def test_merge_weighted(tmp_path, rng):
+    """merge sums per-k-mer counts of weighted inputs (the reference's
+    merge accumulates weights) and unions the k-mer sets."""
+    from metagraph_tpu.graph.io import load_graph
+    s1 = random_dna(rng, 120)
+    s2 = random_dna(rng, 120)
+    fa1, fa2 = str(tmp_path / "a.fa"), str(tmp_path / "b.fa")
+    write_fasta(fa1, [s1, s1])       # every k-mer count 2 (at least)
+    write_fasta(fa2, [s2])
+    g1, g2, gm = (str(tmp_path / n) for n in ("g1", "g2", "gm"))
+    main(["build", "-k", "11", "--count-kmers", "-o", g1, fa1])
+    main(["build", "-k", "11", "--count-kmers", "-o", g2, fa2])
+    main(["merge", "-o", gm, g1, g2])
+    a, b, m = load_graph(g1), load_graph(g2), load_graph(gm)
+    assert m.boss.weights is not None
+    # union of node sets
+    def kmers(s, k=11):
+        return {s[i:i + k] for i in range(len(s) - k + 1)}
+    assert m.num_nodes() == len(kmers(s1) | kmers(s2))
+    # a k-mer present in only the doubled input keeps count 2; one present
+    # in both inputs sums
+    wa = np.asarray(a.boss.weights)
+    wm = np.asarray(m.boss.weights)
+    assert int(wa.max()) >= 2 and int(wm.max()) >= int(wa.max())
+    total_a = int(np.asarray(a.boss.weights).sum())
+    total_b = int(np.asarray(b.boss.weights).sum())
+    assert int(wm.sum()) == total_a + total_b
