@@ -249,6 +249,18 @@ def grp_kmc():
          DATA + "/transcripts_1000_kmc_counters_both_strands.kmc_suf"])
     st = stats_fields(run(["stats", g]))
     check("kmc both nodes", st.get("nodes (k)"), "802920")
+    # canonical builds (test_build.py:222-267: both 802920)
+    g = f"{TMP}/kmc_can"
+    run(["build", "--mode", "canonical", "-k", "11", "-o", g,
+         DATA + "/transcripts_1000_kmc_counters.kmc_suf"])
+    st = stats_fields(run(["stats", g]))
+    check("kmc canonical nodes", st.get("nodes (k)"), "802920")
+    check("kmc canonical mode", st.get("mode"), "canonical")
+    g = f"{TMP}/kmc_both_can"
+    run(["build", "--mode", "canonical", "-k", "11", "-o", g,
+         DATA + "/transcripts_1000_kmc_counters_both_strands.kmc_suf"])
+    st = stats_fields(run(["stats", g]))
+    check("kmc both canonical nodes", st.get("nodes (k)"), "802920")
     # weighted from KMC
     g = f"{TMP}/kmc_w"
     run(["build", "-k", "11", "--count-kmers", "-o", g,
