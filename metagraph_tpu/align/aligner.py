@@ -390,19 +390,20 @@ class Aligner:
                 runs.sort(key=lambda r: (r[1] - r[0]), reverse=True)
                 for run in runs[:self.max_seeds_per_read]:
                     seeded.append((i, nodes, run))
-        # reads without full-k seeds: per-read suffix-seed fallback
+        # reads without full-k seeds: suffix-seeded (sub-k anchors), all
+        # candidates extended in ONE device batch — no per-read DP
+        fb_entries = []
         for i, s in enumerate(seqs):
-            if len(s) < k or not runs_l[i]:
-                cand, s_len = self._suffix_seeds(codes_l[i])
-                best = None
-                for node in cand:
-                    a = self._align_from_partial_seed(
-                        s, codes_l[i], node, s_len, orientation)
-                    if a is not None and (best is None
-                                          or a.score > best.score):
-                        best = a
-                if best is not None:
-                    results[i].append(best)
+            if len(s) >= k and runs_l[i]:
+                continue
+            cand, s_len = self._suffix_seeds(codes_l[i])
+            for node in cand[:self.max_seeds_per_read]:
+                fb_entries.append((i, node, s_len))
+        if fb_entries:
+            self._extend_suffix_seeded(seqs, codes_l, fb_entries,
+                                       orientation, results,
+                                       beam_extend_batch, batched_cigars,
+                                       with_cigar)
         if not seeded:
             return results
         # 2) batched forward + backward beam extension
@@ -507,6 +508,72 @@ class Aligner:
                 score=int(score), cigar=cig, query_begin=qb, query_end=qe,
                 sequence=spelled, nodes=path, orientation=orientation))
         return results
+
+    def _extend_suffix_seeded(self, seqs, codes_l, entries, orientation,
+                              results, beam_extend_batch, batched_cigars,
+                              with_cigar: bool):
+        """Batched forward extension of suffix-seeded reads: every
+        (read, candidate-node) pair is one batch row; the best-scoring
+        candidate per read is kept (the per-read equivalent is
+        _align_from_partial_seed)."""
+        cfg = self.config
+        nb = len(entries)
+        Lmax = max(len(seqs[i]) for i, _, _ in entries)
+        tails = np.zeros((nb, Lmax), np.int32)
+        lens = np.zeros(nb, np.int32)
+        starts = np.zeros(nb, np.int32)
+        for bi, (i, node, s_len) in enumerate(entries):
+            fwd = codes_l[i][s_len:]
+            tails[bi, :len(fwd)] = fwd
+            lens[bi] = len(fwd)
+            starts[bi] = node
+        scores, chars_l, nodes_l = beam_extend_batch(
+            self.graph, starts, tails, lens, cfg, backward=False)
+        LR = max([len(c) for c in chars_l] + [1])
+        r = np.zeros((nb, LR), np.int32)
+        rl = np.zeros(nb, np.int32)
+        for bi, c in enumerate(chars_l):
+            r[bi, :len(c)] = c
+            rl[bi] = len(c)
+        dp_args = (cfg.gap_opening_penalty, cfg.gap_extension_penalty,
+                   cfg.match_score, cfg.mm_transition_penalty,
+                   cfg.mm_transversion_penalty)
+        if with_cigar:
+            cig = batched_cigars(tails, r, lens, rl, self.sub, *dp_args)
+        else:
+            from .batch_extender import batched_ends
+            e = batched_ends(tails, r, lens, rl, *dp_args)
+            cig = [(int(s), int(j), int(t), None) for s, t, j in e]
+        finals = []
+        for bi, (i, node, s_len) in enumerate(entries):
+            seq = seqs[i]
+            score = cfg.match_score * s_len
+            ops = ["="] * s_len
+            path = [node]
+            qe = s_len
+            if lens[bi] and scores[bi] > 0:
+                s2, q_end, r_end, dops = cig[bi]
+                score += s2
+                path += [int(x) for x in nodes_l[bi][:r_end]]
+                if dops is not None:
+                    ops += dops
+                qe += q_end
+            cs = _compress_cigar(ops) if with_cigar else f"{qe}M"
+            if qe < len(seq):
+                cs = cs + f"{len(seq) - qe}S"
+            finals.append((i, score, cs, qe, path, s_len))
+        spells = self._spell_batch([f[4] for f in finals])
+        best_per_read = {}
+        for (i, score, cs, qe, path, s_len), spelled in zip(finals, spells):
+            a = GraphAlignment(
+                score=int(score), cigar=cs, query_begin=0, query_end=qe,
+                sequence=spelled[-(s_len + len(path) - 1):], nodes=path,
+                orientation=orientation)
+            cur = best_per_read.get(i)
+            if cur is None or a.score > cur.score:
+                best_per_read[i] = a
+        for i, a in best_per_read.items():
+            results[i].append(a)
 
     def _align_one(self, seq: bytes, orientation: bool
                    ) -> Optional[GraphAlignment]:

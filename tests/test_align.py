@@ -191,3 +191,18 @@ def test_align_batch_score_only(ref_graph):
         assert fa[0].sequence == fu[0].sequence
         assert (fa[0].query_begin, fa[0].query_end) == \
             (fu[0].query_begin, fu[0].query_end)
+
+
+def test_batch_suffix_seed_matches_single(ref_graph):
+    """Batched suffix-seed extension equals the per-read path
+    (Aligner.align) for short reads with no full-k window."""
+    g, ref = ref_graph
+    frags = [ref[200:210], ref[37:49], ref[300:311]]
+    single = [Aligner(g).align(f) for f in frags]
+    batch = Aligner(g).align_batch(frags)
+    for s, b in zip(single, batch):
+        assert bool(s) == bool(b)
+        if s:
+            assert b[0].score == s[0].score
+            assert b[0].sequence == s[0].sequence
+            assert b[0].cigar == s[0].cigar
