@@ -161,7 +161,7 @@ def bench_align_batch(boss, seqs):
         r[q] = sub.get(r[q], 65)
         reads.append(bytes(r))
     al = Aligner(g)
-    al.align_batch(reads[:32])             # warm up / compile
+    al.align_batch(reads)                  # warm up / compile (same shapes)
     t0 = time.time()
     res = al.align_batch(reads)
     dt = time.time() - t0

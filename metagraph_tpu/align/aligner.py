@@ -475,21 +475,23 @@ class Aligner:
             seq = seqs[i]
             score = cfg.match_score * seed_len
             ops = ["="] * seed_len
-            path = [int(x) for x in nodes[rs:re]]
+            parts = [np.asarray(nodes[rs:re], np.int64)]
             if fwd_lens[bi] and f_scores[bi] > 0:
                 s2, q_end, r_end, dops = f_cig[bi]
                 score += s2
-                path += [int(x) for x in f_nodes[bi][:r_end]]
+                parts.append(np.asarray(f_nodes[bi][:r_end], np.int64))
                 if dops is not None:
                     ops += dops
                 qe += q_end
             if bwd_lens[bi] and b_scores[bi] > 0:
                 s2, q_end, r_end, dops = b_cig[bi]
                 score += s2
-                path = [int(x) for x in b_nodes[bi][:r_end]][::-1] + path
+                parts.insert(0, np.asarray(b_nodes[bi][:r_end],
+                                           np.int64)[::-1])
                 if dops is not None:
                     ops = dops[::-1] + ops
                 qb -= q_end
+            path = np.concatenate(parts) if len(parts) > 1 else parts[0]
             if with_cigar:
                 cig = _compress_cigar(ops)
             else:
@@ -549,12 +551,14 @@ class Aligner:
             seq = seqs[i]
             score = cfg.match_score * s_len
             ops = ["="] * s_len
-            path = [node]
+            path = np.asarray([node], np.int64)
             qe = s_len
             if lens[bi] and scores[bi] > 0:
                 s2, q_end, r_end, dops = cig[bi]
                 score += s2
-                path += [int(x) for x in nodes_l[bi][:r_end]]
+                path = np.concatenate([path,
+                                       np.asarray(nodes_l[bi][:r_end],
+                                                  np.int64)])
                 if dops is not None:
                     ops += dops
                 qe += q_end
@@ -688,7 +692,7 @@ class Aligner:
         all path nodes, decode once, slice back per path."""
         g = self.graph
         flat = np.concatenate(
-            [np.asarray(p, np.int64) for p in paths if p]
+            [np.asarray(p, np.int64) for p in paths if len(p)]
             or [np.zeros(0, np.int64)])
         if len(flat) == 0:
             return [b"" for _ in paths]
@@ -699,7 +703,7 @@ class Aligner:
         letters = np.frombuffer(g.alphabet.letters.encode(), np.uint8)
         out, off = [], 0
         for p in paths:
-            if not p:
+            if not len(p):
                 out.append(b"")
                 continue
             c = chars[off:off + len(p)]

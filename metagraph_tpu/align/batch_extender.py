@@ -32,6 +32,27 @@ import numpy as np
 NEG = -(10 ** 8)
 
 
+def _cap(n: int, lo: int) -> int:
+    """Power-of-two size class (bounds the number of compiled shapes)."""
+    return max(lo, 1 << (max(int(n), 1) - 1).bit_length())
+
+
+def _pad_pairs(q, r, qlens, rlens):
+    """Pad (B, LQ)/(B, LR) pair arrays to power-of-two shape classes."""
+    B, LQ = q.shape
+    LR = r.shape[1]
+    Bp, LQp, LRp = _cap(B, 8), _cap(LQ, 16), _cap(LR, 16)
+    qp = np.zeros((Bp, LQp), np.int32)
+    qp[:B, :LQ] = q
+    rp = np.zeros((Bp, LRp), np.int32)
+    rp[:B, :LR] = r
+    qlp = np.zeros(Bp, np.int32)
+    qlp[:B] = qlens
+    rlp = np.zeros(Bp, np.int32)
+    rlp[:B] = rlens
+    return qp, rp, qlp, rlp
+
+
 def _subst(q, c, match, tpen, tvpen):
     diff = jnp.abs(q - c)
     s = jnp.where(diff == 0, jnp.int32(match),
@@ -150,26 +171,70 @@ def beam_extend_batch(graph, start_nodes: np.ndarray, tails: np.ndarray,
 
     Returns (best_scores (B,), per-read char-code paths,
     per-read node-id paths) — paths already truncated at the best step.
-    """
-    B, LQ = tails.shape
+
+    The scan length follows the longest REAL tail (bucketed), and when
+    the batch mixes short and long tails the short ones run in their own
+    sub-batch with a proportionally shorter scan — walk steps are the
+    dominant cost and most backward tails are short."""
+    B = tails.shape[0]
     if B == 0:
         return np.zeros(0, np.int64), [], []
-    steps = int(LQ + max(4, LQ // 4))
+    SHORT = 32
+    long_mask = np.asarray(tlens) > SHORT
+    if B >= 32 and long_mask.any() and (~long_mask).sum() >= B // 4:
+        scores = np.zeros(B, np.int64)
+        chars: List[np.ndarray] = [None] * B
+        nodes: List[np.ndarray] = [None] * B
+        for idx in (np.nonzero(~long_mask)[0], np.nonzero(long_mask)[0]):
+            if idx.size == 0:
+                continue
+            w = min(int(tlens[idx].max()) if idx.size else 1,
+                    tails.shape[1])
+            s, c, n = _beam_extend_group(
+                graph, start_nodes[idx], tails[idx, :max(w, 1)],
+                tlens[idx], cfg, beam, backward)
+            for o, i in enumerate(idx):
+                scores[i] = s[o]
+                chars[i] = c[o]
+                nodes[i] = n[o]
+        return scores, chars, nodes
+    return _beam_extend_group(graph, start_nodes, tails, tlens, cfg,
+                              beam, backward)
+
+
+def _beam_extend_group(graph, start_nodes, tails, tlens, cfg, beam,
+                       backward):
+    B, LQ = tails.shape
+    # pad batch and query dims to power-of-two classes: every distinct
+    # shape compiles once (persistent cache), not once per batch size;
+    # the query dim follows the longest real tail, not the array width
+    true_max = int(tlens.max()) if B else 1
+    Bp, LQp = _cap(B, 8), _cap(max(true_max, 1), 16)
+    LQp = min(LQp, _cap(LQ, 16))
+    tails = tails[:, :LQp] if LQp < LQ else tails
+    LQ = tails.shape[1]
+    tails_p = np.zeros((Bp, LQp), tails.dtype)
+    tails_p[:B, :LQ] = tails
+    tlens_p = np.zeros(Bp, np.int32)
+    tlens_p[:B] = tlens
+    starts_p = np.ones(Bp, np.int32)           # node 1: any valid id
+    starts_p[:B] = start_nodes
+    steps = int(LQp + max(4, LQp // 4))
     best, best_step, best_beam, parents, chars, nodes_hist = _beam_scan(
-        graph, jnp.asarray(start_nodes.astype(np.int32)),
-        jnp.asarray(tails.astype(np.int32)),
-        jnp.asarray(tlens.astype(np.int32)),
+        graph, jnp.asarray(starts_p.astype(np.int32)),
+        jnp.asarray(tails_p.astype(np.int32)),
+        jnp.asarray(tlens_p.astype(np.int32)),
         steps=steps, beam=beam,
         match=cfg.match_score, tpen=cfg.mm_transition_penalty,
         tvpen=cfg.mm_transversion_penalty,
         open_p=cfg.gap_opening_penalty, ext_p=cfg.gap_extension_penalty,
         xdrop=cfg.xdrop, backward=backward)
-    best = np.asarray(best)
-    best_step = np.asarray(best_step)
-    best_beam = np.asarray(best_beam)
-    parents = np.asarray(parents)      # (steps, B, W)
-    chars = np.asarray(chars)
-    nodes_hist = np.asarray(nodes_hist)
+    best = np.asarray(best)[:B]
+    best_step = np.asarray(best_step)[:B]
+    best_beam = np.asarray(best_beam)[:B]
+    parents = np.asarray(parents)[:, :B]      # (steps, B, W)
+    chars = np.asarray(chars)[:, :B]
+    nodes_hist = np.asarray(nodes_hist)[:, :B]
     # vectorized traceback across all reads: walk from (best_step, beam)
     max_t = int(best_step.max()) if len(best_step) else -1
     out_chars = np.zeros((B, max(max_t + 1, 0)), np.int32)
@@ -245,6 +310,91 @@ def _full_dp_ends(q, r, qlens, rlens, match, tpen, tvpen, open_p, ext_p):
     return jnp.stack([best, pos // LQp, pos % LQp], axis=1)
 
 
+@functools.partial(jax.jit, static_argnames=(
+    "match", "tpen", "tvpen", "open_p", "ext_p"))
+def _dp_traceback(q, r, qlens, rlens, match, tpen, tvpen, open_p, ext_p):
+    """Device traceback: (B, 3) ends + (steps, B) op codes.
+
+    Replays aligner.affine_semiglobal's host traceback as a per-read
+    state machine inside one lax.scan (phase 0 = main, 1 = D-run,
+    2 = I-run; op codes 0 none / 1 '=' / 2 'X' / 3 'D' / 4 'I'), so only
+    ~(LQ+LR) bytes per read cross the wire instead of the three
+    (B, LR, LQ) DP matrices — the tunnel transfer was the entire
+    alignment hot path. Bit-identical to the host walk (same branch
+    order, same run semantics)."""
+    H, D, I = _full_dp(q, r, qlens, rlens, match, tpen, tvpen,
+                       open_p, ext_p)
+    B, LRp1, LQp1 = H.shape
+    tt = jnp.arange(LRp1, dtype=jnp.int32)[None, :, None]
+    jjj = jnp.arange(LQp1, dtype=jnp.int32)[None, None, :]
+    mask = (tt <= rlens[:, None, None]) & (jjj <= qlens[:, None, None])
+    flatH = jnp.where(mask, H, NEG).reshape(B, -1)
+    pos = jnp.argmax(flatH, axis=1).astype(jnp.int32)
+    best = jnp.take_along_axis(flatH, pos[:, None], axis=1)[:, 0]
+    t0 = pos // LQp1
+    j0 = pos % LQp1
+    ends = jnp.stack([best, t0, j0], axis=1)
+
+    Hf = H.reshape(B, -1)
+    Df = D.reshape(B, -1)
+    If = I.reshape(B, -1)
+    bidx = jnp.arange(B, dtype=jnp.int32)
+
+    def cell(Mf, t, j):
+        idx = jnp.clip(t, 0, LRp1 - 1) * LQp1 + jnp.clip(j, 0, LQp1 - 1)
+        return jnp.take_along_axis(Mf, idx[:, None], axis=1)[:, 0]
+
+    def qat(j):
+        return jnp.take_along_axis(
+            q, jnp.clip(j - 1, 0, q.shape[1] - 1)[:, None], axis=1)[:, 0]
+
+    def rat(t):
+        return jnp.take_along_axis(
+            r, jnp.clip(t - 1, 0, r.shape[1] - 1)[:, None], axis=1)[:, 0]
+
+    def subst(qc, rc):
+        diff = jnp.abs(qc - rc)
+        s = jnp.where(diff == 0, jnp.int32(match),
+                      jnp.where(diff == 2, jnp.int32(-tpen),
+                                jnp.int32(-tvpen)))
+        return jnp.where((qc == 0) | (rc == 0), jnp.int32(-tvpen), s)
+
+    def step(carry, _):
+        t, j, phase = carry
+        done = (t <= 0) & (j <= 0) & (phase == 0)
+        Htj = cell(Hf, t, j)
+        Hdg = cell(Hf, t - 1, j - 1)
+        Dtj = cell(Df, t, j)
+        Dup = cell(Df, t - 1, j)
+        Itj = cell(If, t, j)
+        Ile = cell(If, t, j - 1)
+        qc, rc = qat(j).astype(jnp.int32), rat(t).astype(jnp.int32)
+        main = (phase == 0) & ~done
+        diag = main & (t > 0) & (j > 0) & (Htj == Hdg + subst(qc, rc))
+        dment = main & ~diag & (t > 0) & (Htj == Dtj)
+        iment = main & ~diag & ~dment & (j > 0)
+        i_run = iment & (Htj == Itj)
+        deg = main & ~diag & ~dment & ~iment        # t > 0, j == 0
+        inD = (phase == 1) | dment
+        inI = (phase == 2) | iment
+        dcont = inD & (t > 0) & (Dtj == Dup - ext_p)
+        icont = ((phase == 2) | i_run) & (j > 0) & (Itj == Ile - ext_p)
+        op = jnp.where(diag, jnp.where(qc == rc, 1, 2),
+                       jnp.where(inD | deg, 3, jnp.where(inI, 4, 0)))
+        op = jnp.where(done, 0, op).astype(jnp.int8)
+        t2 = jnp.where(~done & (diag | inD | deg), t - 1, t)
+        j2 = jnp.where(~done & (diag | inI), j - 1, j)
+        phase2 = jnp.where(dcont, 1, jnp.where(icont, 2, 0))
+        phase2 = jnp.where(done, phase, phase2).astype(jnp.int32)
+        return (t2, j2, phase2), op
+
+    steps = LRp1 + LQp1 + 2
+    (_, _, _), ops = jax.lax.scan(
+        step, (t0, j0, jnp.zeros((B,), jnp.int32)),
+        None, length=steps)
+    return ends, ops                                  # ops: (steps, B)
+
+
 def batched_ends(q: np.ndarray, r: np.ndarray, qlens: np.ndarray,
                  rlens: np.ndarray, open_p: int, ext_p: int, match: int,
                  tpen: int, tvpen: int) -> np.ndarray:
@@ -257,9 +407,9 @@ def batched_ends(q: np.ndarray, r: np.ndarray, qlens: np.ndarray,
     B = len(q)
     if B == 0:
         return np.zeros((0, 3), np.int32)
-    args = (jnp.asarray(q.astype(np.int32)), jnp.asarray(r.astype(np.int32)),
-            jnp.asarray(qlens.astype(np.int32)),
-            jnp.asarray(rlens.astype(np.int32)))
+    qp, rp, qlp, rlp = _pad_pairs(q, r, qlens, rlens)
+    args = (jnp.asarray(qp), jnp.asarray(rp), jnp.asarray(qlp),
+            jnp.asarray(rlp))
     if jax.default_backend() != "cpu":
         from .pallas_dp import batch_align_ends
         out = batch_align_ends(*args, match=match, tpen=tpen, tvpen=tvpen,
@@ -267,59 +417,33 @@ def batched_ends(q: np.ndarray, r: np.ndarray, qlens: np.ndarray,
     else:
         out = _full_dp_ends(*args, match=match, tpen=tpen, tvpen=tvpen,
                             open_p=open_p, ext_p=ext_p)
-    return np.asarray(out)
+    return np.asarray(out)[:B]
 
 
 def batched_cigars(q: np.ndarray, r: np.ndarray, qlens: np.ndarray,
                    rlens: np.ndarray, sub: np.ndarray, open_p: int,
                    ext_p: int, match: int, tpen: int, tvpen: int
                    ) -> List[Tuple[int, int, int, List[str]]]:
-    """Batched (score, q_end, r_end, ops) — device DP matrices + an O(L)
-    host argmax walk per read (no O(L^2) host DP)."""
+    """Batched (score, q_end, r_end, ops): the whole DP AND the traceback
+    run on the device (_dp_traceback); only (steps, B) op codes and (B, 3)
+    ends cross the wire — no (B, LR, LQ) matrix transfer. ``sub`` is kept
+    for API compatibility (the device walk derives substitution scores
+    arithmetically from the same penalties)."""
     B = len(q)
     if B == 0:
         return []
-    H_d, D_d, I_d = _full_dp(jnp.asarray(q.astype(np.int32)),
-                             jnp.asarray(r.astype(np.int32)),
-                             jnp.asarray(qlens.astype(np.int32)),
-                             jnp.asarray(rlens.astype(np.int32)),
-                             match=match, tpen=tpen, tvpen=tvpen,
-                             open_p=open_p, ext_p=ext_p)
-    H = np.asarray(H_d).astype(np.int64)
-    D = np.asarray(D_d).astype(np.int64)
-    I = np.asarray(I_d).astype(np.int64)
+    qp, rp, qlp, rlp = _pad_pairs(q, r, qlens, rlens)
+    ends_d, ops_d = _dp_traceback(jnp.asarray(qp), jnp.asarray(rp),
+                                  jnp.asarray(qlp), jnp.asarray(rlp),
+                                  match=match, tpen=tpen, tvpen=tvpen,
+                                  open_p=open_p, ext_p=ext_p)
+    ends = np.asarray(ends_d)
+    ops_arr = np.asarray(ops_d)                       # (steps, B)
+    OPS = np.array(["", "=", "X", "D", "I"])
     out = []
     for b in range(B):
-        Lq, Lr = int(qlens[b]), int(rlens[b])
-        Hb = H[b, :Lr + 1, :Lq + 1]
-        Db = D[b, :Lr + 1, :Lq + 1]
-        Ib = I[b, :Lr + 1, :Lq + 1]
-        t, j = np.unravel_index(np.argmax(Hb), Hb.shape)
-        score = int(Hb[t, j])
-        qe, re_ = int(j), int(t)
-        # same traceback discipline as aligner.affine_semiglobal
-        ops: List[str] = []
-        while t > 0 or j > 0:
-            if t > 0 and j > 0 and Hb[t, j] == Hb[t - 1, j - 1] \
-                    + sub[q[b][j - 1], r[b][t - 1]]:
-                ops.append("=" if q[b][j - 1] == r[b][t - 1] else "X")
-                t -= 1
-                j -= 1
-            elif t > 0 and Hb[t, j] == Db[t, j]:
-                while t > 0 and Db[t, j] == Db[t - 1, j] - ext_p:
-                    ops.append("D")
-                    t -= 1
-                ops.append("D")
-                t -= 1
-            elif j > 0:
-                if Hb[t, j] == Ib[t, j]:
-                    while j > 0 and Ib[t, j] == Ib[t, j - 1] - ext_p:
-                        ops.append("I")
-                        j -= 1
-                ops.append("I")
-                j -= 1
-            else:
-                ops.append("D")
-                t -= 1
-        out.append((score, qe, re_, ops[::-1]))
+        col = ops_arr[:, b]
+        nz = col[col != 0]
+        out.append((int(ends[b, 0]), int(ends[b, 2]), int(ends[b, 1]),
+                    list(OPS[nz[::-1]])))
     return out

@@ -206,3 +206,29 @@ def test_batch_suffix_seed_matches_single(ref_graph):
             assert b[0].score == s[0].score
             assert b[0].sequence == s[0].sequence
             assert b[0].cigar == s[0].cigar
+
+
+def test_device_traceback_matches_host_gold(rng):
+    """_dp_traceback's cigar ops must equal affine_semiglobal's host
+    traceback on random pairs (same branch order, same run semantics)."""
+    from metagraph_tpu.align.batch_extender import batched_cigars
+    cfg = AlignerConfig()
+    sub = cfg.score_matrix()
+    B, LQ, LR = 16, 24, 28
+    q = rng.integers(1, 5, (B, LQ)).astype(np.int32)
+    r = rng.integers(1, 5, (B, LR)).astype(np.int32)
+    r[0, :LQ] = q[0]
+    r[1, :10] = q[1, :10]
+    qlens = rng.integers(3, LQ + 1, B).astype(np.int32)
+    rlens = rng.integers(3, LR + 1, B).astype(np.int32)
+    got = batched_cigars(q, r, qlens, rlens, sub,
+                         cfg.gap_opening_penalty, cfg.gap_extension_penalty,
+                         cfg.match_score, cfg.mm_transition_penalty,
+                         cfg.mm_transversion_penalty)
+    for b in range(B):
+        ws, wqe, wre, wops = affine_semiglobal(
+            q[b, :qlens[b]], r[b, :rlens[b]], sub,
+            cfg.gap_opening_penalty, cfg.gap_extension_penalty)
+        gs, gqe, gre, gops = got[b]
+        assert (gs, gqe, gre) == (ws, wqe, wre), b
+        assert gops == wops, (b, gops, wops)
