@@ -74,13 +74,27 @@ def build_boss_sharded(
     cparts = []
     total = 0
     for suffix in suffix_buckets(alphabet, suffix_len):
-        lanes, counts, n = build_shard_kmers(seqs, k, suffix, alphabet,
-                                             canonical=canonical)
+        path = None
         if chunk_dir:
             os.makedirs(chunk_dir, exist_ok=True)
             name = "".join(alphabet.letters[c] for c in suffix)
-            save_chunk(os.path.join(chunk_dir, f"chunk_{name}.npz"),
-                       lanes, counts, k, alphabet.name, suffix)
+            path = os.path.join(chunk_dir, f"chunk_{name}.npz")
+        if path and os.path.exists(path):
+            # mid-build resume: a finished pass is its own checkpoint
+            # (the reference restarts from .dbg.chunk files the same way,
+            # build.cpp concatenate path)
+            with np.load(path) as d:
+                if int(d["k"]) == k and str(d["alphabet"]) == alphabet.name:
+                    counts_np = d["counts"]
+                    n = int((counts_np > 0).sum())
+                    parts.append(jnp.asarray(d["lanes"][:, :n]))
+                    cparts.append(jnp.asarray(counts_np[:n]))
+                    total += n
+                    continue
+        lanes, counts, n = build_shard_kmers(seqs, k, suffix, alphabet,
+                                             canonical=canonical)
+        if path:
+            save_chunk(path, lanes, counts, k, alphabet.name, suffix)
         parts.append(lanes)
         cparts.append(counts)
         total += n

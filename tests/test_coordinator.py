@@ -164,3 +164,23 @@ def test_two_process_distributed_build(tmp_path, rng):
                                   np.asarray(want.boss.W))
     np.testing.assert_array_equal(np.asarray(got.boss.last),
                                   np.asarray(want.boss.last))
+
+
+def test_sharded_build_resume(tmp_path, rng):
+    """A finished suffix pass is a checkpoint: rebuilding with the same
+    chunk_dir resumes from the chunk files without touching the input
+    (the reference's .dbg.chunk restart discipline, build.cpp)."""
+    from conftest import random_dna
+    from metagraph_tpu.parallel.sharded_build import build_boss_sharded
+    import numpy as np
+
+    seqs = [random_dna(rng, 300) for _ in range(3)]
+    fresh = build_boss_sharded(seqs, 11, suffix_len=1)
+    cdir = str(tmp_path / "chunks")
+    first = build_boss_sharded(seqs, 11, suffix_len=1, chunk_dir=cdir)
+    # resume with EMPTY input: every bucket must come from the chunks
+    resumed = build_boss_sharded([b""], 11, suffix_len=1, chunk_dir=cdir)
+    for a, b in ((fresh, first), (fresh, resumed)):
+        assert a.num_edges == b.num_edges
+        np.testing.assert_array_equal(np.asarray(a.W), np.asarray(b.W))
+        np.testing.assert_array_equal(np.asarray(a.F), np.asarray(b.F))
