@@ -95,6 +95,29 @@ def tpu_build_seconds(seqs):
     return best, boss
 
 
+def bench_capacity():
+    """Secondary metric: large single-chip build (33.5M distinct k-mers,
+    random DNA — a worst case: zero duplicate collapse)."""
+    import gc
+    import jax
+    from metagraph_tpu.graph.boss_construct import build_boss_from_codes
+    from metagraph_tpu.kmer.alphabets import DNA
+    n = 1 << 25
+    rng = np.random.default_rng(0)
+    codes = rng.integers(1, 5, n).astype(np.uint8)
+    boss = build_boss_from_codes(codes, 20, DNA)      # compile + warm
+    jax.block_until_ready(boss.F)
+    del boss
+    gc.collect()
+    codes = rng.integers(1, 5, n).astype(np.uint8)
+    t0 = time.time()
+    boss = build_boss_from_codes(codes, 20, DNA)
+    jax.block_until_ready(boss.F)
+    dt = time.time() - t0
+    log(f"capacity: {n/1e6:.0f}M-char single-chip build in {dt:.2f}s -> "
+        f"{(n-19)/dt/1e6:.1f} Mk-mers/s ({boss.num_edges} edges)")
+
+
 def bench_query(boss, seqs):
     """Secondary metric: batched query throughput (reads/sec)."""
     import jax.numpy as jnp
@@ -193,6 +216,7 @@ def main():
             bench_query(boss, seqs)
             bench_align_kernel()
             bench_align_batch(boss, seqs)
+            bench_capacity()
         except Exception as e:
             log(f"secondary benches failed: {e}")
     total_windows = base["total_windows"]
