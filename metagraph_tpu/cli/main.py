@@ -127,6 +127,28 @@ def cmd_build(args):
         log(f"Serialized chunk to {out}")
         return
 
+    if args.parts_total > 1:
+        # manual sharding across processes/hosts (reference --part-idx/
+        # --parts-total, config.cpp): part p builds the chunk files of
+        # suffix buckets p, p+P, p+2P, ...; `concatenate` merges them
+        from ..parallel.sharded_build import (build_shard_kmers,
+                                              save_chunk, suffix_buckets)
+        from ..seqio.fasta import parse_records
+        assert args.suffix_len > 0, "--parts-total needs --suffix-len"
+        seqs = []
+        for f in args.fnames:
+            seqs.extend(r.seq for r in parse_records(f))
+        buckets = suffix_buckets(DNA, args.suffix_len)
+        for sfx in buckets[args.part_idx::args.parts_total]:
+            lanes, counts, n = build_shard_kmers(
+                seqs, args.k, sfx, DNA,
+                canonical=mode in ("canonical", "primary"))
+            name = "".join(DNA.letters[c] for c in sfx).replace("$", "S")
+            out = f"{args.outfile_base}.{name}.chunk.npz"
+            save_chunk(out, lanes, counts, args.k, DNA.name, sfx)
+            log(f"Serialized chunk to {out}")
+        return
+
     seqs = []
     codes_direct = None
     if (len(args.fnames) == 1
@@ -659,12 +681,23 @@ def cmd_align(args):
     recs = []
     for f in args.fnames:
         recs.extend(parse_records(f))
-    if args.map_only:
+    if args.map_only or args.query_presence:
         for rec in recs:
             name = rec.name.decode()
             nodes = np.asarray(g.map_to_nodes(rec.seq))
             n_disc = int((nodes > 0).sum())
-            if args.count_kmers:
+            if args.query_presence:
+                # 0/1 presence per read (align.cpp:198-208); with
+                # --filter-present emit the present reads as FASTA
+                n_k = len(nodes)
+                min_disc = n_k - int(n_k * (1 - args.discovery_fraction))
+                found = n_disc >= min_disc
+                if args.filter_present:
+                    if found:
+                        out.write(f">{name}\n{rec.seq.decode()}\n")
+                else:
+                    out.write(f"{int(found)}\n")
+            elif args.count_kmers:
                 # name \t discovered/total/unique (align.cpp:212-226)
                 n_uniq = len(np.unique(nodes[nodes > 0]))
                 out.write(f"{name}\t{n_disc}/{len(nodes)}/{n_uniq}\n")
@@ -682,6 +715,9 @@ def cmd_align(args):
         f"({len(recs) / max(time.time() - t0, 1e-9):.0f} reads/s)")
     for rec, results in zip(recs, all_results):
         name = rec.name.decode()
+        if args.align_min_path_score:
+            results = [r for r in results
+                       if r.score >= args.align_min_path_score]
         if args.json:
             for r in results:
                 out.write(json.dumps(r.to_json(name)) + "\n")
@@ -948,11 +984,37 @@ def cmd_merge_anno(args):
 
 
 def cmd_transform_anno(args):
-    from ..anno.annotator import Annotation
+    from ..anno.annotator import Annotation, LabelEncoder
     from ..anno.matrix import RowSparse
 
     ann = Annotation.load(args.fnames[0])
     mat = ann.matrix
+    if args.rename_cols:
+        # whitespace-separated "<old> <new>" pairs
+        # (transform_annotation.cpp:380-400)
+        toks = open(args.rename_cols).read().split()
+        if len(toks) % 2:
+            raise SystemExit(f"{args.rename_cols}: odd token count in "
+                             "rename rules")
+        dic = dict(zip(toks[::2], toks[1::2]))
+        enc = LabelEncoder([dic.get(l, l) for l in ann.encoder.labels])
+        if len(enc) != len(ann.encoder.labels):
+            raise SystemExit("rename rules collapse distinct labels")
+        ann = Annotation(matrix=mat, encoder=enc)
+    if args.dump_text_anno:
+        # per-column text dump (ColumnCompressed::dump_columns):
+        # first line "<num set bits>", then one set row id per line
+        rs = mat if isinstance(mat, RowSparse) else mat.to_row_sparse()
+        cols = np.asarray(rs.cols)
+        rows = np.asarray(rs.rows)
+        for ci, label in enumerate(ann.encoder.labels):
+            rset = np.sort(rows[cols == ci])
+            path = f"{args.outfile_base}.{ci}.text.annodbg"
+            with open(path, "w") as f:
+                f.write(f"{len(rset)}\n")
+                f.write("".join(f"{int(r)}\n" for r in rset))
+            log(f"Dumped column '{label}' -> {path}")
+        return
     target = args.anno_type
     if target == "brwt":
         from ..anno.brwt import build_brwt
@@ -1133,6 +1195,11 @@ def build_parser() -> argparse.ArgumentParser:
                     choices=["DNA", "DNA5", "Protein"])
     sp.add_argument("--fwd-and-reverse", action="store_true")
     sp.add_argument("--state", choices=["fast", "small"], default="fast")
+    sp.add_argument("--parts-total", type=int, default=1,
+                    help="split the suffix buckets across this many "
+                         "independent build invocations")
+    sp.add_argument("--part-idx", type=int, default=0,
+                    help="which bucket subset this invocation builds")
     common_out(sp)
     sp.add_argument("fnames", nargs="+")
     sp.set_defaults(func=cmd_build)
@@ -1227,18 +1294,38 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("-o", "--outfile-base", default=None)
     sp.add_argument("--map", dest="map_only", action="store_true")
     sp.add_argument("--count-kmers", action="store_true")
+    sp.add_argument("--query-presence", action="store_true",
+                    help="test reads for presence, report 0/1")
+    sp.add_argument("--filter-present", action="store_true",
+                    help="with --query-presence: emit present reads as "
+                         "FASTA")
+    sp.add_argument("--discovery-fraction", type=float, default=1.0)
     sp.add_argument("--align-both-strands", action="store_true")
     sp.add_argument("--align-edit-distance", action="store_true")
     sp.add_argument("--align-min-exact-match", type=float, default=0.7)
     sp.add_argument("--compacted", action="store_true")
     sp.add_argument("--align-min-seed-length", type=int, default=0)
-    sp.add_argument("--match-score", type=int, default=2)
-    sp.add_argument("--mm-transition-penalty", type=int, default=3)
-    sp.add_argument("--mm-transversion-penalty", type=int, default=3)
-    sp.add_argument("--gap-opening-penalty", type=int, default=5)
-    sp.add_argument("--gap-extension-penalty", type=int, default=2)
+    # scoring flags accept both the short and the reference's
+    # --align-* spellings (config.cpp:1005-1030)
+    sp.add_argument("--match-score", "--align-match-score",
+                    dest="match_score", type=int, default=2)
+    sp.add_argument("--mm-transition-penalty",
+                    "--align-mm-transition-penalty",
+                    dest="mm_transition_penalty", type=int, default=3)
+    sp.add_argument("--mm-transversion-penalty",
+                    "--align-mm-transversion-penalty",
+                    dest="mm_transversion_penalty", type=int, default=3)
+    sp.add_argument("--gap-opening-penalty", "--align-gap-open-penalty",
+                    dest="gap_opening_penalty", type=int, default=5)
+    sp.add_argument("--gap-extension-penalty",
+                    "--align-gap-extension-penalty",
+                    dest="gap_extension_penalty", type=int, default=2)
     sp.add_argument("--align-xdrop", type=int, default=27)
-    sp.add_argument("--num-alternative-paths", type=int, default=1)
+    sp.add_argument("--align-min-path-score", type=int, default=0,
+                    help="drop alignments scoring below this")
+    sp.add_argument("--num-alternative-paths",
+                    "--align-alternative-alignments",
+                    dest="num_alternative_paths", type=int, default=1)
     sp.add_argument("--json", action="store_true")
     sp.add_argument("fnames", nargs="+")
     sp.set_defaults(func=cmd_align)
@@ -1306,6 +1393,10 @@ def build_parser() -> argparse.ArgumentParser:
                          "conversion (bounded RSS)")
     sp.add_argument("--mem-cap-gb", type=float, default=1.0,
                     help="spill buffer cap for --disk-swap conversions")
+    sp.add_argument("--rename-cols", default="",
+                    help="file with '<old> <new>' label rename pairs")
+    sp.add_argument("--dump-text-anno", action="store_true",
+                    help="dump each column as a text file of set row ids")
     sp.add_argument("fnames", nargs="+")
     sp.set_defaults(func=cmd_transform_anno)
 

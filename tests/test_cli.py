@@ -348,3 +348,63 @@ def test_merge_weighted(tmp_path, rng):
     total_a = int(np.asarray(a.boss.weights).sum())
     total_b = int(np.asarray(b.boss.weights).sum())
     assert int(wm.sum()) == total_a + total_b
+
+
+def test_align_query_presence(workdir, capsys):
+    tmp, fa, seqs = workdir
+    g = str(tmp / "qp")
+    main(["build", "-k", "11", "-o", g, fa])
+    qfa = str(tmp / "qp.fa")
+    write_fasta(qfa, [seqs[0][10:80], b"A" * 40], names=["hit", "miss"])
+    main(["align", "-i", g, "--query-presence",
+          "--discovery-fraction", "0.9", qfa])
+    out = capsys.readouterr().out.strip().splitlines()
+    assert out == ["1", "0"]
+    main(["align", "-i", g, "--query-presence", "--filter-present", qfa])
+    out = capsys.readouterr().out
+    assert ">hit" in out and ">miss" not in out
+
+
+def test_build_parts_concatenate(workdir, capsys, tmp_path):
+    """--parts-total/--part-idx chunked build + concatenate equals the
+    direct build (reference build.cpp part workflow)."""
+    from metagraph_tpu.graph.io import load_graph
+    tmp, fa, seqs = workdir
+    direct = str(tmp / "direct")
+    main(["build", "-k", "11", "-o", direct, fa])
+    base = str(tmp / "parts")
+    for p in range(2):
+        main(["build", "-k", "11", "--suffix-len", "1",
+              "--parts-total", "2", "--part-idx", str(p), "-o", base, fa])
+    outb = str(tmp / "joined")
+    main(["concatenate", "-i", base, "--len-suffix", "1", "-o", outb])
+    a, b = load_graph(direct), load_graph(outb)
+    assert a.num_nodes() == b.num_nodes()
+    np.testing.assert_array_equal(np.asarray(a.boss.W),
+                                  np.asarray(b.boss.W))
+
+
+def test_transform_anno_rename_and_dump(workdir, capsys, tmp_path):
+    tmp, fa, seqs = workdir
+    g = str(tmp / "rg")
+    main(["build", "-k", "11", "-o", g, fa])
+    a = str(tmp / "ra")
+    main(["annotate", "-i", g, "-o", a, "--anno-header", fa])
+    col = a + ".column.annodbg.npz"
+    rules = str(tmp / "rules.txt")
+    open(rules, "w").write("seq0 renamed_zero\n")
+    out = str(tmp / "renamed")
+    main(["transform_anno", "--anno-type", "column", "-o", out,
+          "--rename-cols", rules, col])
+    from metagraph_tpu.anno.annotator import Annotation
+    ren = Annotation.load(out + ".column.annodbg.npz")
+    assert "renamed_zero" in ren.encoder.labels
+    assert "seq0" not in ren.encoder.labels
+    # text dump: one file per column, row ids sorted
+    main(["transform_anno", "-o", str(tmp / "dump"),
+          "--dump-text-anno", col])
+    f0 = str(tmp / "dump") + ".0.text.annodbg"
+    lines = open(f0).read().splitlines()
+    assert int(lines[0]) == len(lines) - 1
+    ids = [int(x) for x in lines[1:]]
+    assert ids == sorted(ids) and len(ids) > 0
