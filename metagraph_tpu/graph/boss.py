@@ -222,8 +222,15 @@ class Boss:
         ru = jnp.where(u1 + 1 < alph,
                        self.F[jnp.minimum(u1 + 1, alph - 1)], m)
         ok = ok & (rl <= ru)
-        for i in range(1, k):
-            s = jnp.clip(chars[:, i], 0, alph - 1)
+
+        # the k-1 tighten steps run as a fori_loop, not unrolled Python:
+        # unrolling inlined k copies of rank/select machinery into one
+        # HLO, which ballooned compile time and could crash XLA:CPU's
+        # compiler outright on long suites
+        def tighten(i, state):
+            ok, rl, ru = state
+            col = jax.lax.dynamic_slice_in_dim(chars, i, 1, axis=1)[:, 0]
+            s = jnp.clip(col, 0, alph - 1)
             rk_rl = self.rank_W(rl - 1, s) + 1
             rk_ru = self.rank_W(ru, s)
             step_ok = rk_rl <= rk_ru
@@ -232,8 +239,9 @@ class Boss:
             nrl = self.select_last(safe_rl) + 1
             nru = self.select_last(safe_ru)
             ok = ok & step_ok
-            rl = jnp.where(ok, nrl, rl)
-            ru = jnp.where(ok, nru, ru)
+            return (ok, jnp.where(ok, nrl, rl), jnp.where(ok, nru, ru))
+
+        ok, rl, ru = jax.lax.fori_loop(1, k, tighten, (ok, rl, ru))
         # pick_edge(ru, label): search the node's edge rows for W == c
         # or c + alph (boss.hpp pick_edge)
         c = jnp.clip(chars[:, k], 0, alph - 1)

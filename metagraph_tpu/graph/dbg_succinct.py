@@ -95,10 +95,25 @@ class DbgSuccinct:
         ok = window_validity(codes, K)
         nw = codes.shape[0] - K + 1
 
-        def sl(off):
-            return jax.lax.slice(codes, (off,), (off + nw,)).astype(jnp.uint32)
-        fields = [sl(K - 1)] + [sl(j - 1) for j in range(1, K)]
-        lanes = packed.from_fields(jnp.stack(fields), B)
+        # accumulate lanes per slot (no (K, N) field stack — see
+        # kmer/extractor.extract_packed_kmers)
+        def field_slice(slot):
+            off = K - 1 if slot == 0 else slot - 1
+            return jax.lax.slice(codes, (off,), (off + nw,)) \
+                .astype(packed.LANE_DTYPE)
+        per_lane = packed.LANE_BITS // B
+        L = packed.num_lanes(K, B)
+        rows = [None] * L
+        for lane_from_lsb in range(L):
+            lane = L - 1 - lane_from_lsb
+            acc = jnp.zeros((nw,), packed.LANE_DTYPE)
+            for i in range(per_lane):
+                slot = lane_from_lsb * per_lane + i
+                if slot >= K:
+                    break
+                acc = acc | (field_slice(slot) << np.uint32(i * B))
+            rows[lane] = acc
+        lanes = jnp.stack(rows)
         if self.mode in (MODE_CANONICAL, MODE_PRIMARY):
             rc = packing.reverse_complement(lanes, K, B, self.alphabet.complement)
             lanes = jnp.where(packed.lt(rc, lanes)[None, :], rc, lanes)
