@@ -399,34 +399,98 @@ def greedy_linkage(columns: List[np.ndarray], num_rows: int,
     return pairs
 
 
-def build_brwt(matrix: RowSparse, arity: int = 2,
-               subsample: int = 1_000_000) -> Brwt:
-    """Bottom-up Multi-BRWT build (BRWTBottomUpBuilder semantics):
-    greedily pair similar columns level by level until one root, then
-    flatten into the packed device form."""
+def compute_linkage(matrix: RowSparse, subsample: int = 1_000_000
+                    ) -> List[Tuple[int, int, float, int]]:
+    """Column linkage rows ``(child1, child2, dist, merged_id)`` in the
+    reference's format (transform_annotation.cpp:parse_linkage_matrix:
+    leaves are column ids 0..n-1, merged ids grow past n). Produced by
+    the same level-by-level greedy pairing build_brwt uses, so feeding
+    the file back via --linkage-file reproduces the same tree."""
     num_rows, num_cols = matrix.num_rows, matrix.num_cols
     col_rows = _column_bitmaps(matrix)
-
-    trees: List = [("leaf", c) for c in range(num_cols)]
+    ids = list(range(num_cols))
     supports: List[np.ndarray] = [col_rows[c] for c in range(num_cols)]
-    while len(trees) > 1:
+    next_id = num_cols
+    out = []
+    while len(ids) > 1:
         pairs = greedy_linkage(supports, num_rows, subsample)
         if not pairs:
-            pairs = [(i, i + 1) for i in range(0, len(trees) - 1, 2)]
-        merged_trees, merged_supports = [], []
+            pairs = [(i, i + 1) for i in range(0, len(ids) - 1, 2)]
+        merged_ids, merged_supports = [], []
         used = set()
         for i, j in pairs:
-            merged_trees.append(("node", trees[i], trees[j]))
+            out.append((ids[i], ids[j], 0.0, next_id))
+            merged_ids.append(next_id)
+            next_id += 1
             merged_supports.append(np.union1d(supports[i], supports[j]))
             used.add(i)
             used.add(j)
-        for i in range(len(trees)):
+        for i in range(len(ids)):
             if i not in used:
-                merged_trees.append(trees[i])
+                merged_ids.append(ids[i])
                 merged_supports.append(supports[i])
-        trees, supports = merged_trees, merged_supports
+        ids, supports = merged_ids, merged_supports
+    return out
 
-    root_support = supports[0] if supports else np.zeros(0, np.int64)
+
+def _trees_from_linkage(linkage, num_cols: int):
+    """Tree tuples from parsed linkage rows (children may repeat per the
+    reference's multi-child merged clusters)."""
+    nodes = {c: ("leaf", c) for c in range(num_cols)}
+    for c1, c2, _dist, m in sorted(linkage, key=lambda r: r[3]):
+        kids = []
+        for c in (int(c1), int(c2)):
+            if c not in nodes:
+                raise ValueError(f"linkage references unknown cluster {c}")
+            kids.append(nodes.pop(c))
+        nodes[int(m)] = ("node", *kids)
+    return list(nodes.values())
+
+
+def build_brwt(matrix: RowSparse, arity: int = 2,
+               subsample: int = 1_000_000,
+               linkage: Optional[List[Tuple[int, int, float, int]]] = None
+               ) -> Brwt:
+    """Bottom-up Multi-BRWT build (BRWTBottomUpBuilder semantics):
+    greedily pair similar columns level by level until one root (or
+    follow a precomputed ``linkage``), then flatten into the packed
+    device form."""
+    num_rows, num_cols = matrix.num_rows, matrix.num_cols
+    col_rows = _column_bitmaps(matrix)
+
+    if linkage:
+        trees = _trees_from_linkage(linkage, num_cols)
+        supports = None
+        while len(trees) > 1:     # forest: join remaining roots pairwise
+            trees = [("node", *trees[i:i + 2]) if i + 1 < len(trees)
+                     else trees[i] for i in range(0, len(trees), 2)]
+    else:
+        trees = [("leaf", c) for c in range(num_cols)]
+        supports = [col_rows[c] for c in range(num_cols)]
+        while len(trees) > 1:
+            pairs = greedy_linkage(supports, num_rows, subsample)
+            if not pairs:
+                pairs = [(i, i + 1) for i in range(0, len(trees) - 1, 2)]
+            merged_trees, merged_supports = [], []
+            used = set()
+            for i, j in pairs:
+                merged_trees.append(("node", trees[i], trees[j]))
+                merged_supports.append(np.union1d(supports[i],
+                                                  supports[j]))
+                used.add(i)
+                used.add(j)
+            for i in range(len(trees)):
+                if i not in used:
+                    merged_trees.append(trees[i])
+                    merged_supports.append(supports[i])
+            trees, supports = merged_trees, merged_supports
+
+    if supports:
+        root_support = supports[0]
+    elif matrix.nnz:
+        root_support = np.unique(np.asarray(matrix.rows).astype(np.int64))
+    else:
+        root_support = np.zeros(0, np.int64)
     root_bits = np.zeros(num_rows, bool)
     root_bits[root_support.astype(np.int64)] = True
 

@@ -1001,6 +1001,46 @@ def cmd_transform_anno(args):
         if len(enc) != len(ann.encoder.labels):
             raise SystemExit("rename rules collapse distinct labels")
         ann = Annotation(matrix=mat, encoder=enc)
+    if args.aggregate_columns:
+        # one "mask" column: rows set in [min_cols, max_cols] of the
+        # input columns (transform_annotation.cpp:437-500)
+        import math
+        parts = [ann] + [Annotation.load(f) for f in args.fnames[1:]]
+        num_columns = sum(p.num_labels for p in parts)
+        num_rows = max(p.matrix.num_rows for p in parts)
+        counts = np.zeros(num_rows, np.int64)
+        for p in parts:
+            m = p.matrix if isinstance(p.matrix, RowSparse) \
+                else p.matrix.to_row_sparse()
+            np.add.at(counts, np.asarray(m.rows).astype(np.int64), 1)
+        min_cols = max(math.ceil(num_columns * args.min_fraction),
+                       args.min_count)
+        max_cols = min(math.floor(num_columns * args.max_fraction),
+                       args.max_count if args.max_count is not None
+                       else num_columns)
+        keep = np.nonzero((counts >= min_cols) & (counts <= max_cols))[0]
+        label = args.anno_label or "mask"
+        out = Annotation(
+            matrix=RowSparse.from_coo(keep, np.zeros(len(keep), np.int64),
+                                      num_rows, 1),
+            encoder=LabelEncoder([label]))
+        path = args.outfile_base + ".column.annodbg.npz"
+        out.save(path)
+        log(f"Aggregated {num_columns} columns ({min_cols} <= * <= "
+            f"{max_cols}) -> {path} ({len(keep)} rows set)")
+        return
+    if args.compute_linkage:
+        # column linkage only (convert_to_MultiBRWT's first stage):
+        # "<c1> <c2> <dist> <merged>" lines, leaves = column ids
+        from ..anno.brwt import compute_linkage
+        rs = mat if isinstance(mat, RowSparse) else mat.to_row_sparse()
+        rows = compute_linkage(rs, subsample=args.num_rows_subsampled)
+        path = args.outfile_base + ".linkage"
+        with open(path, "w") as f:
+            for c1, c2, dist, m in rows:
+                f.write(f"{c1} {c2} {dist:g} {m}\n")
+        log(f"Linkage of {rs.num_cols} columns -> {path}")
+        return
     if args.dump_text_anno:
         # per-column text dump (ColumnCompressed::dump_columns):
         # first line "<num set bits>", then one set row id per line
@@ -1020,7 +1060,16 @@ def cmd_transform_anno(args):
         from ..anno.brwt import build_brwt
         if not isinstance(mat, RowSparse):
             mat = mat.to_row_sparse()
-        out_mat = build_brwt(mat, subsample=args.num_rows_subsampled)
+        linkage = None
+        if args.linkage_file:
+            linkage = []
+            for line in open(args.linkage_file):
+                ps = line.split()
+                if len(ps) == 4:
+                    linkage.append((int(ps[0]), int(ps[1]), float(ps[2]),
+                                    int(ps[3])))
+        out_mat = build_brwt(mat, subsample=args.num_rows_subsampled,
+                             linkage=linkage)
         if args.relax_arity > 2:
             from ..anno.brwt import relax_brwt
             out_mat = relax_brwt(out_mat, args.relax_arity)
@@ -1397,6 +1446,20 @@ def build_parser() -> argparse.ArgumentParser:
                     help="file with '<old> <new>' label rename pairs")
     sp.add_argument("--dump-text-anno", action="store_true",
                     help="dump each column as a text file of set row ids")
+    sp.add_argument("--linkage", dest="compute_linkage",
+                    action="store_true",
+                    help="only compute the column linkage file")
+    sp.add_argument("--greedy", action="store_true",
+                    help="greedy column pairing (the only strategy here)")
+    sp.add_argument("--linkage-file", default="",
+                    help="guide the BRWT tree with this linkage file")
+    sp.add_argument("--aggregate-columns", action="store_true")
+    sp.add_argument("--min-count", type=int, default=1)
+    sp.add_argument("--max-count", type=int, default=None)
+    sp.add_argument("--min-fraction", type=float, default=0.0)
+    sp.add_argument("--max-fraction", type=float, default=1.0)
+    sp.add_argument("--anno-label", default="",
+                    help="label of the aggregated column")
     sp.add_argument("fnames", nargs="+")
     sp.set_defaults(func=cmd_transform_anno)
 

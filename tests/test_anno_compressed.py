@@ -260,3 +260,47 @@ def test_tuple_row_diff(rng, small_graph):
     got2 = trd2.get_tuples(qr, 1)
     assert all(sorted(a) == sorted(b)
                for a, b in zip(cm.get_tuples(qr, 1), got2))
+
+
+def test_linkage_file_roundtrip(rng, tmp_path):
+    """--linkage writes the reference-format file; feeding it back via
+    --linkage-file builds a BRWT answering identically."""
+    from metagraph_tpu.anno.brwt import build_brwt, compute_linkage
+    from metagraph_tpu.anno.annotator import Annotation, LabelEncoder
+    dense, m = rand_matrix(rng, 120, 7)
+    rows = compute_linkage(m)
+    assert rows and all(r[3] >= 7 for r in rows)
+    guided = build_brwt(m, linkage=rows)
+    np.testing.assert_array_equal(
+        guided.get_rows_dense(np.arange(120)), dense)
+    # CLI roundtrip
+    from metagraph_tpu.cli.main import main
+    ann = Annotation(matrix=m, encoder=LabelEncoder(
+        [f"l{i}" for i in range(7)]))
+    col = str(tmp_path / "a.column.annodbg.npz")
+    ann.save(col)
+    main(["transform_anno", "--linkage", "--greedy",
+          "-o", str(tmp_path / "lk"), col])
+    lk = str(tmp_path / "lk") + ".linkage"
+    assert len(open(lk).read().splitlines()) == 6   # n-1 merges
+    main(["transform_anno", "--anno-type", "brwt", "--linkage-file", lk,
+          "-o", str(tmp_path / "g"), col])
+    got = Annotation.load(str(tmp_path / "g") + ".brwt.annodbg.npz")
+    np.testing.assert_array_equal(
+        got.matrix.get_rows_dense(np.arange(120)), dense)
+
+
+def test_aggregate_columns(rng, tmp_path):
+    from metagraph_tpu.anno.annotator import Annotation, LabelEncoder
+    from metagraph_tpu.cli.main import main
+    dense, m = rand_matrix(rng, 90, 5, density=0.4)
+    ann = Annotation(matrix=m, encoder=LabelEncoder(
+        [f"c{i}" for i in range(5)]))
+    col = str(tmp_path / "agg.column.annodbg.npz")
+    ann.save(col)
+    main(["transform_anno", "--aggregate-columns", "--min-count", "3",
+          "-o", str(tmp_path / "agg_out"), col])
+    out = Annotation.load(str(tmp_path / "agg_out") + ".column.annodbg.npz")
+    assert out.encoder.labels == ["mask"]
+    want = np.nonzero(dense.sum(axis=1) >= 3)[0]
+    np.testing.assert_array_equal(np.asarray(out.matrix.rows), want)
