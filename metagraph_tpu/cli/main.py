@@ -619,6 +619,42 @@ def cmd_clean(args):
     for suf in (".gz", ".fasta"):
         if out.endswith(suf):
             out = out[:-len(suf)]
+    csq = [float(x) for x in args.count_slice_quantiles.split()]
+    if csq != [0.0, 1.0]:
+        # abundance-binned output (clean.cpp:196-291): per quantile pair,
+        # count thresholds from the CLEANED nodes' weighted histogram,
+        # one fasta per slice named <out>.<qa>.<qb>.fasta.gz
+        assert has_weights, "--count-slice-quantiles needs k-mer counts"
+        assert all(a < b for a, b in zip(csq, csq[1:])), \
+            "quantiles must increase"
+        kept_nodes = np.concatenate(paths) if paths else \
+            np.zeros(0, np.int64)
+        counts_kept = np.sort(node_w[kept_nodes])
+        def quantile(q):
+            # reference utils::get_quantile over the count histogram:
+            # smallest count with cumulative share >= q
+            if not len(counts_kept):
+                return 1
+            idx = min(int(np.ceil(q * len(counts_kept))),
+                      len(counts_kept) - 1)
+            return int(counts_kept[idx])
+        for qa, qb in zip(csq, csq[1:]):
+            min_c = quantile(qa) if qa > 0 else 1
+            max_c = quantile(qb) if qb < 1 else (1 << 62)
+            log(f"k-mer count thresholds: min (including): {min_c} "
+                f"max (excluding): {max_c}")
+            m2 = np.zeros(g.num_nodes() + 1, bool)
+            m2[kept_nodes] = (node_w[kept_nodes] >= min_c) \
+                & (node_w[kept_nodes] < max_c)
+            slice_g = MaskedDbg(base=g, mask=m2)
+            sseqs = contig_sequences(slice_g)
+            fb = f"{out}.{qa:g}.{qb:g}"
+            with FastaWriter(fb + ".fasta.gz") as w:
+                for s in sseqs:
+                    w.write(s)
+            log(f"Slice [{qa:g}, {qb:g}): {len(sseqs)} sequences "
+                f"-> {fb}.fasta.gz")
+        return
     if has_weights:
         with ExtendedFastaWriter(out, g.k) as w:
             for s, p in zip(seqs, paths):
@@ -1334,6 +1370,9 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--prune-unitigs", type=int, default=1)
     sp.add_argument("--fallback", type=int, default=5)
     sp.add_argument("--smoothing-window", type=int, default=1)
+    sp.add_argument("--count-slice-quantiles", default="0 1",
+                    help="space-separated quantiles; one fasta per "
+                         "adjacent pair, binned by k-mer count")
     sp.add_argument("--to-fasta", action="store_true")
     sp.add_argument("--unitigs", action="store_true")
     sp.set_defaults(func=cmd_clean)

@@ -408,3 +408,42 @@ def test_transform_anno_rename_and_dump(workdir, capsys, tmp_path):
     assert int(lines[0]) == len(lines) - 1
     ids = [int(x) for x in lines[1:]]
     assert ids == sorted(ids) and len(ids) > 0
+
+
+def test_clean_count_slices(workdir, tmp_path, capsys):
+    """--count-slice-quantiles bins cleaned contigs by k-mer abundance
+    into one fasta per quantile pair; slices partition the node set."""
+    tmp, fa, seqs = workdir
+    fa2 = str(tmp / "dup.fa")
+    # duplicate one sequence so counts vary (1 and 2)
+    write_fasta(fa2, [seqs[0], seqs[0], seqs[1]])
+    g = str(tmp / "cs")
+    main(["build", "-k", "11", "--count-kmers", "-o", g, fa2])
+    out = str(tmp / "sl")
+    main(["clean", "-i", g, "-o", out,
+          "--count-slice-quantiles", "0 0.5 1"])
+    import gzip
+    def kmers_of(path):
+        ks = set()
+        with gzip.open(path, "rb") as f:
+            cur = []
+            for line in f.read().decode().splitlines():
+                if line.startswith(">"):
+                    if cur:
+                        s = "".join(cur)
+                        ks.update(s[i:i+11] for i in range(len(s)-10))
+                    cur = []
+                else:
+                    cur.append(line)
+            if cur:
+                s = "".join(cur)
+                ks.update(s[i:i+11] for i in range(len(s)-10))
+        return ks
+    a = kmers_of(out + ".0.0.5.fasta.gz")
+    b = kmers_of(out + ".0.5.1.fasta.gz")
+    gold = set()
+    for s in (seqs[0], seqs[1]):
+        ss = s.decode()
+        gold.update(ss[i:i+11] for i in range(len(ss)-10))
+    assert a | b == gold
+    assert not (a & b)
