@@ -203,9 +203,12 @@ class Boss:
 
     # -- searching ---------------------------------------------------------
 
+    @jax.jit
     def index_edge_ranksel(self, chars: jax.Array) -> jax.Array:
         """Rank/select-only edge lookup (no edge_lanes accelerator):
         the reference's index + pick_edge search (boss.hpp:640-750).
+        Jitted as one program — eagerly it dispatched dozens of op
+        compiles per call.
 
         ``chars``: (Q, K) int32 edge k-mers in sequence order
         (node chars u_1..u_k then the edge label). Per query: an initial
