@@ -263,7 +263,7 @@ def cmd_stats(args):
     from ..kmer import packing
     for f in args.fnames:
         if _is_annotation_file(f):
-            _print_annotation_stats(f)
+            _print_annotation_stats(f, args.print_col_names)
             continue
         g = _load_graph(f, wrap_primary=False)
         log(f"Statistics for graph '{f}'")
@@ -323,12 +323,16 @@ def _is_annotation_file(path) -> bool:
         return False
 
 
-def _print_annotation_stats(f):
+def _print_annotation_stats(f, print_col_names: bool = False):
     from ..anno.annotator import Annotation
     ann = Annotation.load(f)
     log(f"Statistics for annotation '{f}'")
     print("=================== ANNOTATION STATS ===================")
     print(f"labels:  {ann.num_labels}")
+    if print_col_names:
+        # stats --print-col-names (stats.cpp print_annotation_stats)
+        for l in ann.encoder.labels:
+            print(f"<{l}>")
     print(f"objects: {ann.matrix.num_rows}")
     density = ann.matrix.nnz / max(ann.matrix.num_rows, 1) \
         / max(ann.num_labels, 1)
@@ -1291,6 +1295,7 @@ def build_parser() -> argparse.ArgumentParser:
 
     sp = sub.add_parser("stats")
     sp.add_argument("--count-dummy", action="store_true")
+    sp.add_argument("--print-col-names", action="store_true")
     sp.add_argument("-a", "--annotation", default=None)
     sp.add_argument("fnames", nargs="+")
     sp.set_defaults(func=cmd_stats)
