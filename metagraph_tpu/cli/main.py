@@ -583,6 +583,21 @@ def cmd_clean(args):
     g = _load_graph(infile, wrap_primary=False)
     has_weights = g.boss.weights is not None
     node_w = node_weights(g) if has_weights else None
+    if args.min_count_q > 0 or args.max_count_q < 1:
+        # quantile-derived count thresholds (config.cpp --min-count-q/
+        # --max-count-q): quantiles over the nonzero node counts
+        assert has_weights, "--min/max-count-q need k-mer counts"
+        w = np.sort(node_w[node_w > 0])
+        def q_at(q):
+            return int(w[min(int(np.ceil(q * len(w))), len(w) - 1)])
+        if args.min_count_q > 0:
+            args.min_count = max(args.min_count, q_at(args.min_count_q))
+        if args.max_count_q < 1:
+            mc = q_at(args.max_count_q)
+            args.max_count = mc if args.max_count is None \
+                else min(args.max_count, mc)
+        log(f"count thresholds from quantiles: min {args.min_count} "
+            f"max {args.max_count}")
     prune_unitigs = args.prune_unitigs
     if prune_unitigs == 0 or args.min_count_auto:
         # --prune-unitigs 0: automatic threshold (clean.cpp:76-100)
@@ -1370,6 +1385,10 @@ def build_parser() -> argparse.ArgumentParser:
     common_out(sp)
     sp.add_argument("--min-count", type=int, default=1)
     sp.add_argument("--max-count", type=int, default=None)
+    sp.add_argument("--min-count-q", type=float, default=0.0,
+                    help="min k-mer abundance quantile")
+    sp.add_argument("--max-count-q", type=float, default=1.0,
+                    help="max k-mer abundance quantile")
     sp.add_argument("--min-count-auto", action="store_true")
     sp.add_argument("--prune-tips", type=int, default=1)
     sp.add_argument("--prune-unitigs", type=int, default=1)
