@@ -252,6 +252,10 @@ def build_row_diff_staged(paths: Sequence[str], graph,
     kept = _merge_runs(spiller.runs, swap_dir)
     d_rows = (np.asarray(kept) // num_cols).astype(np.int32)
     d_cols = (np.asarray(kept) % num_cols).astype(np.int32)
+    if isinstance(kept, np.memmap):
+        path = kept.filename
+        del kept
+        os.unlink(path)
     diffs = RowSparse.from_coo(d_rows, d_cols, num_rows, num_cols,
                                dedupe=False)
     mat = RowDiff(diffs=diffs, anchor=anchor, succ=succ,
