@@ -1111,6 +1111,17 @@ def cmd_transform_anno(args):
             log(f"Dumped column '{label}' -> {path}")
         return
     target = args.anno_type
+    if target.startswith(("row_diff", "int_row_diff", "tuple_row_diff")) \
+            and args.row_diff_stage < 2:
+        # the reference's conversion runs as 3 explicit CLI stages
+        # (row_diff_builder.cpp: 0 = count labels, 1 = compute diffs,
+        # 2 = optimize anchors + serialize); here the whole transform
+        # happens in one pass at stage 2, so stages 0/1 are accepted
+        # no-ops to keep reference pipelines working unchanged
+        log(f"row_diff stage {args.row_diff_stage}: staging is collapsed "
+            "in this implementation; the full conversion runs at "
+            "--row-diff-stage 2")
+        return
     if target == "brwt":
         from ..anno.brwt import build_brwt
         if not isinstance(mat, RowSparse):
@@ -1505,6 +1516,9 @@ def build_parser() -> argparse.ArgumentParser:
                          "conversion (bounded RSS)")
     sp.add_argument("--mem-cap-gb", type=float, default=1.0,
                     help="spill buffer cap for --disk-swap conversions")
+    sp.add_argument("--row-diff-stage", type=int, default=2,
+                    help="reference 3-stage compatibility: 0/1 are "
+                         "no-ops, 2 runs the whole conversion")
     sp.add_argument("--rename-cols", default="",
                     help="file with '<old> <new>' label rename pairs")
     sp.add_argument("--dump-text-anno", action="store_true",
