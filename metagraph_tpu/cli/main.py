@@ -453,6 +453,37 @@ def cmd_query(args):
     from ..engine.annotated_dbg import BatchQuery
     from ..seqio.fasta import iter_batches
 
+    if args.address:
+        # client mode (reference query --address): send the reads to a
+        # running server_query instance instead of loading an index
+        from ..server.client import GraphClient
+        host, _, port = args.address.rpartition(":")
+        client = GraphClient(host or "127.0.0.1", int(port))
+        out = sys.stdout
+        idx = 0
+        for batch in iter_batches(args.fnames,
+                                  batch_bytes=args.batch_size):
+            raw, _ = client._json.search(
+                [r.seq.decode() for r in batch],
+                discovery_threshold=args.discovery_fraction,
+                align=args.align or args.batch_align)
+            by_desc = {}
+            for entry in raw:
+                labels = [r["sample"] for r in entry.get("results", [])]
+                by_desc.setdefault(entry["seq_description"], labels)
+            for i, rec in enumerate(batch):
+                labels = by_desc.get(f"{i}", []) \
+                    or by_desc.get(rec.name.decode(), [])
+                if not labels and args.suppress_unlabeled:
+                    idx += 1
+                    continue
+                out.write(f"{idx}\t{rec.name.decode()}\t"
+                          + args.anno_labels_delimiter.join(labels) + "\n")
+                idx += 1
+        return
+
+    assert args.infile_base and args.annotation, \
+        "query needs -i and -a (or --address for client mode)"
     g = _load_graph(args.infile_base)
     ann = Annotation.load(args.annotation)
     adbg = AnnotatedDbg(graph=g, annotation=ann)
@@ -1349,8 +1380,11 @@ def build_parser() -> argparse.ArgumentParser:
     sp.set_defaults(func=cmd_annotate)
 
     sp = sub.add_parser("query")
-    sp.add_argument("-i", "--infile-base", required=True)
-    sp.add_argument("-a", "--annotation", required=True)
+    sp.add_argument("-i", "--infile-base", default=None)
+    sp.add_argument("-a", "--annotation", default=None)
+    sp.add_argument("--address", default="",
+                    help="query a running server_query at host:port "
+                         "instead of loading an index")
     sp.add_argument("--count-labels", action="store_true")
     sp.add_argument("--count-kmers", dest="query_counts",
                     action="store_true")

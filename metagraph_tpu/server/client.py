@@ -49,7 +49,8 @@ class GraphClientJson:
                discovery_threshold: float = DEFAULT_DISCOVERY_FRACTION,
                with_signature: bool = False,
                abundance_sum: bool = False,
-               query_coords: bool = False) -> Tuple[list, int]:
+               query_coords: bool = False,
+               align: bool = False) -> Tuple[list, int]:
         payload = {
             "FASTA": _to_fasta(sequence),
             "num_labels": top_labels,
@@ -57,6 +58,7 @@ class GraphClientJson:
             "with_signature": with_signature,
             "abundance_sum": abundance_sum,
             "query_coords": query_coords,
+            "align": align,
         }
         return self._post("search", payload)
 

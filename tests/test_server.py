@@ -73,3 +73,20 @@ def test_multi_client(server):
     mc.add_graph("127.0.0.1", port, "g1")
     out = mc.search(seqs[0][:40].decode(), discovery_threshold=1.0)
     assert "g1" in out and any(r["sample"] == "sample_0" for r in out["g1"])
+
+
+def test_query_client_mode(server, tmp_path, capsys):
+    """`query --address host:port` round-trips through a live server."""
+    port, seqs = server
+    host = "127.0.0.1"
+    from metagraph_tpu.cli.main import main
+    qfa = str(tmp_path / "cq.fa")
+    with open(qfa, "w") as f:
+        s = seqs[0][10:90]
+        f.write(f">hit\n{s.decode() if isinstance(s, bytes) else s}\n")
+        f.write(">miss\n" + "A" * 50 + "\n")
+    main(["query", "--address", f"{host}:{port}",
+          "--discovery-fraction", "0.9", qfa])
+    out = capsys.readouterr().out.splitlines()
+    assert out[0].startswith("0\thit\t") and "sample" in out[0]
+    assert out[1] == "1\tmiss\t"
