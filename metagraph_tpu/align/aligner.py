@@ -397,7 +397,9 @@ class Aligner:
             if len(s) >= k and runs_l[i]:
                 continue
             cand, s_len = self._suffix_seeds(codes_l[i])
-            for node in cand[:self.max_seeds_per_read]:
+            # every candidate is one batch row; candidates come in BOSS
+            # row order, not ranked, so none may be dropped a priori
+            for node in cand:
                 fb_entries.append((i, node, s_len))
         if fb_entries:
             self._extend_suffix_seeded(seqs, codes_l, fb_entries,

@@ -434,16 +434,18 @@ def compute_linkage(matrix: RowSparse, subsample: int = 1_000_000
 
 
 def _trees_from_linkage(linkage, num_cols: int):
-    """Tree tuples from parsed linkage rows (children may repeat per the
-    reference's multi-child merged clusters)."""
+    """Tree tuples from parsed linkage rows. A merged cluster id may
+    appear on several rows (the reference encodes multi-child clusters
+    that way, parse_linkage_matrix): children accumulate."""
     nodes = {c: ("leaf", c) for c in range(num_cols)}
     for c1, c2, _dist, m in sorted(linkage, key=lambda r: r[3]):
-        kids = []
+        m = int(m)
+        kids = list(nodes[m][1:]) if m in nodes else []
         for c in (int(c1), int(c2)):
             if c not in nodes:
                 raise ValueError(f"linkage references unknown cluster {c}")
             kids.append(nodes.pop(c))
-        nodes[int(m)] = ("node", *kids)
+        nodes[m] = ("node", *kids)
     return list(nodes.values())
 
 
@@ -458,32 +460,15 @@ def build_brwt(matrix: RowSparse, arity: int = 2,
     num_rows, num_cols = matrix.num_rows, matrix.num_cols
     col_rows = _column_bitmaps(matrix)
 
-    if linkage:
-        trees = _trees_from_linkage(linkage, num_cols)
-        supports = None
-        while len(trees) > 1:     # forest: join remaining roots pairwise
-            trees = [("node", *trees[i:i + 2]) if i + 1 < len(trees)
-                     else trees[i] for i in range(0, len(trees), 2)]
-    else:
-        trees = [("leaf", c) for c in range(num_cols)]
-        supports = [col_rows[c] for c in range(num_cols)]
-        while len(trees) > 1:
-            pairs = greedy_linkage(supports, num_rows, subsample)
-            if not pairs:
-                pairs = [(i, i + 1) for i in range(0, len(trees) - 1, 2)]
-            merged_trees, merged_supports = [], []
-            used = set()
-            for i, j in pairs:
-                merged_trees.append(("node", trees[i], trees[j]))
-                merged_supports.append(np.union1d(supports[i],
-                                                  supports[j]))
-                used.add(i)
-                used.add(j)
-            for i in range(len(trees)):
-                if i not in used:
-                    merged_trees.append(trees[i])
-                    merged_supports.append(supports[i])
-            trees, supports = merged_trees, merged_supports
+    # the greedy path is compute_linkage + tree reconstruction, so a
+    # linkage file written by --linkage reproduces the same tree exactly
+    if linkage is None and num_cols > 1:
+        linkage = compute_linkage(matrix, subsample)
+    trees = _trees_from_linkage(linkage or [], num_cols)
+    while len(trees) > 1:         # forest: join remaining roots pairwise
+        trees = [("node", *trees[i:i + 2]) if i + 1 < len(trees)
+                 else trees[i] for i in range(0, len(trees), 2)]
+    supports = None
 
     if supports:
         root_support = supports[0]

@@ -457,6 +457,16 @@ def cmd_query(args):
         # client mode (reference query --address): send the reads to a
         # running server_query instance instead of loading an index
         from ..server.client import GraphClient
+        unsupported = [f for f, v in [
+            ("--count-labels", args.count_labels),
+            ("--count-kmers/--query-counts", args.query_counts),
+            ("--print-signature", args.print_signature),
+            ("--query-coords", args.query_coords),
+            ("--count-quantiles", args.count_quantiles),
+            ("--fwd-and-reverse", args.fwd_and_reverse)] if v]
+        if unsupported:
+            raise SystemExit("not supported with --address: "
+                             + " ".join(unsupported))
         host, _, port = args.address.rpartition(":")
         client = GraphClient(host or "127.0.0.1", int(port))
         out = sys.stdout
@@ -465,6 +475,7 @@ def cmd_query(args):
                                   batch_bytes=args.batch_size):
             raw, _ = client._json.search(
                 [r.seq.decode() for r in batch],
+                top_labels=min(args.num_top_labels, 2 ** 31 - 1),
                 discovery_threshold=args.discovery_fraction,
                 align=args.align or args.batch_align)
             by_desc = {}
@@ -774,10 +785,11 @@ def cmd_align(args):
             n_disc = int((nodes > 0).sum())
             if args.query_presence:
                 # 0/1 presence per read (align.cpp:198-208); with
-                # --filter-present emit the present reads as FASTA
+                # --filter-present emit the present reads as FASTA.
+                # Reads with no full k-mer window are absent by definition
                 n_k = len(nodes)
                 min_disc = n_k - int(n_k * (1 - args.discovery_fraction))
-                found = n_disc >= min_disc
+                found = n_k > 0 and n_disc >= min_disc
                 if args.filter_present:
                     if found:
                         out.write(f">{name}\n{rec.seq.decode()}\n")
@@ -1049,9 +1061,11 @@ def cmd_merge(args):
     from ..graph.boss_construct import _sort_unique_stage
     u, ucounts, ucount = _sort_unique_stage(merged, counts,
                                             jnp.int32(merged.shape[1]))
+    # 31-bit count headroom: merged weights must not clamp below the
+    # inputs' widths (counts are int32 throughout)
     boss = build_boss_from_kmers(
         u, ucounts, int(ucount), k, alphabet,
-        bits_per_count=8 if weighted else 0)
+        bits_per_count=31 if weighted else 0)
     out = graph_io.save_graph(args.outfile_base,
                               DbgSuccinct.from_boss(boss, alphabet,
                                                     graphs[0].mode))

@@ -70,6 +70,10 @@ def build_boss_sharded(
     then dummy generation and emit run once (they are cheap relative to
     collection)."""
     canonical = mode in (MODE_CANONICAL, MODE_PRIMARY)
+    # cheap input fingerprint: resume must not fold in chunks from a
+    # different input set or build mode
+    input_fp = (len(seqs) * 1000003 + sum(len(s) for s in seqs)) \
+        % (1 << 62) ^ (k << 8) ^ int(canonical)
     parts = []
     cparts = []
     total = 0
@@ -82,9 +86,12 @@ def build_boss_sharded(
         if path and os.path.exists(path):
             # mid-build resume: a finished pass is its own checkpoint
             # (the reference restarts from .dbg.chunk files the same way,
-            # build.cpp concatenate path)
+            # build.cpp concatenate path); only chunks stamped with the
+            # same input fingerprint + mode are trusted
             with np.load(path) as d:
-                if int(d["k"]) == k and str(d["alphabet"]) == alphabet.name:
+                if (int(d["k"]) == k and str(d["alphabet"]) == alphabet.name
+                        and "input_fp" in d
+                        and int(d["input_fp"]) == input_fp):
                     counts_np = d["counts"]
                     n = int((counts_np > 0).sum())
                     parts.append(jnp.asarray(d["lanes"][:, :n]))
@@ -94,7 +101,8 @@ def build_boss_sharded(
         lanes, counts, n = build_shard_kmers(seqs, k, suffix, alphabet,
                                              canonical=canonical)
         if path:
-            save_chunk(path, lanes, counts, k, alphabet.name, suffix)
+            save_chunk(path, lanes, counts, k, alphabet.name, suffix,
+                       canonical=canonical, input_fp=input_fp)
         parts.append(lanes)
         cparts.append(counts)
         total += n
@@ -107,11 +115,14 @@ def build_boss_sharded(
 
 
 def save_chunk(path: str, lanes, counts, K: int, alphabet_name: str,
-               suffix: Tuple[int, ...]):
+               suffix: Tuple[int, ...], canonical: bool = False,
+               input_fp: int = 0):
     np.savez_compressed(path, lanes=np.asarray(lanes),
                         counts=np.asarray(counts), k=np.array(K),
                         alphabet=np.array(alphabet_name),
-                        suffix=np.array(suffix))
+                        suffix=np.array(suffix),
+                        canonical=np.array(int(canonical)),
+                        input_fp=np.array(int(input_fp)))
 
 
 def concatenate_chunks(chunk_files: Sequence[str], outfile_base: str,

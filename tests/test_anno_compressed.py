@@ -304,3 +304,15 @@ def test_aggregate_columns(rng, tmp_path):
     assert out.encoder.labels == ["mask"]
     want = np.nonzero(dense.sum(axis=1) >= 3)[0]
     np.testing.assert_array_equal(np.asarray(out.matrix.rows), want)
+
+
+def test_linkage_multichild_rows(rng):
+    """Merged cluster ids repeated across linkage rows accumulate
+    children (the reference's multi-child encoding) — no columns are
+    dropped."""
+    from metagraph_tpu.anno.brwt import build_brwt
+    dense, m = rand_matrix(rng, 60, 4, density=0.3)
+    linkage = [(0, 1, 0.0, 4), (2, 3, 0.0, 4)]   # one 4-child cluster
+    brwt = build_brwt(m, linkage=linkage)
+    np.testing.assert_array_equal(
+        brwt.get_rows_dense(np.arange(60)), dense)

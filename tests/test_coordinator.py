@@ -166,21 +166,32 @@ def test_two_process_distributed_build(tmp_path, rng):
                                   np.asarray(want.boss.last))
 
 
-def test_sharded_build_resume(tmp_path, rng):
+def test_sharded_build_resume(tmp_path, rng, monkeypatch):
     """A finished suffix pass is a checkpoint: rebuilding with the same
-    chunk_dir resumes from the chunk files without touching the input
-    (the reference's .dbg.chunk restart discipline, build.cpp)."""
+    input and chunk_dir resumes from the chunk files without recomputing
+    any bucket (the reference's .dbg.chunk restart discipline), while a
+    DIFFERENT input must not reuse stale chunks."""
     from conftest import random_dna
-    from metagraph_tpu.parallel.sharded_build import build_boss_sharded
+    from metagraph_tpu.parallel import sharded_build as sb
     import numpy as np
 
     seqs = [random_dna(rng, 300) for _ in range(3)]
-    fresh = build_boss_sharded(seqs, 11, suffix_len=1)
+    fresh = sb.build_boss_sharded(seqs, 11, suffix_len=1)
     cdir = str(tmp_path / "chunks")
-    first = build_boss_sharded(seqs, 11, suffix_len=1, chunk_dir=cdir)
-    # resume with EMPTY input: every bucket must come from the chunks
-    resumed = build_boss_sharded([b""], 11, suffix_len=1, chunk_dir=cdir)
+    first = sb.build_boss_sharded(seqs, 11, suffix_len=1, chunk_dir=cdir)
+
+    def boom(*a, **kw):
+        raise AssertionError("bucket recomputed despite valid chunks")
+    monkeypatch.setattr(sb, "build_shard_kmers", boom)
+    resumed = sb.build_boss_sharded(seqs, 11, suffix_len=1, chunk_dir=cdir)
+    monkeypatch.undo()
     for a, b in ((fresh, first), (fresh, resumed)):
         assert a.num_edges == b.num_edges
         np.testing.assert_array_equal(np.asarray(a.W), np.asarray(b.W))
         np.testing.assert_array_equal(np.asarray(a.F), np.asarray(b.F))
+    # stale chunks (different input) are rejected, not silently reused
+    other = [random_dna(rng, 250) for _ in range(2)]
+    fresh2 = sb.build_boss_sharded(other, 11, suffix_len=1)
+    rebuilt = sb.build_boss_sharded(other, 11, suffix_len=1,
+                                    chunk_dir=cdir)
+    assert rebuilt.num_edges == fresh2.num_edges
