@@ -643,7 +643,7 @@ def cmd_clean(args):
     prune_unitigs = args.prune_unitigs
     if prune_unitigs == 0 or args.min_count_auto:
         # --prune-unitigs 0: automatic threshold (clean.cpp:76-100)
-        est = estimate_min_kmer_abundance(g)
+        est = estimate_min_kmer_abundance(g, args.num_singletons)
         if est < 0:
             if args.fallback < 0:
                 log("Cannot estimate expected minimum k-mer abundance "
@@ -1452,6 +1452,9 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--prune-tips", type=int, default=1)
     sp.add_argument("--prune-unitigs", type=int, default=1)
     sp.add_argument("--fallback", type=int, default=5)
+    sp.add_argument("--num-singletons", type=int, default=0,
+                    help="override the count-1 bin of the abundance "
+                         "histogram for threshold estimation")
     sp.add_argument("--smoothing-window", type=int, default=1)
     sp.add_argument("--count-slice-quantiles", default="0 1",
                     help="space-separated quantiles; one fasta per "
