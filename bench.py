@@ -84,10 +84,11 @@ def tpu_build_seconds(seqs):
     boss = build_boss(seqs, K)
     log(f"cold build (incl. compile): {time.time() - t0:.2f} s, "
         f"num_edges={boss.num_edges}")
-    # warm runs: take the best of 3 (first warm call can still flush
-    # one-time cache/alloc work on this runtime)
+    # warm runs: take the best of 5 (the remote runtime's dispatch
+    # latency wanders ~10% across the day; first warm call can also
+    # flush one-time cache/alloc work)
     best = float("inf")
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.time()
         boss = build_boss(seqs, K)
         _ = np.asarray(boss.W[:1])  # sync
