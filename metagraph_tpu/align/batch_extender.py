@@ -103,7 +103,8 @@ def _column_update(H, D, q, c, jj, match, tpen, tvpen, open_p, ext_p,
     "steps", "beam", "match", "tpen", "tvpen", "open_p", "ext_p", "xdrop",
     "backward"))
 def _beam_scan(graph, start_nodes, tails, tlens, steps, beam,
-               match, tpen, tvpen, open_p, ext_p, xdrop, backward):
+               match, tpen, tvpen, open_p, ext_p, xdrop, backward,
+               adj_tab=None):
     """Run the batched beam extension.
 
     Returns (best (B,), best_step (B,), best_beam (B,),
@@ -135,8 +136,13 @@ def _beam_scan(graph, start_nodes, tails, tlens, steps, beam,
     def step(carry, t):
         H, D, node, alive, best, best_step, best_beam = carry
         flat_nodes = node.reshape(-1)
-        adj = (graph.predecessors(flat_nodes) if backward
-               else graph.successors(flat_nodes))
+        if adj_tab is not None:
+            # cached adjacency: ONE gather per step instead of sigma-1
+            # rank/select edge searches (the walk's dominant cost)
+            adj = adj_tab[flat_nodes]
+        else:
+            adj = (graph.predecessors(flat_nodes) if backward
+                   else graph.successors(flat_nodes))
         succ = adj.reshape(B, W, S)
         # candidate columns: (B, W, S, LQ+1)
         He = H[:, :, None, :]
@@ -180,7 +186,7 @@ def _beam_scan(graph, start_nodes, tails, tlens, steps, beam,
 
 def beam_extend_batch(graph, start_nodes: np.ndarray, tails: np.ndarray,
                       tlens: np.ndarray, cfg, beam: int = 8,
-                      backward: bool = False
+                      backward: bool = False, adj_tab=None
                       ) -> Tuple[np.ndarray, List[np.ndarray],
                                  List[np.ndarray]]:
     """Extend every read's seed through the graph at once.
@@ -208,18 +214,18 @@ def beam_extend_batch(graph, start_nodes: np.ndarray, tails: np.ndarray,
                     tails.shape[1])
             s, c, n = _beam_extend_group(
                 graph, start_nodes[idx], tails[idx, :max(w, 1)],
-                tlens[idx], cfg, beam, backward)
+                tlens[idx], cfg, beam, backward, adj_tab)
             for o, i in enumerate(idx):
                 scores[i] = s[o]
                 chars[i] = c[o]
                 nodes[i] = n[o]
         return scores, chars, nodes
     return _beam_extend_group(graph, start_nodes, tails, tlens, cfg,
-                              beam, backward)
+                              beam, backward, adj_tab)
 
 
 def _beam_extend_group(graph, start_nodes, tails, tlens, cfg, beam,
-                       backward):
+                       backward, adj_tab=None):
     B, LQ = tails.shape
     # pad batch and query dims to power-of-two classes: every distinct
     # shape compiles once (persistent cache), not once per batch size;
@@ -244,7 +250,7 @@ def _beam_extend_group(graph, start_nodes, tails, tlens, cfg, beam,
         match=cfg.match_score, tpen=cfg.mm_transition_penalty,
         tvpen=cfg.mm_transversion_penalty,
         open_p=cfg.gap_opening_penalty, ext_p=cfg.gap_extension_penalty,
-        xdrop=cfg.xdrop, backward=backward)
+        xdrop=cfg.xdrop, backward=backward, adj_tab=adj_tab)
     best = np.asarray(best)[:B]
     best_step = np.asarray(best_step)[:B]
     best_beam = np.asarray(best_beam)[:B]
@@ -416,23 +422,19 @@ def batched_ends(q: np.ndarray, r: np.ndarray, qlens: np.ndarray,
                  tpen: int, tvpen: int) -> np.ndarray:
     """(B, 3) [score, r_end, q_end] — the score-only alignment engine.
 
-    On TPU this runs the Pallas wavefront kernel (align/pallas_dp.py):
-    O(B*LQ) memory, no (B, LR, LQ) matrix materialization or transfer.
-    Elsewhere it falls back to the XLA full DP with a device argmax.
-    Both produce identical results (same DP, same argmax tie rule)."""
+    Runs the XLA full DP + device argmax: at production batch sizes it
+    beat the Pallas wavefront kernel ~2x on TPU (the scan parallelizes
+    all B pairs per ref step, while the kernel serializes LR inside each
+    grid program). pallas_dp.batch_align_ends computes bit-identical
+    results (same DP, same argmax tie rule — tested) and remains the
+    latency-oriented scoring primitive."""
     B = len(q)
     if B == 0:
         return np.zeros((0, 3), np.int32)
     qp, rp, qlp, rlp = _pad_pairs(q, r, qlens, rlens)
-    args = (jnp.asarray(qp), jnp.asarray(rp), jnp.asarray(qlp),
-            jnp.asarray(rlp))
-    if jax.default_backend() != "cpu":
-        from .pallas_dp import batch_align_ends
-        out = batch_align_ends(*args, match=match, tpen=tpen, tvpen=tvpen,
-                               open_p=open_p, ext_p=ext_p)
-    else:
-        out = _full_dp_ends(*args, match=match, tpen=tpen, tvpen=tvpen,
-                            open_p=open_p, ext_p=ext_p)
+    out = _full_dp_ends(jnp.asarray(qp), jnp.asarray(rp), jnp.asarray(qlp),
+                        jnp.asarray(rlp), match=match, tpen=tpen,
+                        tvpen=tvpen, open_p=open_p, ext_p=ext_p)
     return np.asarray(out)[:B]
 
 
