@@ -479,6 +479,59 @@ def collect_counted_kmers(
     return ulanes[:, :out_cap], ucounts[:out_cap], n_u
 
 
+LARGE_FINISH_CAP = 1 << 26     # fused finish verified up to ~42M k-mers
+
+
+def _build_boss_from_kmers_large(real, counts, n_real, K, alphabet, mode,
+                                 bits_per_count, keep_kmer_index) -> Boss:
+    """Stage-by-stage finish for very large inputs. The fused single
+    dispatch holds ~8 full-width tensors live at once and runs out of
+    HBM past ~50M k-mers; here each stage syncs, slices its output to a
+    tight bucket, and frees before the next stage launches — host round
+    trips are fully amortized at this scale."""
+    import gc
+    B = alphabet.bits_per_char
+    max_count = (1 << bits_per_count) - 1 if bits_per_count else (1 << 31) - 1
+    if mode == MODE_CANONICAL:
+        real, counts, n_arr = _add_rc_stage(
+            real, counts, jnp.int32(n_real), K, B, alphabet.complement)
+        n_real = int(n_arr)
+        cap2 = _bucket(n_real)
+        real = jax.block_until_ready(real[:, :cap2])
+        counts = counts[:cap2]
+        gc.collect()
+    sinks, n_sinks_d = _dummy_sink_stage(real, jnp.int32(n_real), K, B)
+    n_sinks = int(n_sinks_d)
+    sinks = jax.block_until_ready(sinks[:, :_bucket(n_sinks, lo=4096)])
+    gc.collect()
+    src, n_src_d = _dummy_source_stage(real, jnp.int32(n_real), K, B)
+    n_src = int(n_src_d)
+    src = jax.block_until_ready(src[:, :_bucket(n_src, lo=4096)])
+    gc.collect()
+    levels, n_lvl_d = _levels_phase(src, jnp.int32(n_src), K, B)
+    n_levels_total = int(n_lvl_d)
+    kept, n_kept_d, W, last, F, weights = _merge_emit_stage(
+        real, counts, jnp.int32(n_real), sinks, jnp.int32(n_sinks),
+        src, jnp.int32(n_src), levels, jnp.int32(n_levels_total),
+        K, B, alphabet.size, max_count)
+    n_kept = int(n_kept_d)
+    del real, counts, sinks, src, levels
+    gc.collect()
+    lut = max_bucket = None
+    if keep_kmer_index and n_kept > 0:
+        top = (kept[0] >> 16).astype(jnp.uint32)
+        lut = jnp.searchsorted(top, jnp.arange(1 << 16, dtype=jnp.uint32),
+                               side="left").astype(jnp.int32)
+        lut = jnp.minimum(jnp.concatenate(
+            [lut, jnp.full((1,), kept.shape[1], jnp.int32)]), n_kept)
+        max_bucket = int(jnp.max(jnp.diff(lut)))
+    return Boss.from_finish(
+        k=K - 1, alph_size=alphabet.size, bits_per_char=B,
+        kept=kept, W=W, last=last, F=F, n_kept=n_kept,
+        weights=weights if bits_per_count else None,
+        keep_kmer_index=keep_kmer_index, lut=lut, max_bucket=max_bucket)
+
+
 def build_boss_from_kmers(
     real: jax.Array,
     counts: jax.Array,
@@ -501,6 +554,10 @@ def build_boss_from_kmers(
             f"canonical mode needs a complemented alphabet; "
             f"{alphabet.name} has no complement table (reference restricts "
             f"canonical graphs to DNA alphabets, alphabets.hpp)")
+    if real.shape[1] > LARGE_FINISH_CAP:
+        return _build_boss_from_kmers_large(
+            real, counts, n_real, K, alphabet, mode, bits_per_count,
+            keep_kmer_index)
     max_count = (1 << bits_per_count) - 1 if bits_per_count else (1 << 31) - 1
     cap_d = max(real.shape[1] >> 4, 4096)
     while True:

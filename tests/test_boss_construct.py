@@ -183,3 +183,23 @@ def test_transcripts_1000_canonical_oracle():
     boss = build_boss(seqs, 20, mode="canonical")
     rows = boss_rows(boss)
     assert int((rows != 0).all(axis=1).sum()) == 1159851
+
+
+def test_large_finish_path_bit_identical(rng, monkeypatch):
+    """The staged large-input finish produces exactly the same graph as
+    the fused single-dispatch finish."""
+    from conftest import random_dna
+    from metagraph_tpu.graph import boss_construct as bc
+
+    seqs = [random_dna(rng, 400) for _ in range(4)]
+    fused = bc.build_boss(seqs, 13, mode="canonical", bits_per_count=8)
+    monkeypatch.setattr(bc, "LARGE_FINISH_CAP", 1)   # force staged path
+    staged = bc.build_boss(seqs, 13, mode="canonical", bits_per_count=8)
+    assert staged.num_edges == fused.num_edges
+    for f in ("W", "F", "weights", "edge_lanes", "lut"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(staged, f)), np.asarray(getattr(fused, f)),
+            err_msg=f)
+    np.testing.assert_array_equal(np.asarray(staged.last),
+                                  np.asarray(fused.last))
+    assert staged.lut_steps == fused.lut_steps
