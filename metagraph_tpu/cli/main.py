@@ -365,7 +365,14 @@ def cmd_annotate(args):
             if args.anno_filename:
                 labels.append(f)
             if args.anno_header:
-                labels.append(rec.name.decode())
+                # --header-delimiter splits the header into several
+                # labels (annotate.cpp:100-112)
+                name = rec.name.decode()
+                if args.header_delimiter:
+                    labels.extend(
+                        x for x in name.split(args.header_delimiter) if x)
+                else:
+                    labels.append(name)
             labels.extend(args.anno_label or [])
             items.append((rec.seq, labels))
     if args.coordinates:
@@ -1376,6 +1383,8 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("-o", "--outfile-base", default=None)
     sp.add_argument("--anno-filename", action="store_true")
     sp.add_argument("--anno-header", action="store_true")
+    sp.add_argument("--header-delimiter", default="",
+                    help="split sequence headers into multiple labels")
     sp.add_argument("--anno-label", action="append")
     sp.add_argument("--count-kmers", action="store_true")
     sp.add_argument("--coordinates", action="store_true")
@@ -1388,6 +1397,7 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("-o", "--outfile-base", default=None)
     sp.add_argument("--anno-filename", action="store_true")
     sp.add_argument("--anno-header", action="store_true")
+    sp.add_argument("--header-delimiter", default="")
     sp.add_argument("--anno-label", action="append")
     sp.set_defaults(count_kmers=False, coordinates=True, separately=False)
     sp.add_argument("fnames", nargs="+")

@@ -447,3 +447,18 @@ def test_clean_count_slices(workdir, tmp_path, capsys):
         gold.update(ss[i:i+11] for i in range(len(ss)-10))
     assert a | b == gold
     assert not (a & b)
+
+
+def test_annotate_header_delimiter(workdir, capsys, tmp_path):
+    tmp, fa, seqs = workdir
+    fa2 = str(tmp / "hd.fa")
+    write_fasta(fa2, seqs[:2], names=["sampleA|tissue1", "sampleB|tissue2"])
+    g = str(tmp / "hd")
+    main(["build", "-k", "11", "-o", g, fa2])
+    a = str(tmp / "hda")
+    main(["annotate", "-i", g, "-o", a, "--anno-header",
+          "--header-delimiter", "|", fa2])
+    from metagraph_tpu.anno.annotator import Annotation
+    ann = Annotation.load(a + ".column.annodbg.npz")
+    assert set(ann.encoder.labels) == {"sampleA", "tissue1",
+                                       "sampleB", "tissue2"}
