@@ -309,7 +309,64 @@ def cmd_stats(args):
         # report the equivalent indexed char count honestly
         suf_chars = (16 // boss.bits_per_char) if boss.lut is not None else 0
         print(f"indexed suffix length: {suf_chars}")
+        if args.validate:
+            errs = _validate_graph(g)
+            print(f"validation: {'OK' if not errs else 'FAILED'}")
+            for e in errs:
+                print(f"  invariant violated: {e}")
+            if errs:
+                sys.exit(1)
         print("========================================================")
+
+
+def _validate_graph(g) -> list:
+    """BOSS structural invariant checks (stats --validate): the runtime
+    integrity-verification role of the reference's sanitizer/assert
+    builds (SURVEY §5), batched. Returns a list of violations."""
+    import jax.numpy as jnp
+    errs = []
+    boss = g.boss
+    m = boss.num_edges
+    F = np.asarray(boss.F)
+    if not (np.diff(F) >= 0).all() or F[0] != 0:
+        errs.append(f"F not nondecreasing from 0: {F.tolist()}")
+    W = np.asarray(boss.W[1:m + 1])
+    if W.size and (W < 0).any() or (W >= 2 * boss.alph_size).any():
+        errs.append("W values outside [0, 2*sigma)")
+    n_nodes = int(boss.num_nodes())
+    last = np.asarray(boss.last)
+    if int(last[1:m + 1].sum()) != n_nodes:
+        errs.append(f"last popcount {int(last[1:m+1].sum())} != "
+                    f"num_nodes {n_nodes}")
+    # navigation closure on sampled edges: fwd then bwd returns to the
+    # source node's edge range (boss.hpp fwd/bwd contract)
+    rng = np.random.default_rng(0)
+    sample = np.unique(rng.integers(1, m + 1, min(1024, m)))
+    Ws = np.asarray(boss.W[sample])
+    real = (Ws % boss.alph_size) != 0
+    s = jnp.asarray(sample[real].astype(np.int32))
+    if int(s.shape[0]):
+        c = jnp.asarray((Ws[real] % boss.alph_size).astype(np.int32))
+        tgt = boss.fwd(s, c)
+        back = boss.bwd(tgt)
+        # bwd returns the FIRST incoming edge; it must share the source
+        # node's label c at some edge of that node — weaker but batched:
+        # the returned edge's target node must equal fwd's source row
+        ok = np.asarray(boss.get_node_last_value(tgt) ==
+                        np.asarray(c))
+        if not ok.all():
+            errs.append(f"fwd label mismatch on {int((~ok).sum())} of "
+                        f"{len(ok)} sampled edges")
+        if (np.asarray(back) < 1).any() or (np.asarray(back) > m).any():
+            errs.append("bwd out of range on sampled edges")
+    # every kept edge k-mer maps back to its own row (full check)
+    if boss.edge_lanes is not None:
+        rows = np.asarray(boss.map_to_edges(boss.edge_lanes))
+        want = np.arange(1, boss.edge_lanes.shape[1] + 1)
+        if not (rows == want).all():
+            errs.append(f"map_to_edges not identity on "
+                        f"{int((rows != want).sum())} rows")
+    return errs
 
 
 def _is_annotation_file(path) -> bool:
@@ -1374,6 +1431,8 @@ def build_parser() -> argparse.ArgumentParser:
     sp = sub.add_parser("stats")
     sp.add_argument("--count-dummy", action="store_true")
     sp.add_argument("--print-col-names", action="store_true")
+    sp.add_argument("--validate", action="store_true",
+                    help="check BOSS structural invariants")
     sp.add_argument("-a", "--annotation", default=None)
     sp.add_argument("fnames", nargs="+")
     sp.set_defaults(func=cmd_stats)

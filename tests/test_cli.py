@@ -462,3 +462,12 @@ def test_annotate_header_delimiter(workdir, capsys, tmp_path):
     ann = Annotation.load(a + ".column.annodbg.npz")
     assert set(ann.encoder.labels) == {"sampleA", "tissue1",
                                        "sampleB", "tissue2"}
+
+
+def test_stats_validate(workdir, capsys):
+    tmp, fa, seqs = workdir
+    g = str(tmp / "val")
+    main(["build", "-k", "11", "-o", g, fa])
+    main(["stats", "--validate", g])
+    out = capsys.readouterr().out
+    assert "validation: OK" in out
