@@ -95,20 +95,26 @@ def _diff_column(R: np.ndarray, anchor: np.ndarray, succ: np.ndarray,
 
 
 class _RunSpiller:
-    """Accumulate int64 keys; spill sorted runs to disk past the cap."""
+    """Accumulate int64 keys (optionally with int64 values); spill
+    sorted runs to disk past the cap."""
 
-    def __init__(self, swap_dir: str, cap_keys: int, prefix: str = "rd"):
+    def __init__(self, swap_dir: str, cap_keys: int, prefix: str = "rd",
+                 with_vals: bool = False):
         self.swap_dir = swap_dir
         self.prefix = prefix
+        self.with_vals = with_vals
         self.cap = max(int(cap_keys), 1 << 16)
         self.buf: List[np.ndarray] = []
+        self.vbuf: List[np.ndarray] = []
         self.n_buf = 0
         self.runs: List[str] = []
 
-    def add(self, keys: np.ndarray):
+    def add(self, keys: np.ndarray, vals: Optional[np.ndarray] = None):
         if keys.size == 0:
             return
         self.buf.append(keys)
+        if self.with_vals:
+            self.vbuf.append(np.asarray(vals, np.int64))
         self.n_buf += keys.size
         if self.n_buf >= self.cap:
             self.flush()
@@ -117,20 +123,35 @@ class _RunSpiller:
         if not self.n_buf:
             return
         arr = np.concatenate(self.buf)
-        arr.sort()
         path = os.path.join(self.swap_dir,
                             f"{self.prefix}_run_{len(self.runs)}.npy")
-        np.save(path, arr)
+        if self.with_vals:
+            vals = np.concatenate(self.vbuf)
+            order = np.argsort(arr, kind="stable")
+            np.save(path, arr[order])
+            np.save(_vpath(path), vals[order])
+        else:
+            arr.sort()
+            np.save(path, arr)
         self.runs.append(path)
-        self.buf, self.n_buf = [], 0
+        self.buf, self.vbuf, self.n_buf = [], [], 0
+
+
+def _vpath(kpath: str) -> str:
+    return kpath[:-4] + ".vals.npy"
 
 
 def _merge_two(a: np.ndarray, b: np.ndarray, out_path: str,
-               block: int) -> str:
-    """Blockwise merge of two sorted (unique, disjoint) key arrays into a
-    new sorted memmap — O(block) resident."""
+               block: int, av=None, bv=None) -> str:
+    """Blockwise merge of two sorted key arrays (with optional co-sorted
+    value arrays) into new sorted memmaps — O(block) resident."""
+    with_vals = av is not None
     out = np.lib.format.open_memmap(out_path, mode="w+", dtype=np.int64,
                                     shape=(a.size + b.size,))
+    if with_vals:
+        outv = np.lib.format.open_memmap(_vpath(out_path), mode="w+",
+                                         dtype=np.int64,
+                                         shape=(a.size + b.size,))
     ia = ib = io = 0
     while ia < a.size and ib < b.size:
         ablk = np.asarray(a[ia:ia + block])
@@ -142,27 +163,40 @@ def _merge_two(a: np.ndarray, b: np.ndarray, out_path: str,
         if ahi == 0 and bhi == 0:  # cannot happen: top is in one of them
             ahi = ablk.size
         m = np.concatenate([ablk[:ahi], bblk[:bhi]])
-        m.sort()
+        if with_vals:
+            mv = np.concatenate([np.asarray(av[ia:ia + ahi]),
+                                 np.asarray(bv[ib:ib + bhi])])
+            order = np.argsort(m, kind="stable")
+            m, mv = m[order], mv[order]
+            outv[io:io + mv.size] = mv
+        else:
+            m.sort()
         out[io:io + m.size] = m
         io += m.size
         ia += ahi
         ib += bhi
-    for src, i in ((a, ia), (b, ib)):
+    for src, vsrc, i in ((a, av, ia), (b, bv, ib)):
         while i < src.size:
             blk = np.asarray(src[i:i + block])
             out[io:io + blk.size] = blk
+            if with_vals:
+                outv[io:io + blk.size] = np.asarray(vsrc[i:i + blk.size])
             io += blk.size
             i += blk.size
     out.flush()
+    if with_vals:
+        outv.flush()
     return out_path
 
 
 def _merge_runs(run_paths: List[str], swap_dir: str,
-                block: int = 1 << 22) -> np.ndarray:
-    """Repeated pairwise merge of sorted runs; returns the final memmap.
-    Runs may share keys (duplicates are preserved; callers dedupe)."""
+                block: int = 1 << 22, with_vals: bool = False):
+    """Repeated pairwise merge of sorted runs; returns the final memmap
+    (or a (keys, vals) pair). Runs may share keys (duplicates are
+    preserved; callers dedupe/sum)."""
     if not run_paths:
-        return np.zeros(0, np.int64)
+        z = np.zeros(0, np.int64)
+        return (z, z.copy()) if with_vals else z
     gen = 0
     paths = list(run_paths)
     base = os.path.basename(paths[0]).split("_run_")[0]
@@ -172,7 +206,15 @@ def _merge_runs(run_paths: List[str], swap_dir: str,
             out = os.path.join(swap_dir, f"{base}_merge_{gen}_{i}.npy")
             a = np.load(paths[i], mmap_mode="r")
             b = np.load(paths[i + 1], mmap_mode="r")
-            _merge_two(a, b, out, block)
+            if with_vals:
+                av = np.load(_vpath(paths[i]), mmap_mode="r")
+                bv = np.load(_vpath(paths[i + 1]), mmap_mode="r")
+                _merge_two(a, b, out, block, av, bv)
+                del av, bv
+                os.unlink(_vpath(paths[i]))
+                os.unlink(_vpath(paths[i + 1]))
+            else:
+                _merge_two(a, b, out, block)
             del a, b
             os.unlink(paths[i])
             os.unlink(paths[i + 1])
@@ -181,7 +223,125 @@ def _merge_runs(run_paths: List[str], swap_dir: str,
             nxt.append(paths[-1])
         paths = nxt
         gen += 1
-    return np.load(paths[0], mmap_mode="r")
+    keys = np.load(paths[0], mmap_mode="r")
+    if with_vals:
+        return keys, np.load(_vpath(paths[0]), mmap_mode="r")
+    return keys
+
+
+def _diff_column_int(R: np.ndarray, V: np.ndarray, anchor: np.ndarray,
+                     succ: np.ndarray, succ_sorted: np.ndarray,
+                     succ_order: np.ndarray
+                     ) -> Tuple[np.ndarray, np.ndarray]:
+    """Integer diff of one column: anchors keep their value, others store
+    val[v] - val[succ(v)] (0 for absent); zero deltas drop
+    (row_diff.build_int_row_diff semantics, out-of-core shape)."""
+    if R.size == 0:
+        return R, V
+    def val_at(q):
+        idx = np.searchsorted(R, q)
+        idx_c = np.minimum(idx, R.size - 1)
+        hit = (R[idx_c] == q) & (q >= 0)
+        return np.where(hit, V[idx_c], 0)
+    aR = anchor[R]
+    keep_a, va = R[aR], V[aR]
+    na, vna = R[~aR], V[~aR]
+    d1 = vna - val_at(np.where(succ[na] >= 0, succ[na], -1))
+    # predecessors (rd-succ) of set rows that are themselves unset
+    lo = np.searchsorted(succ_sorted, R, side="left")
+    hi = np.searchsorted(succ_sorted, R, side="right")
+    preds = succ_order[_expand(lo, hi - lo)]
+    p_ok = ~anchor[preds] & ~_isin_sorted(R, preds)
+    p2 = preds[p_ok]
+    d2 = -val_at(succ[p2])
+    rows = np.concatenate([keep_a, na, p2])
+    vals = np.concatenate([va, d1, d2])
+    keep = vals != 0
+    rows, vals = rows[keep], vals[keep]
+    order = np.argsort(rows, kind="stable")
+    return rows[order], vals[order]
+
+
+def build_int_row_diff_staged(paths: Sequence[str], graph,
+                              swap_dir: str,
+                              mem_cap_mb: int = 1024,
+                              max_length: int = DEFAULT_MAX_LENGTH
+                              ) -> Annotation:
+    """Out-of-core IntRowDiff conversion (counts): same staging as the
+    binary path, with values co-sorted alongside the keys and summed
+    when files repeat a (label, row) pair."""
+    import math
+    from .row_diff import IntRowDiff
+    os.makedirs(swap_dir, exist_ok=True)
+    enc = LabelEncoder()
+    file_codes: List[np.ndarray] = []
+    for p in paths:
+        with np.load(p, allow_pickle=False) as d:
+            labels = [str(x) for x in d["labels"]]
+        file_codes.append(np.array([enc.insert(l) for l in labels],
+                                   np.int64))
+    num_cols = max(len(enc), 1)
+    succ, anchor = assign_successors_and_anchors(graph, max_length)
+    num_rows = succ.shape[0]
+    succ_order = np.argsort(succ, kind="stable").astype(np.int64)
+    succ_sorted = succ[succ_order]
+    nneg = int(np.searchsorted(succ_sorted, 0, side="left"))
+    succ_sorted = succ_sorted[nneg:]
+    succ_order = succ_order[nneg:]
+
+    cap_keys = (mem_cap_mb << 20) // 16
+    raw = _RunSpiller(swap_dir, cap_keys, prefix="iraw", with_vals=True)
+    for p, codes in zip(paths, file_codes):
+        ann = Annotation.load(p)
+        mat = ann.matrix
+        if not isinstance(mat, RowSparse):
+            mat = mat.to_row_sparse()
+        assert mat.values is not None, f"{p}: needs a count annotation"
+        if mat.num_rows != num_rows:
+            raise ValueError(f"{p}: {mat.num_rows} rows != graph "
+                             f"{num_rows}")
+        rows = np.asarray(mat.rows).astype(np.int64)
+        gcols = codes[np.asarray(mat.cols).astype(np.int64)]
+        raw.add(gcols * num_rows + rows,
+                np.asarray(mat.values).astype(np.int64))
+        del ann, mat
+    raw.flush()
+    raw_keys, raw_vals = _merge_runs(raw.runs, swap_dir, with_vals=True)
+    spiller = _RunSpiller(swap_dir, cap_keys, prefix="idiff",
+                          with_vals=True)
+    lo = 0
+    for gcol in range(num_cols):
+        hi = int(np.searchsorted(raw_keys, (gcol + 1) * num_rows,
+                                 side="left"))
+        if hi > lo:
+            kk = np.asarray(raw_keys[lo:hi]) - gcol * num_rows
+            vv = np.asarray(raw_vals[lo:hi])
+            # files may repeat a (label, row) pair: sum values
+            R, inv = np.unique(kk, return_inverse=True)
+            V = np.zeros(R.size, np.int64)
+            np.add.at(V, inv, vv)
+            D, DV = _diff_column_int(R, V, anchor, succ, succ_sorted,
+                                     succ_order)
+            spiller.add(D * num_cols + gcol, DV)
+        lo = hi
+    spiller.flush()
+    for arr in (raw_keys, raw_vals):
+        if isinstance(arr, np.memmap):
+            path = arr.filename
+            del arr
+            os.unlink(path)
+    kept, kvals = _merge_runs(spiller.runs, swap_dir, with_vals=True)
+    d_rows = (np.asarray(kept) // num_cols)
+    d_cols = (np.asarray(kept) % num_cols).astype(np.int32)
+    kvals_np = np.asarray(kvals)
+    for arr in (kept, kvals):
+        if isinstance(arr, np.memmap):
+            os.unlink(arr.filename)
+    kvals = kvals_np
+    mat = IntRowDiff(rows=d_rows, cols=d_cols, vals=kvals, anchor=anchor,
+                     succ=succ, max_length=max_length,
+                     num_rows=num_rows, num_cols=num_cols)
+    return Annotation(matrix=mat, encoder=enc)
 
 
 def build_row_diff_staged(paths: Sequence[str], graph,

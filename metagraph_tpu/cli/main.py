@@ -1268,9 +1268,19 @@ def cmd_transform_anno(args):
             mat = mat.to_row_sparse()
         out_mat = build_row_diff(mat, g, max_length=args.max_path_length)
     elif target == "int_row_diff":
-        from ..anno.row_diff import build_int_row_diff
         assert args.infile_base, "int_row_diff requires the graph (-i)"
         g = _load_graph(args.infile_base)
+        if args.disk_swap:
+            from ..anno.row_diff_disk import build_int_row_diff_staged
+            out = build_int_row_diff_staged(
+                args.fnames, g, swap_dir=args.disk_swap,
+                mem_cap_mb=int(args.mem_cap_gb * 1024),
+                max_length=args.max_path_length)
+            path = args.outfile_base + f".{target}.annodbg.npz"
+            out.save(path)
+            log(f"Serialized {target} annotation to {path}")
+            return
+        from ..anno.row_diff import build_int_row_diff
         out_mat = build_int_row_diff(mat, g,
                                      max_length=args.max_path_length)
     elif target == "row_diff_brwt":

@@ -109,3 +109,57 @@ def test_cli_disk_swap_roundtrip(rng, tmp_path, capsys):
                                   np.asarray(d.matrix.diffs.rows))
     np.testing.assert_array_equal(np.asarray(m.matrix.diffs.cols),
                                   np.asarray(d.matrix.diffs.cols))
+
+
+def test_int_staged_matches_inmemory(rng, graph, tmp_path):
+    """Out-of-core IntRowDiff equals the in-memory builder, including
+    multi-file inputs with shared labels (values summed)."""
+    from metagraph_tpu.anno.row_diff import build_int_row_diff
+    from metagraph_tpu.anno.row_diff_disk import build_int_row_diff_staged
+    N = graph.num_nodes()
+
+    def save_counts(path, rows_by_label):
+        enc = LabelEncoder()
+        rr, cc, vv = [], [], []
+        for label, rows, vals in rows_by_label:
+            c = enc.insert(label)
+            rr.append(np.asarray(rows, np.int64))
+            cc.append(np.full(len(rows), c, np.int64))
+            vv.append(np.asarray(vals, np.int64))
+        mat = RowSparse.from_coo(np.concatenate(rr), np.concatenate(cc),
+                                 N, max(len(enc), 1),
+                                 values=np.concatenate(vv))
+        Annotation(matrix=mat, encoder=enc).save(path)
+
+    def rand_rows_vals():
+        n = int(rng.integers(1, N))
+        rows = np.unique(rng.integers(0, N, n))
+        return rows, rng.integers(1, 9, len(rows))
+
+    f1 = str(tmp_path / "i1.column.annodbg.npz")
+    f2 = str(tmp_path / "i2.column.annodbg.npz")
+    r0 = rand_rows_vals()
+    r1 = rand_rows_vals()
+    r1b = rand_rows_vals()
+    r2 = rand_rows_vals()
+    save_counts(f1, [("L0", *r0), ("L1", *r1)])
+    save_counts(f2, [("L1", *r1b), ("L2", *r2)])
+
+    staged = build_int_row_diff_staged(
+        [f1, f2], graph, swap_dir=str(tmp_path / "iswap"), mem_cap_mb=0,
+        max_length=8)
+    merged = Annotation.merge([Annotation.load(f1), Annotation.load(f2)], N)
+    expect = build_int_row_diff(merged.matrix, graph, max_length=8)
+    assert staged.encoder.labels == merged.encoder.labels
+    got = staged.matrix
+    np.testing.assert_array_equal(np.asarray(got.rows),
+                                  np.asarray(expect.rows))
+    np.testing.assert_array_equal(np.asarray(got.cols),
+                                  np.asarray(expect.cols))
+    np.testing.assert_array_equal(np.asarray(got.vals),
+                                  np.asarray(expect.vals))
+    # decompressed values equal the source
+    rows = np.arange(N)
+    np.testing.assert_array_equal(
+        got.get_row_values_dense(rows),
+        expect.get_row_values_dense(rows))
