@@ -77,6 +77,39 @@ def cmd_build(args):
             f"-k {args.k} != KMC k {hdr.kmer_length}"
         canonical = mode in ("canonical", "primary")
         t0 = time.time()
+        if args.suffix is not None:
+            # one suffix bucket -> chunk file, from a KMC database
+            # (test_build.py:270-330 workflow); the '$' bucket is empty
+            # (dummies are generated at concatenate's finish)
+            from ..common import packed as pk
+            from ..kmer import packing as _kp
+            from ..parallel.sharded_build import save_chunk
+            import jax.numpy as jnp
+            B = DNA.bits_per_char
+            sfx = tuple(DNA.letters.index(ch) for ch in args.suffix)
+            if 0 in sfx:
+                L = _kp.lanes_for(args.k, B)
+                comp = np.zeros((L, 0), np.uint32)
+                ccomp = np.zeros((0,), np.int32)
+            else:
+                lanes, cnts, n = collect_counted_kmers(
+                    chars, counts, args.k, canonical=canonical)
+                s = len(sfx)
+                keep = pk.valid_mask(lanes.shape[1], jnp.int32(n))
+                # node suffix char e_{K-s+i} lives in field K-s+i
+                for i, c in enumerate(sfx):
+                    keep = keep & (pk.get_field(lanes, args.k - s + i, B)
+                                   == np.uint32(c))
+                comp_d, nc, (cc,) = pk.compact(lanes, keep,
+                                               lanes.shape[1], cnts)
+                nc = int(nc)
+                comp = np.asarray(comp_d)[:, :nc]
+                ccomp = np.asarray(cc)[:nc]
+            name = args.suffix.replace("$", "S")
+            out = f"{args.outfile_base}.{name}.chunk.npz"
+            save_chunk(out, comp, ccomp, args.k, DNA.name, sfx)
+            log(f"Serialized chunk to {out}")
+            return
         lanes, cnts, n = collect_counted_kmers(chars, counts, args.k,
                                                canonical=canonical)
         boss = build_boss_from_kmers(

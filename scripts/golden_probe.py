@@ -261,6 +261,24 @@ def grp_kmc():
          DATA + "/transcripts_1000_kmc_counters_both_strands.kmc_suf"])
     st = stats_fields(run(["stats", g]))
     check("kmc both canonical nodes", st.get("nodes (k)"), "802920")
+    # chunked build from KMC + concatenate (test_build.py:270-330)
+    g = f"{TMP}/kmc_chunks"
+    for sfx in ["$", "A", "C", "G", "T"]:
+        run(["build", "-k", "11", "--suffix", sfx, "-o", g,
+             DATA + "/transcripts_1000_kmc_counters.kmc_suf"])
+    run(["concatenate", "--len-suffix", "1", "-i", g,
+         "-o", f"{TMP}/kmc_cat"])
+    st = stats_fields(run(["stats", f"{TMP}/kmc_cat"]))
+    check("kmc chunked nodes", st.get("nodes (k)"), "469983")
+    # canonical chunked (test_build.py:310-330)
+    g = f"{TMP}/kmc_chunks_can"
+    for sfx in ["$", "A", "C", "G", "T"]:
+        run(["build", "-k", "11", "--mode", "canonical", "--suffix", sfx,
+             "-o", g, DATA + "/transcripts_1000_kmc_counters.kmc_suf"])
+    run(["concatenate", "--len-suffix", "1", "--mode", "canonical",
+         "-i", g, "-o", f"{TMP}/kmc_cat_can"])
+    st = stats_fields(run(["stats", f"{TMP}/kmc_cat_can"]))
+    check("kmc chunked canonical nodes", st.get("nodes (k)"), "802920")
     # weighted from KMC
     g = f"{TMP}/kmc_w"
     run(["build", "-k", "11", "--count-kmers", "-o", g,
