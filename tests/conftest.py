@@ -32,6 +32,19 @@ import pytest
 REFERENCE_DATA = "/root/reference/metagraph/tests/data"
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _fresh_compiler_state():
+    """XLA:CPU's compiler intermittently segfaults (roaming across
+    modules: ranksel's search programs, pallas interpret tests) once
+    hundreds of compiled executables from earlier modules are resident
+    in the process — full-suite runs only; every bisected subset passes.
+    Dropping the jit/compile caches at each module boundary keeps the
+    compiler within tested territory at the cost of some recompiles."""
+    import jax
+    jax.clear_caches()
+    yield
+
+
 @pytest.fixture(scope="session")
 def rng():
     return np.random.default_rng(0)

@@ -10,17 +10,6 @@ from conftest import REFERENCE_DATA
 from metagraph_tpu.common.ranksel import BitRank, SymbolRank
 
 
-@pytest.fixture(scope="module", autouse=True)
-def _fresh_compiler_state():
-    """XLA:CPU's compiler intermittently segfaults compiling this
-    module's rank/select search programs when hundreds of compiled
-    executables from earlier modules are resident (reproducible only in
-    full-suite runs; every subset passes). Dropping the caches first
-    keeps the compiler within tested territory."""
-    jax.clear_caches()
-    yield
-
-
 @pytest.mark.parametrize("n", [1, 31, 32, 33, 100, 4097])
 def test_bitrank_properties(n, rng):
     bits = rng.random(n) < 0.3
