@@ -175,19 +175,19 @@ class Aligner:
     # -- seeding -----------------------------------------------------------
 
     def _exact_runs(self, nodes: np.ndarray) -> List[Tuple[int, int]]:
-        """Maximal runs [start, end) of consecutive present windows."""
-        runs = []
-        i, n = 0, len(nodes)
-        while i < n:
-            if nodes[i] > 0:
-                j = i
-                while j < n and nodes[j] > 0:
-                    j += 1
-                runs.append((i, j))
-                i = j
-            else:
-                i += 1
-        return runs
+        """Maximal runs [start, end) of consecutive present windows
+        (vectorized edge detection, no per-window Python)."""
+        present = np.asarray(nodes) > 0
+        if not present.size:
+            return []
+        d = np.diff(present.astype(np.int8))
+        starts = np.nonzero(d == 1)[0] + 1
+        ends = np.nonzero(d == -1)[0] + 1
+        if present[0]:
+            starts = np.concatenate([[0], starts])
+        if present[-1]:
+            ends = np.concatenate([ends, [present.size]])
+        return list(zip(starts.tolist(), ends.tolist()))
 
     def _suffix_seeds(self, codes: np.ndarray, max_seeds: int = 16
                       ) -> Tuple[List[int], int]:
