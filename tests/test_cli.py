@@ -471,3 +471,29 @@ def test_stats_validate(workdir, capsys):
     main(["stats", "--validate", g])
     out = capsys.readouterr().out
     assert "validation: OK" in out
+
+
+def test_protein_build_query(tmp_path, rng, capsys):
+    """Protein-alphabet graphs build and answer queries (the reference
+    ships a protein binary; here one flag switches the alphabet)."""
+    letters = np.frombuffer(b"ACDEFGHIKLMNPQRSTVWY", np.uint8)
+    seqs = [bytes(rng.choice(letters, 60)) for _ in range(3)]
+    fa = str(tmp_path / "prot.fa")
+    write_fasta(fa, seqs)
+    g = str(tmp_path / "pg")
+    main(["build", "--alphabet", "Protein", "-k", "7", "-o", g, fa])
+    main(["stats", g])
+    out = capsys.readouterr().out
+    nodes = int([l for l in out.splitlines()
+                 if l.startswith("nodes (k):")][0].split(": ")[1])
+    gold = {seqs[i][j:j + 7] for i in range(3)
+            for j in range(len(seqs[i]) - 6)}
+    assert nodes == len(gold)
+    a = str(tmp_path / "pa")
+    main(["annotate", "-i", g, "-o", a, "--anno-header", fa])
+    qfa = str(tmp_path / "pq.fa")
+    write_fasta(qfa, [seqs[2][10:40]], names=["hit"])
+    main(["query", "-i", g, "-a", a + ".column.annodbg.npz",
+          "--discovery-fraction", "0.9", qfa])
+    out = capsys.readouterr().out
+    assert "seq2" in out
