@@ -666,7 +666,8 @@ def cmd_query(args):
                 out.write(line)
                 idx += 1
                 n += 1
-    log(f"Queried {n} sequences in {time.time() - t0:.2f} s")
+    log(f"Queried {n} sequences in {time.time() - t0:.2f} s "
+        f"({n / max(time.time() - t0, 1e-9):.0f} reads/s)")
 
 
 # ---------------------------------------------------------------------------
@@ -902,10 +903,12 @@ def cmd_align(args):
         if out is not sys.stdout:
             out.close()
         return
+    from ..common import telemetry
     t0 = time.time()
-    all_results = aligner.align_batch(
-        [r.seq for r in recs], both_strands=args.align_both_strands,
-        num_alternative_paths=args.num_alternative_paths)
+    with telemetry.span("align_batch", items=len(recs), unit="reads"):
+        all_results = aligner.align_batch(
+            [r.seq for r in recs], both_strands=args.align_both_strands,
+            num_alternative_paths=args.num_alternative_paths)
     log(f"Aligned {len(recs)} reads in {time.time() - t0:.2f} s "
         f"({len(recs) / max(time.time() - t0, 1e-9):.0f} reads/s)")
     for rec, results in zip(recs, all_results):
