@@ -151,26 +151,32 @@ class Aligner:
         self.sub = self.config.score_matrix()
         self.max_seeds_per_read = self.config.max_seeds_per_read
         self._tbl = graph.alphabet.encode_table()
-        self._adj = None        # lazy (succ_tab, pred_tab) cache
+        self._adj = {}          # lazy per-direction adjacency cache
 
-    def _adjacency_tables(self):
-        """(succ (N+1, sigma-1), pred (N+1, sigma-1)) int32 node tables,
-        built once per aligner: each beam step then costs ONE gather
-        instead of sigma-1 rank/select edge searches. ~8(sigma-1) bytes
-        per node; skipped above the memory cap (the scan falls back to
+    def _adjacency_table(self, backward: bool):
+        """(N+1, sigma-1) int32 node table for one walk direction, built
+        lazily per direction in node-range chunks (bounds the transient
+        device memory of the sweep): each beam step then costs ONE
+        gather instead of sigma-1 rank/select edge searches. Skipped
+        when the table would exceed ~512 MB (the scan falls back to
         on-the-fly lookups)."""
-        if self._adj is None:
+        if backward not in self._adj:
             import jax.numpy as jnp
             g = self.graph
             N = int(g.num_nodes())
-            if N + 1 > (1 << 25):                    # > ~512 MB/table
-                self._adj = (None, None)
+            sig1 = g.alphabet.size - 1
+            if (N + 1) * sig1 * 4 > (512 << 20):
+                self._adj[backward] = None
             else:
-                nodes = jnp.arange(0, N + 1, dtype=jnp.int32)
-                succ = g.successors(nodes).astype(jnp.int32)
-                pred = g.predecessors(nodes).astype(jnp.int32)
-                self._adj = (succ, pred)
-        return self._adj
+                fn = g.predecessors if backward else g.successors
+                chunk = 1 << 22
+                parts = []
+                for lo in range(0, N + 1, chunk):
+                    n = min(chunk, N + 1 - lo)
+                    nodes = jnp.arange(lo, lo + n, dtype=jnp.int32)
+                    parts.append(np.asarray(fn(nodes), dtype=np.int32))
+                self._adj[backward] = jnp.asarray(np.concatenate(parts))
+        return self._adj[backward]
 
     # -- seeding -----------------------------------------------------------
 
@@ -450,13 +456,12 @@ class Aligner:
             bwd_lens[bi] = len(bwd)
             bwd_start[bi] = nodes[rs]
             seed_info.append((i, nodes, rs, re, seed_len, qb, qe))
-        succ_tab, pred_tab = self._adjacency_tables()
         f_scores, f_chars, f_nodes = beam_extend_batch(
             g, fwd_start, fwd_tails, fwd_lens, cfg, backward=False,
-            adj_tab=succ_tab)
+            adj_tab=self._adjacency_table(False))
         b_scores, b_chars, b_nodes = beam_extend_batch(
             g, bwd_start, bwd_tails, bwd_lens, cfg, backward=True,
-            adj_tab=pred_tab)
+            adj_tab=self._adjacency_table(True))
         # 3) batched CIGAR recovery over the winning paths
         def pack(tails, lens, chars):
             LQ = tails.shape[1]
@@ -556,7 +561,7 @@ class Aligner:
             starts[bi] = node
         scores, chars_l, nodes_l = beam_extend_batch(
             self.graph, starts, tails, lens, cfg, backward=False,
-            adj_tab=self._adjacency_tables()[0])
+            adj_tab=self._adjacency_table(False))
         LR = max([len(c) for c in chars_l] + [1])
         r = np.zeros((nb, LR), np.int32)
         rl = np.zeros(nb, np.int32)

@@ -36,7 +36,7 @@ TupleRowDiff), matching the reference's separate code paths.
 from __future__ import annotations
 
 import os
-from typing import List, Sequence, Tuple
+from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -262,95 +262,11 @@ def _diff_column_int(R: np.ndarray, V: np.ndarray, anchor: np.ndarray,
     return rows[order], vals[order]
 
 
-def build_int_row_diff_staged(paths: Sequence[str], graph,
-                              swap_dir: str,
-                              mem_cap_mb: int = 1024,
-                              max_length: int = DEFAULT_MAX_LENGTH
-                              ) -> Annotation:
-    """Out-of-core IntRowDiff conversion (counts): same staging as the
-    binary path, with values co-sorted alongside the keys and summed
-    when files repeat a (label, row) pair."""
-    import math
-    from .row_diff import IntRowDiff
-    os.makedirs(swap_dir, exist_ok=True)
-    enc = LabelEncoder()
-    file_codes: List[np.ndarray] = []
-    for p in paths:
-        with np.load(p, allow_pickle=False) as d:
-            labels = [str(x) for x in d["labels"]]
-        file_codes.append(np.array([enc.insert(l) for l in labels],
-                                   np.int64))
-    num_cols = max(len(enc), 1)
-    succ, anchor = assign_successors_and_anchors(graph, max_length)
-    num_rows = succ.shape[0]
-    succ_order = np.argsort(succ, kind="stable").astype(np.int64)
-    succ_sorted = succ[succ_order]
-    nneg = int(np.searchsorted(succ_sorted, 0, side="left"))
-    succ_sorted = succ_sorted[nneg:]
-    succ_order = succ_order[nneg:]
-
-    cap_keys = (mem_cap_mb << 20) // 16
-    raw = _RunSpiller(swap_dir, cap_keys, prefix="iraw", with_vals=True)
-    for p, codes in zip(paths, file_codes):
-        ann = Annotation.load(p)
-        mat = ann.matrix
-        if not isinstance(mat, RowSparse):
-            mat = mat.to_row_sparse()
-        assert mat.values is not None, f"{p}: needs a count annotation"
-        if mat.num_rows != num_rows:
-            raise ValueError(f"{p}: {mat.num_rows} rows != graph "
-                             f"{num_rows}")
-        rows = np.asarray(mat.rows).astype(np.int64)
-        gcols = codes[np.asarray(mat.cols).astype(np.int64)]
-        raw.add(gcols * num_rows + rows,
-                np.asarray(mat.values).astype(np.int64))
-        del ann, mat
-    raw.flush()
-    raw_keys, raw_vals = _merge_runs(raw.runs, swap_dir, with_vals=True)
-    spiller = _RunSpiller(swap_dir, cap_keys, prefix="idiff",
-                          with_vals=True)
-    lo = 0
-    for gcol in range(num_cols):
-        hi = int(np.searchsorted(raw_keys, (gcol + 1) * num_rows,
-                                 side="left"))
-        if hi > lo:
-            kk = np.asarray(raw_keys[lo:hi]) - gcol * num_rows
-            vv = np.asarray(raw_vals[lo:hi])
-            # files may repeat a (label, row) pair: sum values
-            R, inv = np.unique(kk, return_inverse=True)
-            V = np.zeros(R.size, np.int64)
-            np.add.at(V, inv, vv)
-            D, DV = _diff_column_int(R, V, anchor, succ, succ_sorted,
-                                     succ_order)
-            spiller.add(D * num_cols + gcol, DV)
-        lo = hi
-    spiller.flush()
-    for arr in (raw_keys, raw_vals):
-        if isinstance(arr, np.memmap):
-            path = arr.filename
-            del arr
-            os.unlink(path)
-    kept, kvals = _merge_runs(spiller.runs, swap_dir, with_vals=True)
-    d_rows = (np.asarray(kept) // num_cols)
-    d_cols = (np.asarray(kept) % num_cols).astype(np.int32)
-    kvals_np = np.asarray(kvals)
-    for arr in (kept, kvals):
-        if isinstance(arr, np.memmap):
-            os.unlink(arr.filename)
-    kvals = kvals_np
-    mat = IntRowDiff(rows=d_rows, cols=d_cols, vals=kvals, anchor=anchor,
-                     succ=succ, max_length=max_length,
-                     num_rows=num_rows, num_cols=num_cols)
-    return Annotation(matrix=mat, encoder=enc)
-
-
-def build_row_diff_staged(paths: Sequence[str], graph,
-                          swap_dir: str,
-                          mem_cap_mb: int = 1024,
-                          max_length: int = DEFAULT_MAX_LENGTH
-                          ) -> Annotation:
-    """Out-of-core RowDiff conversion of one or more column annotation
-    files over the same row space (see module docstring)."""
+def _staged_convert(paths, graph, swap_dir, mem_cap_mb, max_length,
+                    with_vals: bool):
+    """Shared staged pipeline (see module docstring). Returns
+    (enc, succ, anchor, d_rows (int64), d_cols (int32),
+    d_vals (int64 or None), num_rows, num_cols)."""
     os.makedirs(swap_dir, exist_ok=True)
     # Stage 0: merged label dictionary (lazy npz member read)
     enc = LabelEncoder()
@@ -362,7 +278,7 @@ def build_row_diff_staged(paths: Sequence[str], graph,
                                    np.int64))
     num_cols = max(len(enc), 1)
 
-    # Stage 1: graph side
+    # Stage 1: graph side (+ inverted successor index)
     succ, anchor = assign_successors_and_anchors(graph, max_length)
     num_rows = succ.shape[0]
     succ_order = np.argsort(succ, kind="stable").astype(np.int64)
@@ -372,52 +288,105 @@ def build_row_diff_staged(paths: Sequence[str], graph,
     succ_sorted = succ_sorted[nneg:]
     succ_order = succ_order[nneg:]
 
-    cap_keys = (mem_cap_mb << 20) // 8
+    cap_keys = (mem_cap_mb << 20) // (16 if with_vals else 8)
 
-    # Stage 2a: spill every file's bits as column-major keys
-    raw = _RunSpiller(swap_dir, cap_keys, prefix="raw")
+    # Stage 2a: spill every file's entries as column-major keys
+    raw = _RunSpiller(swap_dir, cap_keys, prefix="raw",
+                      with_vals=with_vals)
     for p, codes in zip(paths, file_codes):
         ann = Annotation.load(p)
         mat = ann.matrix
         if not isinstance(mat, RowSparse):
             mat = mat.to_row_sparse()
+        if with_vals:
+            assert mat.values is not None, f"{p}: needs a count annotation"
         if mat.num_rows != num_rows:
             raise ValueError(f"{p}: {mat.num_rows} rows != graph "
                              f"{num_rows}")
         rows = np.asarray(mat.rows).astype(np.int64)
         gcols = codes[np.asarray(mat.cols).astype(np.int64)]
-        raw.add(gcols * num_rows + rows)
+        keys = gcols * num_rows + rows
+        raw.add(keys, np.asarray(mat.values).astype(np.int64)
+                if with_vals else None)
         del ann, mat, rows, gcols
     raw.flush()
+
     # Stage 2b: union the columns on disk, then diff each column
-    raw_keys = _merge_runs(raw.runs, swap_dir)
-    spiller = _RunSpiller(swap_dir, cap_keys, prefix="diff")
+    merged = _merge_runs(raw.runs, swap_dir, with_vals=with_vals)
+    raw_keys, raw_vals = merged if with_vals else (merged, None)
+    spiller = _RunSpiller(swap_dir, cap_keys, prefix="diff",
+                          with_vals=with_vals)
     lo = 0
     for gcol in range(num_cols):
         hi = int(np.searchsorted(raw_keys, (gcol + 1) * num_rows,
                                  side="left"))
         if hi > lo:
-            # files may repeat a (label, row) pair: dedupe here
-            R = np.unique(np.asarray(raw_keys[lo:hi]) - gcol * num_rows)
-            D = _diff_column(R, anchor, succ, succ_sorted, succ_order)
-            spiller.add(D * num_cols + gcol)
+            kk = np.asarray(raw_keys[lo:hi]) - gcol * num_rows
+            if with_vals:
+                # files may repeat a (label, row) pair: sum values
+                R, inv = np.unique(kk, return_inverse=True)
+                V = np.zeros(R.size, np.int64)
+                np.add.at(V, inv, np.asarray(raw_vals[lo:hi]))
+                D, DV = _diff_column_int(R, V, anchor, succ,
+                                         succ_sorted, succ_order)
+                spiller.add(D * num_cols + gcol, DV)
+            else:
+                R = np.unique(kk)           # dedupe repeated pairs
+                D = _diff_column(R, anchor, succ, succ_sorted,
+                                 succ_order)
+                spiller.add(D * num_cols + gcol)
         lo = hi
     spiller.flush()
-    if isinstance(raw_keys, np.memmap):
-        path = raw_keys.filename
-        del raw_keys
+    files = [arr.filename for arr in (raw_keys, raw_vals)
+             if isinstance(arr, np.memmap)]
+    del raw_keys, raw_vals, merged    # drop mappings before unlinking
+    for path in files:
         os.unlink(path)
 
-    # Stage 3: merge sorted runs
-    kept = _merge_runs(spiller.runs, swap_dir)
-    d_rows = (np.asarray(kept) // num_cols).astype(np.int32)
-    d_cols = (np.asarray(kept) % num_cols).astype(np.int32)
-    if isinstance(kept, np.memmap):
-        path = kept.filename
-        del kept
+    # Stage 3: merge the diff runs; copy out and drop the temp files
+    merged = _merge_runs(spiller.runs, swap_dir, with_vals=with_vals)
+    kept, kvals = merged if with_vals else (merged, None)
+    d_rows = np.array(np.asarray(kept) // num_cols)
+    d_cols = np.array(np.asarray(kept) % num_cols, dtype=np.int32)
+    d_vals = np.array(kvals) if with_vals else None
+    files = [arr.filename for arr in (kept, kvals)
+             if isinstance(arr, np.memmap)]
+    del kept, kvals, merged
+    for path in files:
         os.unlink(path)
-    diffs = RowSparse.from_coo(d_rows, d_cols, num_rows, num_cols,
-                               dedupe=False)
+    return enc, succ, anchor, d_rows, d_cols, d_vals, num_rows, num_cols
+
+
+def build_row_diff_staged(paths: Sequence[str], graph,
+                          swap_dir: str,
+                          mem_cap_mb: int = 1024,
+                          max_length: int = DEFAULT_MAX_LENGTH
+                          ) -> Annotation:
+    """Out-of-core RowDiff conversion of one or more column annotation
+    files over the same row space (see module docstring)."""
+    enc, succ, anchor, d_rows, d_cols, _, num_rows, num_cols = \
+        _staged_convert(paths, graph, swap_dir, mem_cap_mb, max_length,
+                        with_vals=False)
+    diffs = RowSparse.from_coo(d_rows.astype(np.int32), d_cols, num_rows,
+                               num_cols, dedupe=False)
     mat = RowDiff(diffs=diffs, anchor=anchor, succ=succ,
                   max_length=max_length)
+    return Annotation(matrix=mat, encoder=enc)
+
+
+def build_int_row_diff_staged(paths: Sequence[str], graph,
+                              swap_dir: str,
+                              mem_cap_mb: int = 1024,
+                              max_length: int = DEFAULT_MAX_LENGTH
+                              ) -> Annotation:
+    """Out-of-core IntRowDiff conversion (counts): the binary staging
+    with values co-sorted alongside the keys and summed when files
+    repeat a (label, row) pair."""
+    from .row_diff import IntRowDiff
+    enc, succ, anchor, d_rows, d_cols, d_vals, num_rows, num_cols = \
+        _staged_convert(paths, graph, swap_dir, mem_cap_mb, max_length,
+                        with_vals=True)
+    mat = IntRowDiff(rows=d_rows, cols=d_cols, vals=d_vals, anchor=anchor,
+                     succ=succ, max_length=max_length,
+                     num_rows=num_rows, num_cols=num_cols)
     return Annotation(matrix=mat, encoder=enc)

@@ -77,7 +77,7 @@ def cmd_build(args):
             f"-k {args.k} != KMC k {hdr.kmer_length}"
         canonical = mode in ("canonical", "primary")
         t0 = time.time()
-        if args.suffix is not None:
+        if args.suffix:
             # one suffix bucket -> chunk file, from a KMC database
             # (test_build.py:270-330 workflow); the '$' bucket is empty
             # (dummies are generated at concatenate's finish)
@@ -1284,40 +1284,32 @@ def cmd_transform_anno(args):
         if args.relax_arity > 2:
             from ..anno.brwt import relax_brwt
             out_mat = relax_brwt(out_mat, args.relax_arity)
-    elif target == "row_diff":
-        assert args.infile_base, "row_diff requires the graph (-i)"
+    elif target in ("row_diff", "int_row_diff"):
+        assert args.infile_base, f"{target} requires the graph (-i)"
         g = _load_graph(args.infile_base)
         if args.disk_swap:
             # out-of-core staged conversion (row_diff_builder.cpp:322-688):
             # bounded RSS, input files streamed one at a time
-            from ..anno.row_diff_disk import build_row_diff_staged
-            out = build_row_diff_staged(
-                args.fnames, g, swap_dir=args.disk_swap,
-                mem_cap_mb=int(args.mem_cap_gb * 1024),
-                max_length=args.max_path_length)
+            from ..anno import row_diff_disk
+            build = (row_diff_disk.build_int_row_diff_staged
+                     if target == "int_row_diff"
+                     else row_diff_disk.build_row_diff_staged)
+            out = build(args.fnames, g, swap_dir=args.disk_swap,
+                        mem_cap_mb=int(args.mem_cap_gb * 1024),
+                        max_length=args.max_path_length)
             path = args.outfile_base + f".{target}.annodbg.npz"
             out.save(path)
             log(f"Serialized {target} annotation to {path}")
             return
-        from ..anno.row_diff import build_row_diff
-        if not isinstance(mat, RowSparse):
-            mat = mat.to_row_sparse()
-        out_mat = build_row_diff(mat, g, max_length=args.max_path_length)
-    elif target == "int_row_diff":
-        assert args.infile_base, "int_row_diff requires the graph (-i)"
-        g = _load_graph(args.infile_base)
-        if args.disk_swap:
-            from ..anno.row_diff_disk import build_int_row_diff_staged
-            out = build_int_row_diff_staged(
-                args.fnames, g, swap_dir=args.disk_swap,
-                mem_cap_mb=int(args.mem_cap_gb * 1024),
-                max_length=args.max_path_length)
-            path = args.outfile_base + f".{target}.annodbg.npz"
-            out.save(path)
-            log(f"Serialized {target} annotation to {path}")
-            return
-        from ..anno.row_diff import build_int_row_diff
-        out_mat = build_int_row_diff(mat, g,
+        if target == "int_row_diff":
+            from ..anno.row_diff import build_int_row_diff
+            out_mat = build_int_row_diff(mat, g,
+                                         max_length=args.max_path_length)
+        else:
+            from ..anno.row_diff import build_row_diff
+            if not isinstance(mat, RowSparse):
+                mat = mat.to_row_sparse()
+            out_mat = build_row_diff(mat, g,
                                      max_length=args.max_path_length)
     elif target == "row_diff_brwt":
         from ..anno.row_diff import build_row_diff_brwt

@@ -479,7 +479,9 @@ def collect_counted_kmers(
     return ulanes[:, :out_cap], ucounts[:out_cap], n_u
 
 
-LARGE_FINISH_CAP = 1 << 26     # fused finish verified up to ~42M k-mers
+LARGE_FINISH_CAP = 40 << 20    # fused finish verified at this capacity
+# (the 34M-char probe ran the fused dispatch at cap 41943040; anything
+# larger goes through the staged path below)
 
 
 def _build_boss_from_kmers_large(real, counts, n_real, K, alphabet, mode,
