@@ -20,8 +20,14 @@ _TRACE_DIR = os.environ.get("METAGRAPH_TPU_TRACE_DIR")
 
 
 def get_curr_rss() -> int:
-    """Resident set size in bytes."""
-    return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss * 1024
+    """CURRENT resident set size in bytes (the reference's get_curr_RSS
+    reads /proc too; ru_maxrss would report the process PEAK and hide
+    per-stage deltas after memory is freed)."""
+    try:
+        with open("/proc/self/statm") as f:
+            return int(f.read().split()[1]) * os.sysconf("SC_PAGESIZE")
+    except (OSError, IndexError, ValueError):
+        return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss * 1024
 
 
 class Timer:

@@ -286,14 +286,37 @@ class Boss:
         hit = packed.eq(self.edge_lanes[:, pos_c], query_lanes)
         return jnp.where(hit, pos_c + 1, 0)
 
-    def index_range_nodes(self, node_lanes: jax.Array, full_mask_bits: int
+    @jax.jit
+    def node_chars_ranksel(self, rows: jax.Array) -> jax.Array:
+        """(Q, K) char codes of the edge k-mers at the given rows, decoded
+        with rank/select only (the reference's get_node_seq bwd walk,
+        boss.cpp:603-622): K-1 backward steps recover the node chars and
+        W supplies the edge label. Small-state graphs use this in place
+        of the edge_lanes gather."""
+        K = self.k + 1
+        Q = rows.shape[0]
+        out = jnp.zeros((Q, K), jnp.int32)
+        label = self.get_W(rows.astype(jnp.int32)) % self.alph_size
+        out = out.at[:, K - 1].set(label.astype(jnp.int32))
+        def body(i, state):
+            x, out = state
+            c = self.get_node_last_value(x).astype(jnp.int32)
+            out = jax.lax.dynamic_update_slice(out, c[:, None],
+                                               (0, K - 2 - i))
+            return self.bwd(x), out
+        _, out = jax.lax.fori_loop(
+            0, K - 1, body, (rows.astype(jnp.int32), out))
+        return out
+
+    def index_range_nodes(self, node_lanes: jax.Array
                           ) -> Tuple[jax.Array, jax.Array]:
-        """[lo, hi) edge-row range of all edges whose source node matches the
-        given packed node prefix (low ``full_mask_bits`` bits meaningful)."""
+        """[lo, hi) edge-row range of all edges whose source node matches
+        the given packed node (label field 0 must be 0 in the query)."""
         assert self.edge_lanes is not None
         lo = packed.searchsorted(self.edge_lanes, node_lanes, side="left")
-        # upper bound: node prefix + 1 in the masked domain
-        hi_query = _increment_masked(node_lanes, full_mask_bits)
+        # upper bound: node + 1, i.e. +1 at field 1 (just above the
+        # label field) with carry propagation across lanes
+        hi_query = _increment_masked(node_lanes, shift=self.bits_per_char)
         hi = packed.searchsorted(self.edge_lanes, hi_query, side="left")
         return lo + 1, hi + 1  # 1-based rows
 
@@ -377,14 +400,15 @@ def _build_lut(edge_lanes: jax.Array):
     return lut, max_bucket
 
 
-def _increment_masked(lanes: jax.Array, nbits: int) -> jax.Array:
-    """Add 1 at bit position 0 of the masked (low nbits) big integer.
+def _increment_masked(lanes: jax.Array, shift: int = 0) -> jax.Array:
+    """Add (1 << shift) to the packed big integer (carry-propagating).
 
-    Used to form exclusive upper bounds for prefix range searches. Works
-    because queries never overflow nbits (node keys use < nbits bits).
+    Used to form exclusive upper bounds for prefix range searches
+    (shift = bits_per_char increments the node portion just above the
+    label field). Queries never overflow the packed width.
     """
     L = lanes.shape[0]
-    carry = jnp.ones_like(lanes[0])
+    carry = jnp.full_like(lanes[0], np.uint32(1 << shift))
     out = []
     for j in range(L - 1, -1, -1):
         s = lanes[j] + carry

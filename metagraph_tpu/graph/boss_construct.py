@@ -214,32 +214,6 @@ def _dummy_level_stage(cur, n_cur, K: int, B: int):
 
 
 @functools.partial(jax.jit, static_argnames=("K", "B"))
-def _dummy_phase(real, n_real, K: int, B: int):
-    """Dummy sinks + dummy-1 sources in one dispatch (cuts per-stage
-    device round trips, which dominate on the remote-dispatch runtime)."""
-    cap = real.shape[1]
-    valid = packed.valid_mask(cap, n_real)
-    # sinks
-    shifted = packing.to_next(real, K, B, 0)
-    real_nodes = packing.node_key(real, B)
-    present = packed.isin_sorted(real_nodes, packing.node_key(shifted, B))
-    keep = valid & ~present
-    cand, n_cand, _ = packed.compact(shifted, keep, cap)
-    cand_s, _ = packed.sort(cand)
-    first = packed.neighbor_ne(cand_s) & packed.valid_mask(cap, n_cand)
-    sinks, n_sinks, _ = packed.compact(cand_s, first, cap)
-    # dummy-1 sources
-    node_first = packed.neighbor_ne(real_nodes) & valid
-    prev = packing.to_prev(real, K, B, 0)
-    tkeys_s, _ = packed.sort(packing.target_key(real, B))
-    has_incoming = packed.isin_sorted(tkeys_s, packing.target_key(prev, B))
-    keep = node_first & ~has_incoming
-    cand, n_src, _ = packed.compact(prev, keep, cap)
-    src, _ = packed.sort(cand)
-    return sinks, n_sinks, src, n_src
-
-
-@functools.partial(jax.jit, static_argnames=("K", "B"))
 def _levels_phase(src, n_src, K: int, B: int):
     """All dummy-source levels 2..K-1 in one dispatch: an on-device loop
     writes each level into its own slot of a single PAD-filled buffer
@@ -355,12 +329,6 @@ def _merge_emit_body(real, counts, n_real, sinks, n_sinks, src, n_src,
     merged, (mcounts,) = packed.sort(merged, mcounts)
     n_total = n_real + n_sinks + n_src + n_levels_total + 1
     return _emit_body(merged, mcounts, n_total, K, B, alph_size, max_count)
-
-
-_emit_stage = functools.partial(
-    jax.jit, static_argnames=("K", "B", "alph_size", "max_count"))(
-        lambda merged, counts, n_total, K, B, alph_size, max_count:
-        _emit_body(merged, counts, n_total, K, B, alph_size, max_count))
 
 
 def _emit_body(merged, counts, n_total, K, B, alph_size, max_count):

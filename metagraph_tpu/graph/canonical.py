@@ -78,12 +78,7 @@ class CanonicalDbg:
         K = self.k
         B = self.alphabet.bits_per_char
         ok = window_validity(codes, K)
-        nw = codes.shape[0] - K + 1
-
-        def sl(off):
-            return jax.lax.slice(codes, (off,), (off + nw,)).astype(jnp.uint32)
-        fields = [sl(K - 1)] + [sl(j - 1) for j in range(1, K)]
-        lanes = packed.from_fields(jnp.stack(fields), B)
+        lanes = packing.pack_windows(codes, K, B)
         return jnp.where(ok, self._resolve(lanes), 0)
 
     def map_to_nodes(self, seq) -> np.ndarray:

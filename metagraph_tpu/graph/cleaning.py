@@ -68,7 +68,8 @@ def pick_kmer_threshold(hist: np.ndarray,
     ok = np.nonzero(ratio <= fdr)[0]
     if ok.size:
         cutoff = int(ok[0] + 1)
-    # rule 2: highest cutoff with FP < FN
+    # rule 2: first cutoff with FP < FN (pick_cutoff_FP_lt_FN returns
+    # the FIRST qualifying level, graph_cleaning.cpp:116-137)
     if cutoff < 0:
         e_sum = np.cumsum(e_covg[1:])
         d_sum = np.cumsum(hist[1:])

@@ -93,27 +93,7 @@ class DbgSuccinct:
         K = self.k
         B = self.alphabet.bits_per_char
         ok = window_validity(codes, K)
-        nw = codes.shape[0] - K + 1
-
-        # accumulate lanes per slot (no (K, N) field stack — see
-        # kmer/extractor.extract_packed_kmers)
-        def field_slice(slot):
-            off = K - 1 if slot == 0 else slot - 1
-            return jax.lax.slice(codes, (off,), (off + nw,)) \
-                .astype(packed.LANE_DTYPE)
-        per_lane = packed.LANE_BITS // B
-        L = packed.num_lanes(K, B)
-        rows = [None] * L
-        for lane_from_lsb in range(L):
-            lane = L - 1 - lane_from_lsb
-            acc = jnp.zeros((nw,), packed.LANE_DTYPE)
-            for i in range(per_lane):
-                slot = lane_from_lsb * per_lane + i
-                if slot >= K:
-                    break
-                acc = acc | (field_slice(slot) << np.uint32(i * B))
-            rows[lane] = acc
-        lanes = jnp.stack(rows)
+        lanes = packing.pack_windows(codes, K, B)
         if self.mode in (MODE_CANONICAL, MODE_PRIMARY):
             rc = packing.reverse_complement(lanes, K, B, self.alphabet.complement)
             lanes = jnp.where(packed.lt(rc, lanes)[None, :], rc, lanes)
@@ -136,26 +116,15 @@ class DbgSuccinct:
 
     # -- adjacency ---------------------------------------------------------
 
-    def _row_range_for_suffix(self, node_batch_lanes: jax.Array
-                              ) -> Tuple[jax.Array, jax.Array]:
-        """[lo, hi) 0-based rows of edges whose source node equals the
-        (k-1)-suffix of each input edge k-mer."""
-        B = self.alphabet.bits_per_char
-        K = self.k
-        # successor source node = e_2..e_K: that's node_key(to_next(x, 0))
-        shifted = packing.to_next(node_batch_lanes, K, B, 0)
-        lo = packed.searchsorted(self.boss.edge_lanes, shifted, side="left")
-        # upper bound: same node, label = max -> shifted + (alph-1) in field 0
-        hi_q = packed.set_field(
-            shifted, 0,
-            jnp.full((shifted.shape[1],), self.alphabet.size - 1, jnp.uint32), B)
-        hi = packed.searchsorted(self.boss.edge_lanes, hi_q, side="right")
-        return lo, hi
-
     @jax.jit
     def successors(self, nodes: jax.Array) -> jax.Array:
         """(N, sigma-1) node ids of successors (0-padded), one column per
-        possible next character c in 1..sigma-1."""
+        possible next character c in 1..sigma-1. Small-state graphs (no
+        edge_lanes) decode node chars with the rank/select bwd walk and
+        search through index_edge_ranksel, so traversal (assemble, clean,
+        stats) works in both states (reference boss.hpp fwd machinery)."""
+        if self.boss.edge_lanes is None:
+            return self._adjacent_ranksel(nodes, forward=True)
         B = self.alphabet.bits_per_char
         K = self.k
         lanes = self.node_lanes(nodes)
@@ -169,9 +138,28 @@ class DbgSuccinct:
         out = jnp.stack(cols, axis=1)
         return jnp.where((nodes > 0)[:, None], out, 0)
 
+    def _adjacent_ranksel(self, nodes: jax.Array, forward: bool
+                          ) -> jax.Array:
+        """Rank/select-only adjacency: decode each node's chars, then run
+        the tightening edge search on the shifted k-mers per character."""
+        K = self.k
+        chars = self.boss.node_chars_ranksel(self.node_to_edge(nodes))
+        Q = chars.shape[0]
+        cols = []
+        for c in range(1, self.alphabet.size):
+            fill = jnp.full((Q, 1), c, jnp.int32)
+            q = (jnp.concatenate([chars[:, 1:], fill], axis=1) if forward
+                 else jnp.concatenate([fill, chars[:, :K - 1]], axis=1))
+            edges = self.boss.index_edge_ranksel(q)
+            cols.append(self.edge_to_node(edges))
+        out = jnp.stack(cols, axis=1)
+        return jnp.where((nodes > 0)[:, None], out, 0)
+
     @jax.jit
     def predecessors(self, nodes: jax.Array) -> jax.Array:
         """(N, sigma-1) node ids of predecessors (0-padded)."""
+        if self.boss.edge_lanes is None:
+            return self._adjacent_ranksel(nodes, forward=False)
         B = self.alphabet.bits_per_char
         K = self.k
         lanes = self.node_lanes(nodes)
@@ -193,6 +181,9 @@ class DbgSuccinct:
 
     def node_kmers_chars(self, nodes: np.ndarray) -> np.ndarray:
         """(N, k) char codes of the node k-mers."""
+        if self.boss.edge_lanes is None:
+            edge = self.node_to_edge(jnp.asarray(nodes))
+            return np.asarray(self.boss.node_chars_ranksel(edge))
         lanes = self.node_lanes(jnp.asarray(nodes))
         return np.asarray(packing.unpack_to_chars(lanes, self.k,
                                                   self.alphabet.bits_per_char))

@@ -34,8 +34,8 @@ def save_graph(path: str, graph: DbgSuccinct, state: str = "fast"):
         alphabet=np.array(graph.alphabet.name),
         mode=np.array(graph.mode),
         W=np.asarray(boss.W).astype(np.int8),
-        last=np.packbits(np.asarray(boss.last)),
-        last_len=np.array(boss.last.shape[0]),
+        last=np.packbits(_last_bits := boss.last_rank.bits_host()),
+        last_len=np.array(_last_bits.shape[0]),
         F=np.asarray(boss.F),
         valid=np.packbits(graph.valid_rank.bits_host()),
     )

@@ -246,14 +246,7 @@ def contig_sequences(g: DbgSuccinct, return_paths: bool = False):
     mask = getattr(g, "mask", None)
     seqs = unitig_sequences(g, u, apply_mask=False)
     paths = unitig_paths(g, u) if return_paths else None
-    ends = np.array([u.starts[c] for c in range(u.num_unitigs)])
-    # map: last node of each chain
-    last_nodes = np.zeros(u.num_unitigs, np.int32)
-    last_nodes[u.chain_id[1:]] = 0
-    # compute last node = node with pos == len-1 per chain
-    for_nodes = np.arange(1, g.num_nodes() + 1)
-    sel = u.pos[1:] == (u.lengths[u.chain_id[1:]] - 1)
-    last_nodes[u.chain_id[1:][sel]] = for_nodes[sel]
+    last_nodes = unitig_ends(g, u).astype(np.int32)
     succ = np.asarray(g.successors(jnp.asarray(last_nodes)))
     U = u.num_unitigs
     # vectorized greedy tail->head matching (any maximal-ish matching is a

@@ -73,32 +73,16 @@ def extract_packed_kmers(
     assert num_windows >= 0, "input shorter than k"
     ok = window_validity(codes, K)
     # windows are contiguous slices, NOT gathers (gathers are ~100x more
-    # expensive on TPU): field j of window i is codes[i + j - 1].
-    # Lanes are accumulated slot by slot — never materialize the
-    # (K, N) field stack (3.4 GB at 34M windows; it capped single-shot
-    # build capacity and thrashed the allocator at scale).
-    def field_slice(slot):
-        # field 0 = e_K; field j = e_j  (see kmer/packing.py)
-        off = K - 1 if slot == 0 else slot - 1
-        return jax.lax.slice(codes, (off,), (off + num_windows,)) \
-            .astype(packed.LANE_DTYPE)
-    per_lane = packed.LANE_BITS // B
-    L = packed.num_lanes(K, B)
-    rows = [None] * L
-    for lane_from_lsb in range(L):
-        lane = L - 1 - lane_from_lsb
-        acc = jnp.zeros((num_windows,), packed.LANE_DTYPE)
-        for i in range(per_lane):
-            slot = lane_from_lsb * per_lane + i
-            if slot >= K:
-                break
-            acc = acc | (field_slice(slot) << np.uint32(i * B))
-        rows[lane] = acc
-    lanes = jnp.stack(rows)
+    # expensive on TPU); lanes accumulate per slot with no (K, N) field
+    # stack — see packing.pack_windows
+    lanes = packing.pack_windows(codes, K, B)
     if suffix:
         s = len(suffix)
         # node chars e_{K-s}..e_{K-1} live in fields K-s..K-1
         for i, c in enumerate(suffix):
-            ok = ok & (field_slice(K - s + i) == np.uint32(c))
+            off = (K - 1) if (K - s + i) == 0 else (K - s + i) - 1
+            field = jax.lax.slice(codes, (off,), (off + num_windows,)) \
+                .astype(jnp.uint32)
+            ok = ok & (field == np.uint32(c))
     lanes, count, _ = packed.compact(lanes, ok, num_windows)
     return lanes, count

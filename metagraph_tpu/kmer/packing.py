@@ -151,3 +151,35 @@ def contains_sentinel(x: jax.Array, K: int, B: int) -> jax.Array:
     for s in range(K):
         res = res | (packed.get_field(x, s, B) == 0)
     return res
+
+
+def pack_windows(codes, K: int, B: int):
+    """Pack every K-window of a code array into BOSS-layout lanes
+    (field 0 = e_K, field j = e_j), accumulating per slot from
+    contiguous slices — never materializing the (K, N) field stack
+    (3.4 GB at 34M windows for K=20). The single shared implementation
+    behind build extraction and both query-side window maps."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from ..common import packed
+    num_windows = codes.shape[0] - K + 1
+
+    def field_slice(slot):
+        off = K - 1 if slot == 0 else slot - 1
+        return jax.lax.slice(codes, (off,), (off + num_windows,)) \
+            .astype(packed.LANE_DTYPE)
+
+    per_lane = packed.LANE_BITS // B
+    L = packed.num_lanes(K, B)
+    rows = [None] * L
+    for lane_from_lsb in range(L):
+        lane = L - 1 - lane_from_lsb
+        acc = jnp.zeros((num_windows,), packed.LANE_DTYPE)
+        for i in range(per_lane):
+            slot = lane_from_lsb * per_lane + i
+            if slot >= K:
+                break
+            acc = acc | (field_slice(slot) << np.uint32(i * B))
+        rows[lane] = acc
+    return jnp.stack(rows)

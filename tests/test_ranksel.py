@@ -99,3 +99,62 @@ def test_ranksel_search_vs_lanes(rng):
     np.testing.assert_array_equal(
         np.asarray(boss.index_edge_ranksel(jnp.asarray(probe))),
         np.asarray(boss.map_to_edges(pl)))
+
+
+def test_small_state_traversal_parity(tmp_path, rng):
+    """Small-state graphs traverse (successors/predecessors/unitigs)
+    identically to fast state via the rank/select bwd-walk decode — the
+    reference supports traversal in every representation state."""
+    from conftest import random_dna
+    from metagraph_tpu.graph.boss_construct import build_boss
+    from metagraph_tpu.graph.dbg_succinct import DbgSuccinct
+    from metagraph_tpu.graph import io as graph_io
+    from metagraph_tpu.graph.traversal import unitig_sequences
+
+    seqs = [random_dna(rng, 250) for _ in range(3)]
+    g = DbgSuccinct.from_boss(build_boss(seqs, 11))
+    p = str(tmp_path / "sm")
+    graph_io.save_graph(p, g, state="small")
+    gs = graph_io.load_graph(p)
+    assert gs.boss.edge_lanes is None
+    nodes = jnp.arange(1, g.num_nodes() + 1, dtype=jnp.int32)
+    np.testing.assert_array_equal(np.asarray(gs.successors(nodes)),
+                                  np.asarray(g.successors(nodes)))
+    np.testing.assert_array_equal(np.asarray(gs.predecessors(nodes)),
+                                  np.asarray(g.predecessors(nodes)))
+    np.testing.assert_array_equal(
+        gs.node_kmers_chars(np.arange(1, g.num_nodes() + 1)),
+        g.node_kmers_chars(np.arange(1, g.num_nodes() + 1)))
+    assert sorted(unitig_sequences(gs)) == sorted(unitig_sequences(g))
+
+
+def test_index_range_nodes(rng):
+    """index_range_nodes returns the full [lo, hi) edge range of a node
+    (the +1 increment lands above the label field)."""
+    from conftest import random_dna
+    from metagraph_tpu.graph.boss_construct import build_boss
+    from metagraph_tpu.kmer import packing
+    from metagraph_tpu.common import packed as pk
+
+    seqs = [random_dna(rng, 150) for _ in range(2)]
+    boss = build_boss(seqs, 5)     # small k: real branching
+    K, B = boss.K, boss.bits_per_char
+    lanes = boss.edge_lanes
+    chars = np.asarray(packing.unpack_to_chars(lanes, K, B))
+    real = (chars > 0).all(axis=1)
+    # group rows by node (all chars except the label field)
+    node_chars = chars[:, :K - 1]
+    want = {}
+    for i in np.nonzero(real)[0]:
+        want.setdefault(node_chars[i].tobytes(), []).append(i)
+    multi = [v for v in want.values() if len(v) >= 2]
+    assert multi, "need at least one branching node for this test"
+    rows = np.array([v[0] for v in want.values()])
+    q = np.asarray(lanes[:, rows])
+    # zero the label field -> the node-prefix query
+    q_lanes = pk.set_field(jnp.asarray(q), 0,
+                           jnp.zeros((len(rows),), jnp.uint32), B)
+    lo, hi = boss.index_range_nodes(q_lanes)
+    got = np.asarray(hi) - np.asarray(lo)
+    want_sizes = np.array([len(v) for v in want.values()])
+    np.testing.assert_array_equal(got, want_sizes)
