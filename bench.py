@@ -11,13 +11,21 @@ numbers): the same pipeline in single-threaded numpy on this host
 reference's ips4o sort-based collection, measured once and cached in
 bench_baseline.json.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Robustness: the round-2 bench died with rc=1 because the remote TPU
+backend failed to initialize once.  This version (a) retries backend
+init with backoff, (b) falls back to the CPU backend if the TPU stays
+unreachable, and (c) always prints ONE JSON line and exits 0 — partial
+results beat a stack trace.  Extra keys report the capacity build and
+an HBM-roofline estimate (VERDICT round 2, item 1).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
 
 import json
 import os
 import sys
 import time
+import traceback
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -28,9 +36,70 @@ K = 20
 BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                               "bench_baseline.json")
 
+# HBM bandwidth by device kind (bytes/s), for the roofline estimate.
+HBM_BW = {
+    "TPU v4": 1228e9,
+    "TPU v5e": 819e9,
+    "TPU v5 lite": 819e9,
+    "TPU v5": 1640e9,   # v5p
+    "TPU v6e": 1640e9,
+    "cpu": 50e9,        # rough host DDR figure; CPU runs are fallback-only
+}
+
 
 def log(msg):
     print(msg, file=sys.stderr, flush=True)
+
+
+def _probe_subprocess(timeout_s: float) -> str | None:
+    """Probe backend init in a THROWAWAY subprocess with a hard timeout.
+
+    In this environment a broken TPU tunnel makes ``jax.devices()`` HANG
+    rather than raise, so the probe must be killable. Returns the
+    platform string on success, None on hang/failure."""
+    import subprocess
+    code = ("import jax; d = jax.devices(); "
+            "print('PROBE_OK', d[0].platform, d[0].device_kind, flush=True)")
+    try:
+        r = subprocess.run([sys.executable, "-c", code],
+                           capture_output=True, text=True, timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        log(f"backend probe hung (> {timeout_s:.0f}s)")
+        return None
+    for line in r.stdout.splitlines():
+        if line.startswith("PROBE_OK"):
+            log(f"backend probe: {line.strip()}")
+            return line.split()[1]
+    tail = (r.stderr or "").strip().splitlines()
+    log(f"backend probe failed (rc={r.returncode}): "
+        f"{tail[-1] if tail else 'no output'}")
+    return None
+
+
+def ensure_backend(max_attempts: int = 3, base_delay: float = 15.0,
+                   probe_timeout: float = 150.0) -> str:
+    """Establish a usable JAX backend, preferring the TPU.
+
+    Probes backend init in subprocesses (hang-proof) with retries and
+    backoff; on persistent failure, pins the main process to the CPU
+    backend so the bench still produces a number."""
+    import jax
+    for attempt in range(max_attempts):
+        plat = _probe_subprocess(probe_timeout)
+        if plat is not None:
+            return plat
+        if attempt < max_attempts - 1:
+            delay = base_delay * (1.5 ** attempt)
+            log(f"retrying backend probe in {delay:.0f}s ...")
+            time.sleep(delay)
+    log("TPU backend unreachable after retries - falling back to CPU")
+    jax.config.update("jax_platforms", "cpu")
+    try:  # drop any cached failed-backend state
+        from jax._src import xla_bridge
+        xla_bridge.backends.cache_clear()
+    except Exception:
+        pass
+    return jax.devices()[0].platform
 
 
 def read_fasta(path):
@@ -96,9 +165,28 @@ def tpu_build_seconds(seqs):
     return best, boss
 
 
-def bench_capacity():
-    """Secondary metric: large single-chip build (33.5M distinct k-mers,
-    random DNA — a worst case: zero duplicate collapse)."""
+def roofline_pct(n_kmers: int, lanes: int, seconds: float, bw: float) -> float:
+    """Fraction of HBM speed-of-light achieved by the build.
+
+    Speed-of-light model: an ideal 8-bit-digit LSD radix sort of the
+    packed keys is the irreducible work of this pipeline (the reference's
+    equivalent is ips4o, boss_chunk_construct.cpp:280-306).  Each digit
+    pass reads + writes every key once: passes = ceil(key_bits / 8),
+    bytes = 2 * passes * N * key_bytes, plus one extract read and one
+    emit write.  Everything else (dedupe masks, neighbor compares, emit)
+    is fused elementwise traffic already counted by those passes."""
+    key_bytes = 4 * lanes
+    passes = -(-(32 * lanes) // 8)
+    sort_bytes = 2 * passes * n_kmers * key_bytes
+    io_bytes = 2 * n_kmers * key_bytes
+    sol_seconds = (sort_bytes + io_bytes) / bw
+    return sol_seconds / seconds
+
+
+def bench_capacity(bw: float):
+    """Capacity metric (headline #2): large single-chip build (33.5M
+    distinct k-mers, random DNA — a worst case: zero duplicate collapse).
+    Returns (kmers_per_sec, roofline_fraction)."""
     import gc
     import jax
     from metagraph_tpu.graph.boss_construct import build_boss_from_codes
@@ -108,6 +196,7 @@ def bench_capacity():
     codes = rng.integers(1, 5, n).astype(np.uint8)
     boss = build_boss_from_codes(codes, 20, DNA)      # compile + warm
     jax.block_until_ready(boss.F)
+    lanes = boss.edge_lanes.shape[0] if boss.edge_lanes is not None else 3
     del boss
     gc.collect()
     codes = rng.integers(1, 5, n).astype(np.uint8)
@@ -115,13 +204,40 @@ def bench_capacity():
     boss = build_boss_from_codes(codes, 20, DNA)
     jax.block_until_ready(boss.F)
     dt = time.time() - t0
+    rate = (n - 19) / dt
+    pct = roofline_pct(n - 19, lanes, dt, bw)
     log(f"capacity: {n/1e6:.0f}M-char single-chip build in {dt:.2f}s -> "
-        f"{(n-19)/dt/1e6:.1f} Mk-mers/s ({boss.num_edges} edges)")
+        f"{rate/1e6:.1f} Mk-mers/s ({boss.num_edges} edges), "
+        f"{100*pct:.1f}% of ideal-radix HBM roofline")
+    return rate, pct
+
+
+def bench_sort(bw: float):
+    """Hot-kernel metric: packed-lane sort throughput at (L=2, N=16M),
+    the per-chip ceiling of the whole framework (VERDICT r2, missing #1).
+    Returns dict of {engine: seconds}."""
+    import jax
+    import jax.numpy as jnp
+    from metagraph_tpu.common import packed
+    rng = np.random.default_rng(0)
+    N = 1 << 24
+    x = jnp.asarray(rng.integers(0, 1 << 32, size=(2, N), dtype=np.uint64)
+                    .astype(np.uint32))
+    res = {}
+    f = jax.jit(lambda v: packed.sort(v)[0])
+    jax.block_until_ready(f(x))
+    t0 = time.time()
+    jax.block_until_ready(f(x))
+    res["lane_sort"] = time.time() - t0
+    moved = 2 * 8 * N * 8  # ideal radix: 8 passes x read+write x 8B keys
+    log(f"sort (L=2, N=16M): {res['lane_sort']*1e3:.1f} ms "
+        f"({moved/res['lane_sort']/1e9:.0f} GB/s radix-equivalent, "
+        f"HBM {bw/1e9:.0f} GB/s)")
+    return res
 
 
 def bench_query(boss, seqs):
     """Secondary metric: batched query throughput (reads/sec)."""
-    import jax.numpy as jnp
     from metagraph_tpu.graph.dbg_succinct import DbgSuccinct
     from metagraph_tpu.kmer.alphabets import DNA
     from metagraph_tpu.engine.annotated_dbg import (AnnotatedDbg, BatchQuery,
@@ -139,30 +255,11 @@ def bench_query(boss, seqs):
             reads.append(s[p:p + 100])
     bq.get_labels_batch(reads, 0.7)        # warm up (same shapes)
     t0 = time.time()
-    res = bq.get_labels_batch(reads, 0.7)
+    bq.get_labels_batch(reads, 0.7)
     dt = time.time() - t0
     log(f"query: {len(reads)} reads in {dt:.3f}s -> "
         f"{len(reads)/dt:.0f} reads/s (batched label queries)")
-
-
-def bench_align_kernel():
-    """Secondary metric: Pallas DP kernel throughput."""
-    import jax.numpy as jnp
-    from metagraph_tpu.align.pallas_dp import batch_align_scores
-    rng = np.random.default_rng(0)
-    R, LQ, LR = 1024, 128, 160
-    qs = rng.integers(1, 5, size=(R, LQ)).astype(np.int32)
-    rs = rng.integers(1, 5, size=(R, LR)).astype(np.int32)
-    ql = np.full(R, LQ)
-    rl = np.full(R, LR)
-    args = (jnp.asarray(qs), jnp.asarray(rs), jnp.asarray(ql),
-            jnp.asarray(rl))
-    np.asarray(batch_align_scores(*args))  # compile
-    t0 = time.time()
-    np.asarray(batch_align_scores(*args))
-    dt = time.time() - t0
-    log(f"align kernel: {R} pairs ({LQ}x{LR}) in {dt*1e3:.1f}ms -> "
-        f"{R*LQ*LR/dt/1e9:.2f} Gcells/s, {R/dt:.0f} alignments/s")
+    return len(reads) / dt
 
 
 def bench_align_batch(boss, seqs):
@@ -192,9 +289,34 @@ def bench_align_batch(boss, seqs):
     n_ok = sum(1 for r in res if r)
     log(f"align_batch: {len(reads)} reads in {dt:.2f}s -> "
         f"{len(reads)/dt:.0f} reads/s ({n_ok} aligned)")
+    return len(reads) / dt
 
 
 def main():
+    out = {
+        "metric": "build_kmers_per_sec",
+        "value": 0.0,
+        "unit": "kmers/sec (transcripts_1000.fa k=20 full BOSS build)",
+        "vs_baseline": 0.0,
+    }
+    try:
+        platform = ensure_backend()
+    except Exception as e:
+        log(f"backend init irrecoverable: {e}")
+        out["error"] = f"backend: {e}"
+        print(json.dumps(out))
+        return
+    out["backend"] = platform
+
+    try:
+        import jax
+        kind = jax.devices()[0].device_kind
+        bw = next((v for k, v in HBM_BW.items() if kind.startswith(k)),
+                  HBM_BW["cpu"])
+    except Exception:
+        kind, bw = "unknown", HBM_BW["cpu"]
+    log(f"device: {kind}, assumed HBM BW {bw/1e9:.0f} GB/s")
+
     seqs = read_fasta(DATA)
     total_bp = sum(map(len, seqs))
     log(f"{len(seqs)} sequences, {total_bp/1e6:.2f} Mbp")
@@ -211,26 +333,44 @@ def main():
     log(f"baseline (numpy 1-thread collection): "
         f"{base['kmers_per_sec']/1e6:.2f} Mk-mers/s")
 
-    dt, boss = tpu_build_seconds(seqs)
-    if os.environ.get("METAGRAPH_TPU_BENCH_EXTRA"):
+    boss = None
+    try:
+        dt, boss = tpu_build_seconds(seqs)
+        total_windows = base["total_windows"]
+        value = total_windows / dt
+        log(f"warm TPU full build: {dt:.3f} s -> {value/1e6:.2f} Mk-mers/s "
+            f"(full pipeline incl. dummy gen + emit)")
+        out["value"] = round(value, 1)
+        out["vs_baseline"] = round(value / base["kmers_per_sec"], 3)
+    except Exception as e:
+        log(f"headline build bench failed: {e}")
+        traceback.print_exc(file=sys.stderr)
+        out["error"] = f"build: {e}"
+
+    # Capacity + roofline (headline #2) — skipped on the CPU fallback,
+    # where a 33M-edge build would take many minutes and mean nothing.
+    if platform != "cpu":
         try:
-            bench_query(boss, seqs)
-            bench_align_kernel()
-            bench_align_batch(boss, seqs)
-            bench_capacity()
+            cap_rate, cap_pct = bench_capacity(bw)
+            out["capacity_kmers_per_sec"] = round(cap_rate, 1)
+            out["capacity_roofline_pct"] = round(100 * cap_pct, 2)
+        except Exception as e:
+            log(f"capacity bench failed: {e}")
+            out.setdefault("error", f"capacity: {e}")
+        try:
+            sort_res = bench_sort(bw)
+            out["sort_l2_n16m_ms"] = round(sort_res["lane_sort"] * 1e3, 2)
+        except Exception as e:
+            log(f"sort bench failed: {e}")
+
+    if os.environ.get("METAGRAPH_TPU_BENCH_EXTRA") and boss is not None:
+        try:
+            out["query_reads_per_sec"] = round(bench_query(boss, seqs), 1)
+            out["align_reads_per_sec"] = round(bench_align_batch(boss, seqs), 1)
         except Exception as e:
             log(f"secondary benches failed: {e}")
-    total_windows = base["total_windows"]
-    value = total_windows / dt
-    log(f"warm TPU full build: {dt:.3f} s -> {value/1e6:.2f} Mk-mers/s "
-        f"(full pipeline incl. dummy gen + emit)")
 
-    print(json.dumps({
-        "metric": "build_kmers_per_sec",
-        "value": round(value, 1),
-        "unit": "kmers/sec (transcripts_1000.fa k=20 full BOSS build)",
-        "vs_baseline": round(value / base["kmers_per_sec"], 3),
-    }))
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
