@@ -205,35 +205,42 @@ class Aligner:
         batched binary search."""
         import jax.numpy as jnp
         from ..common import packed as pk
-        from ..kmer import packing as kp
         g = self.graph
         K = g.k
         B = g.alphabet.bits_per_char
         lanes_all = g.boss.edge_lanes
-        L = lanes_all.shape[0]
         cfg = self.config
         min_len = max(cfg.min_seed_length or 1, 1)
         for s in range(min(K - 1, len(codes)), min_len - 1, -1):
             pattern = codes[:s]
             if (pattern == 0).any():
                 continue
-            lo_np = np.zeros((L, 1), np.uint32)
-            lo = jnp.asarray(lo_np)
-            # pattern char j sits at field K-s+j (suffix of the node)
-            for j in range(s):
-                lo = pk.set_field(lo, K - s + j,
-                                  jnp.full((1,), int(pattern[j]), jnp.uint32),
-                                  B)
-            # exclusive upper bound: +1 at the least significant constrained
-            # field (carry-free: field values <= alphabet size)
-            unit = pk.set_field(jnp.zeros((L, 1), pk.LANE_DTYPE), K - s,
-                                jnp.ones((1,), jnp.uint32), B)
-            hi = lo + unit
-            lo_i = int(pk.searchsorted(lanes_all, lo, side="left")[0])
-            hi_i = int(pk.searchsorted(lanes_all, hi, side="left")[0])
-            if hi_i > lo_i:
-                rows = np.arange(lo_i, min(hi_i, lo_i + 4 * max_seeds))
-                nodes = np.asarray(g.edge_to_node(jnp.asarray(rows + 1)))
+            if lanes_all is not None:
+                L = lanes_all.shape[0]
+                lo = jnp.zeros((L, 1), pk.LANE_DTYPE)
+                # pattern char j sits at field K-s+j (suffix of the node)
+                for j in range(s):
+                    lo = pk.set_field(
+                        lo, K - s + j,
+                        jnp.full((1,), int(pattern[j]), jnp.uint32), B)
+                # exclusive upper bound: +1 at the least significant
+                # constrained field (carry-free: field values <= alph size)
+                unit = pk.set_field(jnp.zeros((L, 1), pk.LANE_DTYPE), K - s,
+                                    jnp.ones((1,), jnp.uint32), B)
+                hi = lo + unit
+                lo_i = int(pk.searchsorted(lanes_all, lo, side="left")[0]) + 1
+                hi_i = int(pk.searchsorted(lanes_all, hi, side="left")[0])
+            else:
+                # small state: rank/select range tightening (the
+                # reference's partial index_range, boss.hpp:694-740)
+                ok, rl, ru = g.boss.suffix_range_ranksel(
+                    jnp.asarray(pattern.astype(np.int32)))
+                if not bool(ok):
+                    continue
+                lo_i, hi_i = int(rl), int(ru)
+            if hi_i >= lo_i:
+                rows = np.arange(lo_i, min(hi_i + 1, lo_i + 4 * max_seeds))
+                nodes = np.asarray(g.edge_to_node(jnp.asarray(rows)))
                 nodes = nodes[nodes > 0][:max_seeds]
                 if len(nodes):
                     return [int(x) for x in nodes], s

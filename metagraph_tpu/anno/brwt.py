@@ -468,11 +468,7 @@ def build_brwt(matrix: RowSparse, arity: int = 2,
     while len(trees) > 1:         # forest: join remaining roots pairwise
         trees = [("node", *trees[i:i + 2]) if i + 1 < len(trees)
                  else trees[i] for i in range(0, len(trees), 2)]
-    supports = None
-
-    if supports:
-        root_support = supports[0]
-    elif matrix.nnz:
+    if matrix.nnz:
         root_support = np.unique(np.asarray(matrix.rows).astype(np.int64))
     else:
         root_support = np.zeros(0, np.int64)

@@ -260,6 +260,42 @@ class Boss:
         res = jnp.where(p1 > 0, p1, p2)
         return jnp.where(ok, res, 0).astype(jnp.int32)
 
+    @jax.jit
+    def suffix_range_ranksel(self, pattern: jax.Array
+                             ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+        """(ok, rl, ru) inclusive 1-based edge-row range of all edges whose
+        source node's last ``s`` chars equal ``pattern`` (s,) int32 — the
+        rank/select-only analog of the reference's partial index_range
+        (boss.hpp:694-740) used by suffix seeding on small-state graphs
+        (no ``edge_lanes`` accelerator to binary-search)."""
+        s = pattern.shape[0]
+        m = self.num_edges
+        alph = self.alph_size
+        pattern = pattern.astype(jnp.int32)
+        ok = jnp.all((pattern >= 1) & (pattern < alph))
+        u1 = jnp.clip(pattern[0], 0, alph - 1)
+        rl = jnp.minimum(self.F[u1] + 1, m + 1)
+        ru = jnp.where(u1 + 1 < alph,
+                       self.F[jnp.minimum(u1 + 1, alph - 1)], m)
+        ok = ok & (rl <= ru)
+
+        def tighten(i, state):
+            ok, rl, ru = state
+            c = jnp.clip(jax.lax.dynamic_index_in_dim(
+                pattern, i, keepdims=False), 0, alph - 1)
+            rk_rl = self.rank_W(rl - 1, c) + 1
+            rk_ru = self.rank_W(ru, c)
+            step_ok = rk_rl <= rk_ru
+            safe_rl = jnp.maximum(self.NF[c] + rk_rl - 1, 1)
+            safe_ru = jnp.maximum(self.NF[c] + rk_ru, 1)
+            nrl = self.select_last(safe_rl) + 1
+            nru = self.select_last(safe_ru)
+            ok = ok & step_ok
+            return (ok, jnp.where(ok, nrl, rl), jnp.where(ok, nru, ru))
+
+        ok, rl, ru = jax.lax.fori_loop(1, s, tighten, (ok, rl, ru))
+        return ok, rl, ru
+
     def map_to_edges(self, query_lanes: jax.Array) -> jax.Array:
         """Map packed edge k-mers (BOSS layout, sentinel codes) to 1-based
         edge indexes; 0 = not present.

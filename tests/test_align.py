@@ -232,3 +232,64 @@ def test_device_traceback_matches_host_gold(rng):
         gs, gqe, gre, gops = got[b]
         assert (gs, gqe, gre) == (ws, wqe, wre), b
         assert gops == wops, (b, gops, wops)
+
+
+def test_small_state_align(ref_graph, tmp_path):
+    """Small-state graphs (no edge_lanes accelerator) must align through
+    the rank/select search paths, including suffix seeding (reference
+    SuffixSeeder over BOSS index_range, aligner_seeder_methods.hpp:16)."""
+    from metagraph_tpu.graph.io import save_graph, load_graph
+    g, ref = ref_graph
+    p = save_graph(str(tmp_path / "g"), g, state="small")
+    gs = load_graph(p)
+    assert gs.boss.edge_lanes is None
+    read = ref[100:200]
+    aln = Aligner(gs).align(read)[0]
+    assert aln.score == 2 * len(read)
+    assert aln.sequence == read
+    # a read whose only full-k seeds are destroyed exercises suffix seeds:
+    # take a short prefix-anchored read with a mutated tail
+    short = bytearray(ref[200:240])
+    sub = {65: 67, 67: 65, 71: 84, 84: 71}
+    for i in range(20, 40):
+        short[i] = sub[short[i]]
+    fast = Aligner(g).align(bytes(short))
+    small = Aligner(gs).align(bytes(short))
+    if fast:
+        assert small, "small-state alignment missing where fast state aligns"
+        assert small[0].score == fast[0].score
+
+
+def test_small_state_suffix_range_matches_lanes(ref_graph):
+    """suffix_range_ranksel must return the same edge-row range the
+    packed-lanes binary search finds for every (prefix, s)."""
+    import jax.numpy as jnp
+    from metagraph_tpu.common import packed as pk
+    g, ref = ref_graph
+    boss = g.boss
+    K, B = g.k, g.boss.bits_per_char
+    lanes = boss.edge_lanes
+    L = lanes.shape[0]
+    rng = np.random.default_rng(3)
+    from metagraph_tpu.kmer.alphabets import DNA
+    enc = np.zeros(256, np.int32)
+    for i, ch in enumerate(b"$ACGT"):
+        enc[ch] = i
+    for trial in range(20):
+        pos = rng.integers(0, len(ref) - K)
+        s = int(rng.integers(2, K))
+        pattern = enc[np.frombuffer(ref[pos:pos + s], np.uint8)]
+        ok, rl, ru = boss.suffix_range_ranksel(jnp.asarray(pattern))
+        lo = jnp.zeros((L, 1), pk.LANE_DTYPE)
+        for j in range(s):
+            lo = pk.set_field(lo, K - s + j,
+                              jnp.full((1,), int(pattern[j]), jnp.uint32), B)
+        unit = pk.set_field(jnp.zeros((L, 1), pk.LANE_DTYPE), K - s,
+                            jnp.ones((1,), jnp.uint32), B)
+        lo_i = int(pk.searchsorted(lanes, lo, side="left")[0]) + 1
+        hi_i = int(pk.searchsorted(lanes, lo + unit, side="left")[0])
+        if hi_i >= lo_i:
+            assert bool(ok), (trial, s)
+            assert (int(rl), int(ru)) == (lo_i, hi_i), (trial, s)
+        else:
+            assert not bool(ok) or int(rl) > int(ru)
