@@ -1,0 +1,96 @@
+"""Pallas merge-path kernel: interpret-mode parity with the sort fallback.
+
+The kernel itself runs on TPU in production (common/merge.py); these
+tests run its exact logic through the Pallas interpreter on CPU and
+check output equivalence with the lax.sort-based fallback semantics
+(sorted output, PADs at the tail, payloads paired with their keys).
+"""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from metagraph_tpu.common import merge, packed
+
+
+def _mk(rng, n_valid, cap, L=2, hi=1 << 63):
+    if L == 1:
+        hi = min(hi, 1 << 31)          # keep single-lane keys sorted + < PAD
+    v = rng.integers(0, hi, n_valid).astype(np.uint64)
+    # sort by the LANE TUPLE order (what merge_sorted requires), not by v
+    v = ((v >> 33) << 32) | (v & 0xFFFFFFFF)
+    v.sort()
+    lanes = np.full((L, cap), 0xFFFFFFFF, np.uint32)
+    if n_valid:
+        lanes[L - 1, :n_valid] = (v & 0xFFFFFFFF).astype(np.uint32)
+        if L > 1:
+            lanes[L - 2, :n_valid] = (v >> 32).astype(np.uint32)
+        for j in range(max(L - 2, 0)):
+            lanes[j, :n_valid] = 0
+    return jnp.asarray(lanes)
+
+
+CASES = [
+    (100, 200, 8192, 8192, 2),
+    (8192, 8192, 8192, 8192, 2),
+    (5000, 9000, 8192, 16384, 3),
+    (0, 50, 8192, 8192, 2),
+    (300, 0, 1024, 512, 1),
+    (7000, 7000, 8192, 8192, 2),
+]
+
+
+@pytest.mark.parametrize("na,nb,ca,cb,L", CASES)
+def test_merge_matches_fallback(na, nb, ca, cb, L):
+    rng = np.random.default_rng(na * 31 + nb)
+    a, b = _mk(rng, na, ca, L), _mk(rng, nb, cb, L)
+    pa = jnp.asarray(rng.integers(0, 1 << 30, ca).astype(np.int32))
+    pb = jnp.asarray(rng.integers(0, 1 << 30, cb).astype(np.int32))
+    got, (gp,) = merge.merge_sorted(a, b, (pa,), (pb,),
+                                    interpret=True, force_pallas=True)
+    want, (wp,) = merge._merge_fallback(a, b, (pa,), (pb,))
+    assert got.shape == want.shape
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    # payloads: valid slots only, order-insensitive within equal keys
+    nv = na + nb
+    gk, wk = np.asarray(got), np.asarray(want)
+    gpn, wpn = np.asarray(gp), np.asarray(wp)
+    gz = np.lexsort([gpn[:nv]] + [gk[j][:nv] for j in range(L)])
+    wz = np.lexsort([wpn[:nv]] + [wk[j][:nv] for j in range(L)])
+    np.testing.assert_array_equal(gpn[:nv][gz], wpn[:nv][wz])
+
+
+def test_merge_duplicate_heavy():
+    """Massively duplicated keys exercise split-point tie handling."""
+    rng = np.random.default_rng(7)
+    na = nb = 4096
+    va = np.sort(rng.integers(0, 37, na).astype(np.uint64))
+    vb = np.sort(rng.integers(0, 37, nb).astype(np.uint64))
+    a = np.full((2, 8192), 0xFFFFFFFF, np.uint32)
+    b = np.full((2, 8192), 0xFFFFFFFF, np.uint32)
+    a[1, :na] = va
+    a[0, :na] = 0
+    b[1, :nb] = vb
+    b[0, :nb] = 0
+    got, _ = merge.merge_sorted(jnp.asarray(a), jnp.asarray(b),
+                                interpret=True, force_pallas=True)
+    want, _ = merge._merge_fallback(jnp.asarray(a), jnp.asarray(b), (), ())
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_merge_fallback_dispatch_on_cpu():
+    """Without force_pallas, non-TPU backends take the fallback path."""
+    rng = np.random.default_rng(3)
+    a, b = _mk(rng, 50, 1024, 2), _mk(rng, 60, 1024, 2)
+    got, _ = merge.merge_sorted(a, b)
+    want, _ = merge._merge_fallback(a, b, (), ())
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_merge_path_splits_monotone():
+    rng = np.random.default_rng(11)
+    a, b = _mk(rng, 6000, 8192, 2), _mk(rng, 5000, 8192, 2)
+    ai = np.asarray(merge.merge_path_splits(a, b, 1024))
+    assert ai[0] == 0 and ai[-1] == 8192
+    assert np.all(np.diff(ai) >= 0)
+    assert np.all(np.diff(ai) <= 1024)
