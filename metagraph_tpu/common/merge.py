@@ -155,78 +155,93 @@ def _bitonic_merge(keys, pays, R2: int):
 
 
 def _make_kernel(L: int, n_extra: int, C: int):
+    """Payloads ride as extra lanes of the stacked (L+n_extra, rows, 128)
+    inputs: one scratch buffer and one DMA pattern per side regardless of
+    payload count. Lanes [0, L) are compared; the rest only move."""
     R = _rows(C)
+    LT = L + n_extra
 
-    def kernel(ai_ref, a_ref, b_ref, *rest):
+    def kernel(ai_ref, a_ref, bf_ref, br_ref, out_ref, sa, sb, sems):
         import jax.experimental.pallas as pl
         from jax.experimental.pallas import tpu as pltpu
-        ea = rest[:n_extra]
-        eb = rest[n_extra:2 * n_extra]
-        out_ref = rest[2 * n_extra]
-        eout = rest[2 * n_extra + 1:2 * n_extra + 1 + n_extra]
-        sa = rest[2 * n_extra + 1 + n_extra]
-        sb = rest[2 * n_extra + 2 + n_extra]
-        sea = rest[2 * n_extra + 3 + n_extra:2 * n_extra + 3 + 2 * n_extra]
-        seb = rest[2 * n_extra + 3 + 2 * n_extra:2 * n_extra + 3 + 3 * n_extra]
-        sems = rest[-1]
-
         g = pl.program_id(0)
         a_lo = ai_ref[g]
         a_hi = ai_ref[g + 1]
         len_a = a_hi - a_lo
         b_lo = g * C - a_lo
-        pb = ai_ref.shape[0] - 1          # slot storing padded Nb (see call)
-        nb_pad = ai_ref[pb]
-        # B arrives reversed with a C-element PAD prefix: the descending
+        nb_pad = ai_ref[ai_ref.shape[0] - 1]   # padded Nb (appended slot)
+        # B (reversed layout) has a C-element PAD prefix: the descending
         # window for this chunk starts at nb_pad - b_lo in that layout
         b_start = nb_pad - b_lo
         ra, ta = a_lo // _LANE, a_lo % _LANE
         rb, tb = b_start // _LANE, b_start % _LANE
+        rbf, tbf = b_lo // _LANE, b_lo % _LANE
+        full_a = len_a == C
+        full_b = len_a == 0
+        mixed = (~full_a) & (~full_b)
 
-        cps = [pltpu.make_async_copy(
-            a_ref.at[j, pl.ds(ra, R + 1), :], sa.at[j], sems.at[j])
-            for j in range(L)]
-        cps += [pltpu.make_async_copy(
-            b_ref.at[j, pl.ds(rb, R + 1), :], sb.at[j], sems.at[L + j])
-            for j in range(L)]
-        for i in range(n_extra):
-            cps.append(pltpu.make_async_copy(
-                ea[i].at[pl.ds(ra, R + 1), :], sea[i], sems.at[2 * L + i]))
-            cps.append(pltpu.make_async_copy(
-                eb[i].at[pl.ds(rb, R + 1), :], seb[i],
-                sems.at[2 * L + n_extra + i]))
-        for c in cps:
-            c.start()
-        for c in cps:
-            c.wait()
+        # pure-A / pure-B chunks (the vast majority when one input is much
+        # smaller, e.g. merging dummy edges into the real-edge set) skip
+        # the bitonic stages entirely: one window read + shift.
+        @pl.when(~full_b)
+        def _():
+            cps = [pltpu.make_async_copy(
+                a_ref.at[j, pl.ds(ra, R + 1), :], sa.at[j], sems.at[j])
+                for j in range(LT)]
+            for c in cps:
+                c.start()
+            for c in cps:
+                c.wait()
 
-        pos = (jax.lax.broadcasted_iota(jnp.int32, (R, _LANE), 0) * _LANE
-               + jax.lax.broadcasted_iota(jnp.int32, (R, _LANE), 1))
-        in_a = pos < len_a
-        # descending B window: foreign elements sit in the first
-        # C - len_b = len_a slots and must become +inf (PAD) to keep the
-        # combined sequence bitonic
-        in_b = pos >= len_a
-        akeys, bkeys = [], []
-        for j in range(L):
-            av = _shift_window(sa[j], ta, R)
-            bv = _shift_window(sb[j], tb, R)
-            akeys.append(jnp.where(in_a, av, packed.PAD_LANE))
-            bkeys.append(jnp.where(in_b, bv, packed.PAD_LANE))
-        apay = [_shift_window(sea[i][...], ta, R) for i in range(n_extra)]
-        bpay = [_shift_window(seb[i][...], tb, R) for i in range(n_extra)]
+        @pl.when(full_b)
+        def _():
+            cps = [pltpu.make_async_copy(
+                bf_ref.at[j, pl.ds(rbf, R + 1), :], sb.at[j],
+                sems.at[LT + j]) for j in range(LT)]
+            for c in cps:
+                c.start()
+            for c in cps:
+                c.wait()
+            for j in range(LT):
+                out_ref[j] = _shift_window(sb[j], tbf, R)
 
-        # bitonic sequence: A ascending then B descending (B was reversed
-        # on the host side — Mosaic has no rev primitive)
-        keys = [jnp.concatenate([ak, bk], axis=0)
-                for ak, bk in zip(akeys, bkeys)]
-        pays = [jnp.concatenate([ap, bp], axis=0)
-                for ap, bp in zip(apay, bpay)]
-        keys, pays = _bitonic_merge(keys, pays, 2 * R)
-        for j in range(L):
-            out_ref[j] = keys[j][:R]
-        for i in range(n_extra):
-            eout[i][...] = pays[i][:R]
+        @pl.when(full_a)
+        def _():
+            for j in range(LT):
+                out_ref[j] = _shift_window(sa[j], ta, R)
+
+        @pl.when(mixed)
+        def _():
+            cps = [pltpu.make_async_copy(
+                br_ref.at[j, pl.ds(rb, R + 1), :], sb.at[j],
+                sems.at[LT + j]) for j in range(LT)]
+            for c in cps:
+                c.start()
+            for c in cps:
+                c.wait()
+            pos = (jax.lax.broadcasted_iota(jnp.int32, (R, _LANE), 0)
+                   * _LANE
+                   + jax.lax.broadcasted_iota(jnp.int32, (R, _LANE), 1))
+            in_a = pos < len_a
+            # descending B window: foreign elements sit in the first
+            # C - len_b = len_a slots and must become +inf (PAD) to keep
+            # the combined sequence bitonic
+            in_b = pos >= len_a
+            keys, pays = [], []
+            for j in range(LT):
+                av = _shift_window(sa[j], ta, R)
+                bv = _shift_window(sb[j], tb, R)
+                if j < L:       # key lanes: mask foreign slots to PAD
+                    av = jnp.where(in_a, av, packed.PAD_LANE)
+                    bv = jnp.where(in_b, bv, packed.PAD_LANE)
+                    keys.append(jnp.concatenate([av, bv], axis=0))
+                else:           # payload lanes: move with their keys
+                    pays.append(jnp.concatenate([av, bv], axis=0))
+            keys, pays = _bitonic_merge(keys, pays, 2 * R)
+            for j in range(L):
+                out_ref[j] = keys[j][:R]
+            for i in range(n_extra):
+                out_ref[L + i] = pays[i][:R]
 
     return kernel
 
@@ -242,29 +257,32 @@ def _merge_call(a, b, a_extras, b_extras, ai, chunk: int, interpret: bool):
     R = _rows(C)
     G = (na + nb) // C
 
-    def to_rows(x, pre: int):
-        # row-major (rows, 128) view with ``pre`` PAD elements in front
-        # and a full extra window of slack behind, so dynamic-start
-        # window reads never run off either end
-        slack = C + _LANE
-        if x.ndim == 2:
-            parts = ([jnp.full((L, pre), packed.PAD_LANE, x.dtype)]
-                     if pre else [])
-            parts += [x, jnp.full((L, slack), packed.PAD_LANE, x.dtype)]
-            y = jnp.concatenate(parts, axis=1)
-            return y.reshape(L, y.shape[1] // _LANE, _LANE)
-        parts = [jnp.zeros((pre,), x.dtype)] if pre else []
-        parts += [x, jnp.zeros((slack,), x.dtype)]
-        y = jnp.concatenate(parts)
-        return y.reshape(y.shape[0] // _LANE, _LANE)
+    LT = L + n_extra
 
-    # B is consumed as descending windows: reverse it once here (Mosaic
-    # cannot reverse in-kernel) and give it a C-wide PAD prefix — the
-    # prefix is what pads short descending windows with +inf
-    a2 = to_rows(a, 0)
-    b2 = to_rows(jnp.flip(b, axis=1), C)
-    ea2 = [to_rows(e, 0) for e in a_extras]
-    eb2 = [to_rows(jnp.flip(e), C) for e in b_extras]
+    def stack_side(lanes_x, extras_x, pre: int, rev: bool):
+        # (L+n_extra, rows, 128) stacked view: payloads ride as extra
+        # lanes (bitcast to uint32). ``pre`` PAD elements in front and a
+        # full window of slack behind bound dynamic-start reads.
+        cols = [lanes_x[j] for j in range(L)] + \
+               [e.view(jnp.uint32) if e.dtype != jnp.uint32 else e
+                for e in extras_x]
+        x = jnp.stack(cols, axis=0)
+        if rev:
+            x = jnp.flip(x, axis=1)
+        slack = C + _LANE
+        parts = ([jnp.full((LT, pre), packed.PAD_LANE, jnp.uint32)]
+                 if pre else [])
+        parts += [x, jnp.full((LT, slack), packed.PAD_LANE, jnp.uint32)]
+        y = jnp.concatenate(parts, axis=1)
+        return y.reshape(LT, y.shape[1] // _LANE, _LANE)
+
+    # B is consumed two ways: forward windows for pure-B chunks, and
+    # reversed windows (with a C-wide PAD prefix supplying the +inf fill
+    # for short descending windows) for mixed chunks — Mosaic cannot
+    # reverse in-kernel
+    a2 = stack_side(a, a_extras, 0, False)
+    bf = stack_side(b, b_extras, 0, False)
+    br = stack_side(b, b_extras, C, True)
     edtypes = [e.dtype for e in a_extras]
     ai = jnp.concatenate([ai, jnp.full((1,), nb, jnp.int32)])
 
@@ -272,26 +290,23 @@ def _merge_call(a, b, a_extras, b_extras, ai, chunk: int, interpret: bool):
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(G,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * (2 + 2 * n_extra),
-        out_specs=(
-            [pl.BlockSpec((L, R, _LANE), lambda g, ai: (0, g, 0),
-                          memory_space=pltpu.VMEM)]
-            + [pl.BlockSpec((R, _LANE), lambda g, ai: (g, 0),
-                            memory_space=pltpu.VMEM)] * n_extra),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 3,
+        out_specs=pl.BlockSpec((LT, R, _LANE), lambda g, ai: (0, g, 0),
+                               memory_space=pltpu.VMEM),
         scratch_shapes=(
-            [pltpu.VMEM((L, R + 1, _LANE), jnp.uint32)] * 2
-            + [pltpu.VMEM((R + 1, _LANE), dt) for dt in edtypes] * 2
-            + [pltpu.SemaphoreType.DMA((2 * L + 2 * n_extra,))]),
+            [pltpu.VMEM((LT, R + 1, _LANE), jnp.uint32)] * 2
+            + [pltpu.SemaphoreType.DMA((2 * LT,))]),
     )
-    out_shapes = (
-        [jax.ShapeDtypeStruct((L, G * R, _LANE), jnp.uint32)]
-        + [jax.ShapeDtypeStruct((G * R, _LANE), dt) for dt in edtypes])
     res = pl.pallas_call(
-        kernel, grid_spec=grid_spec, out_shape=out_shapes,
+        kernel, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((LT, G * R, _LANE), jnp.uint32),
         interpret=interpret,
-    )(ai, a2, b2, *ea2, *eb2)
-    lanes = res[0].reshape(L, G * C)
-    extras = tuple(r.reshape(G * C) for r in res[1:])
+    )(ai, a2, bf, br)
+    flat = res.reshape(LT, G * C)
+    lanes = flat[:L]
+    extras = tuple(
+        flat[L + i].view(dt) if dt != jnp.uint32 else flat[L + i]
+        for i, dt in enumerate(edtypes))
     return lanes, extras
 
 
@@ -358,3 +373,216 @@ def merge_sorted(a: jax.Array, b: jax.Array,
         lanes = lanes[:, :ntot]
         extras = tuple(e[:ntot] for e in extras)
     return lanes, extras
+
+
+# ---------------------------------------------------------------------------
+# stable partition (compact) kernel
+# ---------------------------------------------------------------------------
+#
+# packed.compact's "move kept elements to the front" was a stable 1-key
+# lax.sort over every payload operand (~100 ms at 16M x 4 operands).
+# Here it is a single streaming pass: each grid step compacts its chunk
+# in VMEM via log2(C) rounds of power-of-two left shifts driven by the
+# bit decomposition of each element's deficit (= dropped predecessors),
+# then appends the kept run to the output through a row-aligned DMA with
+# a one-row carry (sequential grid steps stitch the ragged boundaries).
+# The classic bit-shift compaction is collision-free processing bits
+# LSB->MSB; validated exhaustively in tests/test_merge.py.
+
+def _shift_flat_left(x, s: int, R: int):
+    """x viewed as a flat (R*128,) row-major sequence shifted left by the
+    static power-of-two s (value at i takes value from i+s; tail garbage)."""
+    if s >= _LANE:
+        sr = s // _LANE
+        return jnp.concatenate([x[sr:], x[:sr]], axis=0)  # tail rows garbage
+    from jax.experimental.pallas import tpu as pltpu
+    lane = jax.lax.broadcasted_iota(jnp.int32, (R, _LANE), 1)
+    same = pltpu.roll(x, _LANE - s, 1)
+    nxt = pltpu.roll(jnp.concatenate([x[1:], x[:1]], axis=0), _LANE - s, 1)
+    return jnp.where(lane < _LANE - s, same, nxt)
+
+
+def _prefix_sum_excl(x, R: int):
+    """Exclusive prefix sum of int32 (R, 128) in flat row-major order."""
+    from jax.experimental.pallas import tpu as pltpu
+    lane = jax.lax.broadcasted_iota(jnp.int32, (R, _LANE), 1)
+    incl = x
+    s = 1
+    while s < _LANE:
+        sh = jnp.where(lane >= s, pltpu.roll(incl, s, 1), 0)
+        incl = incl + sh
+        s *= 2
+    row_tot = incl[:, _LANE - 1:_LANE]                    # (R, 1)
+    acc = row_tot
+    s = 1
+    while s < R:
+        acc = acc + jnp.concatenate(
+            [jnp.zeros((s, 1), jnp.int32), acc[:-s]], axis=0)
+        s *= 2
+    row_excl = acc - row_tot
+    return incl - x + row_excl
+
+
+def _make_partition_kernel(L: int, n_extra: int, C: int):
+    R = _rows(C)
+    nbits = int(np.log2(C))
+
+    def kernel(*refs):
+        import jax.experimental.pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+        keep_ref = refs[0]
+        lanes_ref = refs[1]
+        extra_refs = refs[2:2 + n_extra]
+        out_ref = refs[2 + n_extra]
+        eout_refs = refs[3 + n_extra:3 + 2 * n_extra]
+        off_ref = refs[3 + 2 * n_extra]                   # SMEM (1,) int32
+        carry = refs[4 + 2 * n_extra]                     # (L+n, 1, 128)
+        stage = refs[5 + 2 * n_extra]                     # (L+n, R+1, 128)
+        sems = refs[-1]
+
+        g = pl.program_id(0)
+
+        @pl.when(g == 0)
+        def _():
+            off_ref[0] = 0
+
+        keep = keep_ref[...]                               # (R,128) int32
+        drop = 1 - keep
+        d = jnp.where(keep == 1, _prefix_sum_excl(drop, R), 0)
+        cnt = jnp.sum(keep)
+
+        arrs = [lanes_ref[j] for j in range(L)] + \
+               [e[...] for e in extra_refs]
+        k = keep == 1
+        for kb in range(nbits):
+            s = 1 << kb
+            move = k & (((d >> kb) & 1) == 1)
+            inc = _shift_flat_left(move.astype(jnp.int32), s, R) == 1
+            arrs = [jnp.where(inc, _shift_flat_left(x, s, R), x)
+                    for x in arrs]
+            d = jnp.where(inc, _shift_flat_left(d, s, R), d)
+            k = inc | (k & ~move)
+
+        off = off_ref[0]
+        row_lo = off // _LANE
+        t = off % _LANE
+        lane = jax.lax.broadcasted_iota(jnp.int32, (R + 1, _LANE), 1)
+        cps = []
+        for idx, x in enumerate(arrs):
+            xp = jnp.concatenate([x, x[:1]], axis=0)       # (R+1,128)
+            rolled = pltpu.roll(xp, t, 1)
+            prev = jnp.concatenate([carry[idx], rolled[:R]], axis=0)
+            y = jnp.where(lane >= t, rolled, prev)
+            stage[idx] = y
+            nr = (off + cnt) // _LANE - row_lo
+            carry[idx] = jax.lax.dynamic_slice_in_dim(y, nr, 1, axis=0)
+            dst = (out_ref if idx < L else eout_refs[idx - L])
+            if idx < L:
+                cps.append(pltpu.make_async_copy(
+                    stage.at[idx], dst.at[idx, pl.ds(row_lo, R + 1), :],
+                    sems.at[idx]))
+            else:
+                cps.append(pltpu.make_async_copy(
+                    stage.at[idx], dst.at[pl.ds(row_lo, R + 1), :],
+                    sems.at[idx]))
+        for c in cps:
+            c.start()
+        for c in cps:
+            c.wait()
+        off_ref[0] = off + cnt
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("chunk", "interpret"))
+def _partition_call(lanes, keep_i32, extras, chunk: int, interpret: bool):
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    L, n = lanes.shape
+    n_extra = len(extras)
+    C = chunk
+    R = _rows(C)
+    G = n // C
+    rows_out = n // _LANE + R + 1
+
+    keep2 = keep_i32.reshape(n // _LANE, _LANE)
+    lanes2 = lanes.reshape(L, n // _LANE, _LANE)
+    ex2 = [e.reshape(n // _LANE, _LANE) for e in extras]
+    edt = [e.dtype for e in extras]
+    # all staged/carried arrays ride one uint32 scratch: bitcast extras
+    ex2 = [e.view(jnp.uint32) if e.dtype != jnp.uint32 else e for e in ex2]
+
+    kernel = _make_partition_kernel(L, n_extra, C)
+    res = pl.pallas_call(
+        kernel,
+        grid=(G,),
+        in_specs=(
+            [pl.BlockSpec((R, _LANE), lambda g: (g, 0),
+                          memory_space=pltpu.VMEM),
+             pl.BlockSpec((L, R, _LANE), lambda g: (0, g, 0),
+                          memory_space=pltpu.VMEM)]
+            + [pl.BlockSpec((R, _LANE), lambda g: (g, 0),
+                            memory_space=pltpu.VMEM)] * n_extra),
+        out_specs=(
+            [pl.BlockSpec(memory_space=pltpu.ANY)] * (1 + n_extra)),
+        out_shape=(
+            [jax.ShapeDtypeStruct((L, rows_out, _LANE), jnp.uint32)]
+            + [jax.ShapeDtypeStruct((rows_out, _LANE), jnp.uint32)]
+            * n_extra),
+        scratch_shapes=[
+            pltpu.SMEM((1,), jnp.int32),
+            pltpu.VMEM((L + n_extra, 1, _LANE), jnp.uint32),
+            pltpu.VMEM((L + n_extra, R + 1, _LANE), jnp.uint32),
+            pltpu.SemaphoreType.DMA((L + n_extra,)),
+        ],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(keep2, lanes2, *ex2)
+    out_lanes = res[0].reshape(L, rows_out * _LANE)[:, :n]
+    outs = []
+    for i in range(n_extra):
+        o = res[1 + i].reshape(rows_out * _LANE)[:n]
+        outs.append(o.view(edt[i]) if edt[i] != jnp.uint32 else o)
+    return out_lanes, tuple(outs)
+
+
+def partition_compact(x: jax.Array, keep: jax.Array, capacity: int,
+                      *extras: jax.Array, extra_fill: int = 0,
+                      chunk: int = CHUNK,
+                      force_pallas: bool | None = None,
+                      interpret: bool = False):
+    """packed.compact semantics via the streaming partition kernel.
+
+    Returns (lanes (L, capacity), true_count, extras...). Stable; kept
+    entries first; PAD/extra_fill beyond the count; entries past
+    ``capacity`` dropped (true count returned for overflow checks).
+    """
+    L, n = x.shape
+    count = jnp.sum(keep.astype(jnp.int32))
+    use = force_pallas if force_pallas is not None else use_pallas()
+    if not (use or interpret):
+        return packed.compact(x, keep, capacity, *extras,
+                              extra_fill=extra_fill)
+    pn = -(-n // chunk) * chunk
+    if pn != n:
+        x = packed.pad_to(x, pn)
+        keep = jnp.concatenate([keep, jnp.zeros((pn - n,), bool)])
+        extras = tuple(jnp.concatenate(
+            [e, jnp.zeros((pn - n,), e.dtype)]) for e in extras)
+    out, outs = _partition_call(x, keep.astype(jnp.int32), tuple(extras),
+                                chunk, interpret)
+    m = min(capacity, pn)
+    pos_ok = packed.valid_mask(m, count)
+    out_lanes = jnp.stack([
+        jnp.where(pos_ok, out[j][:m], packed.PAD_LANE) for j in range(L)])
+    if capacity > pn:
+        out_lanes = packed.pad_to(out_lanes, capacity)
+    res_extras = []
+    for i, e in enumerate(extras):
+        eo = jnp.where(pos_ok, outs[i][:m],
+                       jnp.asarray(extra_fill, e.dtype))
+        if capacity > pn:
+            eo = jnp.concatenate(
+                [eo, jnp.full((capacity - pn,), extra_fill, e.dtype)])
+        res_extras.append(eo)
+    return out_lanes, count, tuple(res_extras)
