@@ -79,9 +79,13 @@ def merge_path_splits(a: jax.Array, b: jax.Array, chunk: int) -> jax.Array:
     assert (na + nb) % chunk == 0
     G = (na + nb) // chunk
     d = jnp.arange(G + 1, dtype=jnp.int32) * chunk
+    if na == 0 or nb == 0:
+        # zero-width side: every diagonal takes min(d, na) from A; the
+        # gathers below would slice a (L, 0) array
+        return jnp.minimum(d, na).astype(jnp.int32)
     lo = jnp.maximum(0, d - nb)
     hi = jnp.minimum(d, na)
-    steps = max(1, int(np.ceil(np.log2(max(na, 1) + 1))))
+    steps = max(1, int(np.ceil(np.log2(na + 1))))
 
     def body(_, state):
         lo, hi = state
@@ -290,7 +294,7 @@ def _merge_call(a, b, a_extras, b_extras, ai, chunk: int, interpret: bool):
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(G,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 3,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 3,
         out_specs=pl.BlockSpec((LT, R, _LANE), lambda g, ai: (0, g, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=(
@@ -346,6 +350,8 @@ def merge_sorted(a: jax.Array, b: jax.Array,
     a_extras = tuple(a_extras)
     b_extras = tuple(b_extras)
     assert len(a_extras) == len(b_extras)
+    assert chunk >= _LANE and (chunk & (chunk - 1)) == 0, \
+        "chunk must be a power of two >= 128 (bitonic strides + log2 bits)"
     use = force_pallas if force_pallas is not None else use_pallas()
     if not (use or interpret):
         return _merge_fallback(a, b, a_extras, b_extras)
@@ -524,7 +530,7 @@ def _partition_call(lanes, keep_i32, extras, chunk: int, interpret: bool):
             + [pl.BlockSpec((R, _LANE), lambda g: (g, 0),
                             memory_space=pltpu.VMEM)] * n_extra),
         out_specs=(
-            [pl.BlockSpec(memory_space=pltpu.ANY)] * (1 + n_extra)),
+            [pl.BlockSpec(memory_space=pl.ANY)] * (1 + n_extra)),
         out_shape=(
             [jax.ShapeDtypeStruct((L, rows_out, _LANE), jnp.uint32)]
             + [jax.ShapeDtypeStruct((rows_out, _LANE), jnp.uint32)]
@@ -558,6 +564,8 @@ def partition_compact(x: jax.Array, keep: jax.Array, capacity: int,
     ``capacity`` dropped (true count returned for overflow checks).
     """
     L, n = x.shape
+    assert chunk >= _LANE and (chunk & (chunk - 1)) == 0, \
+        "chunk must be a power of two >= 128 (bit-shift compaction rounds)"
     count = jnp.sum(keep.astype(jnp.int32))
     use = force_pallas if force_pallas is not None else use_pallas()
     if not (use or interpret):

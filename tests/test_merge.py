@@ -94,3 +94,94 @@ def test_merge_path_splits_monotone():
     assert ai[0] == 0 and ai[-1] == 8192
     assert np.all(np.diff(ai) >= 0)
     assert np.all(np.diff(ai) <= 1024)
+
+
+# ---------------------------------------------------------------------------
+# partition_compact: interpret-mode parity with packed.compact
+# ---------------------------------------------------------------------------
+
+PART_CASES = [
+    # (n, capacity, keep_frac, L)  — chunk is 1024 in all cases
+    (1024, 1024, 0.5, 2),      # chunk-multiple n, capacity == n
+    (4096, 4096, 0.3, 2),      # multi-chunk
+    (3000, 3000, 0.5, 2),      # non-multiple n (pad path)
+    (2048, 512, 0.7, 2),       # capacity < n (truncation + true count)
+    (1500, 8192, 0.4, 3),      # capacity > n (tail fill), 3 lanes
+    (2048, 2048, 1.0, 2),      # all-keep
+    (2048, 2048, 0.0, 2),      # none-keep
+    (1024, 1024, 0.01, 1),     # sparse keep, single lane
+]
+
+
+@pytest.mark.parametrize("n,capacity,frac,L", PART_CASES)
+def test_partition_compact_matches_packed_compact(n, capacity, frac, L):
+    rng = np.random.default_rng(n * 7 + capacity + L)
+    lanes = jnp.asarray(
+        rng.integers(0, 1 << 31, (L, n)).astype(np.uint32))
+    keep = jnp.asarray(rng.random(n) < frac)
+    p_i32 = jnp.asarray(rng.integers(0, 1 << 30, n).astype(np.int32))
+    p_u32 = jnp.asarray(rng.integers(0, 1 << 32, n).astype(np.uint32))
+    got, gcount, (gi, gu) = merge.partition_compact(
+        lanes, keep, capacity, p_i32, p_u32,
+        chunk=1024, interpret=True, force_pallas=True)
+    want, wcount, (wi, wu) = packed.compact(
+        lanes, keep, capacity, p_i32, p_u32)
+    assert int(gcount) == int(wcount)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    np.testing.assert_array_equal(np.asarray(gi), np.asarray(wi))
+    np.testing.assert_array_equal(np.asarray(gu), np.asarray(wu))
+
+
+def test_partition_compact_extra_fill():
+    rng = np.random.default_rng(5)
+    n = 1024
+    lanes = jnp.asarray(rng.integers(0, 1 << 31, (2, n)).astype(np.uint32))
+    keep = jnp.asarray(rng.random(n) < 0.25)
+    pay = jnp.asarray(rng.integers(0, 100, n).astype(np.int32))
+    got, gcount, (gp,) = merge.partition_compact(
+        lanes, keep, 2048, pay, extra_fill=-7,
+        chunk=1024, interpret=True, force_pallas=True)
+    want, wcount, (wp,) = packed.compact(lanes, keep, 2048, pay,
+                                         extra_fill=-7)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    np.testing.assert_array_equal(np.asarray(gp), np.asarray(wp))
+
+
+def test_partition_compact_stability():
+    """Kept entries must preserve original relative order (stable)."""
+    n = 2048
+    rng = np.random.default_rng(13)
+    # many duplicate keys; payload = original index proves stability
+    lanes = jnp.asarray(
+        rng.integers(0, 17, (2, n)).astype(np.uint32))
+    keep = jnp.asarray(rng.random(n) < 0.6)
+    idx = jnp.arange(n, dtype=jnp.int32)
+    got, gcount, (gidx,) = merge.partition_compact(
+        lanes, keep, n, idx, chunk=1024, interpret=True, force_pallas=True)
+    kept_idx = np.asarray(gidx)[:int(gcount)]
+    np.testing.assert_array_equal(kept_idx, np.sort(kept_idx))
+    np.testing.assert_array_equal(kept_idx, np.where(np.asarray(keep))[0])
+
+
+def test_merge_zero_width_sides():
+    """na==0 / nb==0 operands early-return instead of crashing the
+    merge-path gather (advisor round-3 finding)."""
+    rng = np.random.default_rng(2)
+    a = _mk(rng, 100, 1024, 2)
+    empty = jnp.full((2, 0), 0xFFFFFFFF, jnp.uint32)
+    got, _ = merge.merge_sorted(a, empty, interpret=True, force_pallas=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(a))
+    got2, _ = merge.merge_sorted(empty, a, interpret=True, force_pallas=True)
+    np.testing.assert_array_equal(np.asarray(got2), np.asarray(a))
+
+
+def test_non_power_of_two_chunk_rejected():
+    rng = np.random.default_rng(4)
+    a, b = _mk(rng, 10, 384, 2), _mk(rng, 10, 384, 2)
+    with pytest.raises(AssertionError):
+        merge.merge_sorted(a, b, chunk=384, interpret=True,
+                           force_pallas=True)
+    with pytest.raises(AssertionError):
+        merge.partition_compact(a, jnp.ones((384,), bool), 384,
+                                chunk=384, interpret=True,
+                                force_pallas=True)
