@@ -1,4 +1,4 @@
-"""Pallas TPU merge-path kernel: single-pass merge of sorted packed lanes.
+"""Pallas TPU merge kernels: linear-time passes over sorted packed lanes.
 
 The construction pipeline's dominant cost is re-sorting data that is
 already sorted: the finish stage merges the (sorted) real-edge set with
@@ -8,30 +8,38 @@ compacts masked candidates — all previously expressed as full
 The reference does these as linear-time iterator merges on CPU threads
 (metagraph/src/graph/representation/succinct/boss_chunk_construct.cpp:
 233-306, common/sorted_sets/sorted_multiset.hpp). This module is the
-TPU-native equivalent: a merge-path partitioned bitonic-merge kernel
-that streams both inputs through VMEM exactly once.
+TPU-native equivalent:
 
-Design:
+  * ``merge_sorted``    — one-pass merge of two sorted lane arrays
+  * ``sort_packed``     — full sort: batched ``lax.sort`` leaf runs +
+                          log2(N/leaf) segmented merge-kernel levels
+  * ``partition_compact`` — one-pass stable compaction (keep-mask to
+                          front), replacing the stable-sort formulation
+                          of ``packed.compact``
+
+Design (shared by merge_sorted and the segmented levels of sort_packed):
   * XLA side: merge-path diagonal splits — for every output chunk
     boundary g*C, a vectorized binary search finds how many elements of
-    A precede it in the merge (``ai[g]``); chunk g then merges
-    A[ai[g]:ai[g+1]] with B[bi[g]:bi[g+1]] where ai+bi = g*C.  PAD
-    (all-ones) tails act as +inf so no length bookkeeping is needed.
+    the A-side precede it in the merge; per-chunk window descriptors
+    (A start, A length, B start in a reversed layout) are handed to the
+    kernel as scalar-prefetch arrays. PAD (all-ones) tails act as +inf.
   * Pallas side: each grid step DMAs its two input windows (row-aligned
-    reads + an in-register dynamic lane rotate), masks foreign elements
-    to PAD, forms the bitonic sequence [A asc | B desc], and runs the
-    log2(2C)+1 bitonic-merge exchange stages entirely in VMEM/registers
-    — sublane-reshape exchanges for strides >= 128, lane rotates below.
-    Payload columns move with their keys through every exchange.
+    reads + an in-register dynamic element rotate), masks foreign
+    elements to PAD, forms the bitonic sequence [A asc | B desc], and
+    runs the log2(2C) bitonic-merge exchange stages entirely in VMEM —
+    sublane-reshape exchanges for strides >= 128, lane rotates below.
+    Payload columns ride as extra lanes through every exchange.
+    Input DMAs are double-buffered: chunk g+1's windows stream in while
+    chunk g's exchange network runs.
 
 The merged output is sorted; the relative order of *equal* keys is NOT
 preserved (bitonic networks are unstable). Every call site in this
 codebase only requires equal keys to be adjacent (dedupe, count
 aggregation, run detection), never their original order.
+``partition_compact`` IS stable (bit-shift compaction preserves order).
 
-HBM traffic: read A + B once, write A+B once — vs. lax.sort's many
-round trips. Measured on TPU v5e at 16M+16M x (2 lanes + payload):
-~8 ms vs ~95 ms for the equivalent lax.sort.
+HBM traffic: read A + B once, write A+B once — vs. lax.sort's
+log^2-pass round trips.
 """
 
 from __future__ import annotations
@@ -45,8 +53,11 @@ import numpy as np
 
 from . import packed
 
-# Default chunk: 8192 elements per output block (R=64 rows of 128).
-CHUNK = 8192
+# Default chunk: output elements per grid step. 16384 = 128 rows of 128.
+CHUNK = 16384
+# Default leaf-run size for sort_packed (rows sorted by batched lax.sort
+# before the merge levels take over).
+LEAF = 1 << 17
 _LANE = 128
 
 
@@ -101,6 +112,56 @@ def merge_path_splits(a: jax.Array, b: jax.Array, chunk: int) -> jax.Array:
 
     lo, hi = jax.lax.fori_loop(0, steps, body, (lo, hi))
     return lo.astype(jnp.int32)
+
+
+def _segment_splits(x: jax.Array, run: int, chunk: int) -> Tuple[jax.Array,
+                                                                 jax.Array,
+                                                                 jax.Array]:
+    """Window descriptors for one segmented-merge level over ``x``.
+
+    ``x`` is (L, Np) holding Np/run sorted runs back to back (Np a
+    multiple of chunk; run a multiple of chunk). Adjacent run pairs
+    (2p, 2p+1) merge; a trailing lone run passes through. Returns
+    (ae, ln, be): per output chunk, the A-window element start in the
+    forward layout, the A length, and the B-window element start in the
+    reversed layout (see _stack_rev).
+    """
+    L, Np = x.shape
+    G = Np // chunk
+    S = run
+    o = jnp.arange(G + 1, dtype=jnp.int32) * chunk
+    p = o // (2 * S)
+    d = o - p * (2 * S)
+    lo = jnp.maximum(0, d - S)
+    hi = jnp.minimum(d, S)
+    steps = max(1, int(np.ceil(np.log2(S + 1))))
+
+    def body(_, state):
+        lo, hi = state
+        active = lo < hi
+        m = (lo + hi) >> 1
+        ai = p * (2 * S) + m
+        bi = p * (2 * S) + S + (d - m - 1)
+        am = x[:, jnp.clip(ai, 0, Np - 1)]
+        bm = x[:, jnp.clip(bi, 0, Np - 1)]
+        le = _lex_le([am[j] for j in range(L)], [bm[j] for j in range(L)])
+        # B positions beyond the array are +inf (ragged trailing pair)
+        le = le | (bi >= Np)
+        lo = jnp.where(active & le, m + 1, lo)
+        hi = jnp.where(active & ~le, m, hi)
+        return lo, hi
+
+    m, _ = jax.lax.fori_loop(0, steps, body, (lo, hi))
+    # A consumed at the NEXT boundary, folded back into this pair: a
+    # boundary landing exactly on the next pair start reports m=0 there
+    # but means "all S A-elements consumed" here
+    m_next = m[1:] + jnp.where(p[1:] != p[:-1], S, 0)
+    ae = (p * (2 * S) + m)[:G]
+    ln = (m_next - m[:-1]).astype(jnp.int32)
+    b_lo = (d - m)[:G]
+    rb0 = (p * (2 * S) + S)[:G]
+    be = (Np - rb0 - b_lo).astype(jnp.int32)
+    return ae.astype(jnp.int32), ln, be
 
 
 def _rows(n: int) -> int:
@@ -159,82 +220,75 @@ def _bitonic_merge(keys, pays, R2: int):
 
 
 def _make_kernel(L: int, n_extra: int, C: int):
-    """Payloads ride as extra lanes of the stacked (L+n_extra, rows, 128)
-    inputs: one scratch buffer and one DMA pattern per side regardless of
-    payload count. Lanes [0, L) are compared; the rest only move."""
+    """Descriptor-driven merge kernel. Payloads ride as extra lanes of
+    the stacked (L+n_extra, rows, 128) inputs: one scratch buffer and
+    one DMA pattern per side regardless of payload count. Lanes [0, L)
+    are compared; the rest only move. Input windows are double-buffered:
+    chunk g+1's DMAs start before chunk g's exchange network runs."""
     R = _rows(C)
     LT = L + n_extra
 
-    def kernel(ai_ref, a_ref, bf_ref, br_ref, out_ref, sa, sb, sems):
+    def kernel(ae_ref, ln_ref, be_ref, fwd_ref, rev_ref, out_ref,
+               sa, sb, sems):
         import jax.experimental.pallas as pl
         from jax.experimental.pallas import tpu as pltpu
         g = pl.program_id(0)
-        a_lo = ai_ref[g]
-        a_hi = ai_ref[g + 1]
-        len_a = a_hi - a_lo
-        b_lo = g * C - a_lo
-        nb_pad = ai_ref[ai_ref.shape[0] - 1]   # padded Nb (appended slot)
-        # B (reversed layout) has a C-element PAD prefix: the descending
-        # window for this chunk starts at nb_pad - b_lo in that layout
-        b_start = nb_pad - b_lo
-        ra, ta = a_lo // _LANE, a_lo % _LANE
-        rb, tb = b_start // _LANE, b_start % _LANE
-        rbf, tbf = b_lo // _LANE, b_lo % _LANE
-        full_a = len_a == C
-        full_b = len_a == 0
-        mixed = (~full_a) & (~full_b)
+        G = pl.num_programs(0)
 
-        # pure-A / pure-B chunks (the vast majority when one input is much
-        # smaller, e.g. merging dummy edges into the real-edge set) skip
-        # the bitonic stages entirely: one window read + shift.
-        @pl.when(~full_b)
-        def _():
-            cps = [pltpu.make_async_copy(
-                a_ref.at[j, pl.ds(ra, R + 1), :], sa.at[j], sems.at[j])
-                for j in range(LT)]
-            for c in cps:
-                c.start()
-            for c in cps:
-                c.wait()
-
-        @pl.when(full_b)
-        def _():
-            cps = [pltpu.make_async_copy(
-                bf_ref.at[j, pl.ds(rbf, R + 1), :], sb.at[j],
-                sems.at[LT + j]) for j in range(LT)]
-            for c in cps:
-                c.start()
-            for c in cps:
-                c.wait()
+        def copies(gg, slot):
+            ar = ae_ref[gg] // _LANE
+            br = be_ref[gg] // _LANE
+            cps = []
             for j in range(LT):
-                out_ref[j] = _shift_window(sb[j], tbf, R)
+                cps.append(pltpu.make_async_copy(
+                    fwd_ref.at[j, pl.ds(ar, R + 1), :], sa.at[slot, j],
+                    sems.at[slot, 0, j]))
+                cps.append(pltpu.make_async_copy(
+                    rev_ref.at[j, pl.ds(br, R + 1), :], sb.at[slot, j],
+                    sems.at[slot, 1, j]))
+            return cps
 
+        @pl.when(g == 0)
+        def _():
+            for c in copies(0, 0):
+                c.start()
+
+        @pl.when(g + 1 < G)
+        def _():
+            for c in copies(g + 1, (g + 1) % 2):
+                c.start()
+
+        slot = g % 2
+        for c in copies(g, slot):
+            c.wait()
+
+        ta = ae_ref[g] % _LANE
+        tb = be_ref[g] % _LANE
+        len_a = ln_ref[g]
+        full_a = len_a == C
+
+        # pure-A chunks (the vast majority when one input is much
+        # smaller, e.g. merging dummy edges into the real-edge set) skip
+        # the exchange network: one window shift
         @pl.when(full_a)
         def _():
             for j in range(LT):
-                out_ref[j] = _shift_window(sa[j], ta, R)
+                out_ref[j] = _shift_window(sa[slot, j], ta, R)
 
-        @pl.when(mixed)
+        @pl.when(~full_a)
         def _():
-            cps = [pltpu.make_async_copy(
-                br_ref.at[j, pl.ds(rb, R + 1), :], sb.at[j],
-                sems.at[LT + j]) for j in range(LT)]
-            for c in cps:
-                c.start()
-            for c in cps:
-                c.wait()
             pos = (jax.lax.broadcasted_iota(jnp.int32, (R, _LANE), 0)
                    * _LANE
                    + jax.lax.broadcasted_iota(jnp.int32, (R, _LANE), 1))
             in_a = pos < len_a
             # descending B window: foreign elements sit in the first
-            # C - len_b = len_a slots and must become +inf (PAD) to keep
-            # the combined sequence bitonic
+            # len_a slots and must become +inf (PAD) to keep the
+            # combined sequence bitonic
             in_b = pos >= len_a
             keys, pays = [], []
             for j in range(LT):
-                av = _shift_window(sa[j], ta, R)
-                bv = _shift_window(sb[j], tb, R)
+                av = _shift_window(sa[slot, j], ta, R)
+                bv = _shift_window(sb[slot, j], tb, R)
                 if j < L:       # key lanes: mask foreign slots to PAD
                     av = jnp.where(in_a, av, packed.PAD_LANE)
                     bv = jnp.where(in_b, bv, packed.PAD_LANE)
@@ -250,63 +304,69 @@ def _make_kernel(L: int, n_extra: int, C: int):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("chunk", "interpret"))
-def _merge_call(a, b, a_extras, b_extras, ai, chunk: int, interpret: bool):
+def _stack_fwd(lanes_x, extras_x, L: int, slack: int):
+    """(L+n_extra, rows, 128) forward layout with a PAD slack tail:
+    window reads of R+1 rows starting at any valid element stay in
+    bounds. Payload extras are bitcast to uint32 extra lanes."""
+    cols = [lanes_x[j] for j in range(L)] + \
+           [e.view(jnp.uint32) if e.dtype != jnp.uint32 else e
+            for e in extras_x]
+    x = jnp.stack(cols, axis=0)
+    LT = x.shape[0]
+    y = jnp.concatenate(
+        [x, jnp.full((LT, slack), packed.PAD_LANE, jnp.uint32)], axis=1)
+    return y.reshape(LT, y.shape[1] // _LANE, _LANE)
+
+
+def _stack_rev(lanes_x, extras_x, L: int, pre: int, slack: int):
+    """Reversed layout with ``pre`` PAD elements in front: position i
+    holds element Np-1-(i-pre). The descending window for a chunk that
+    has consumed b_lo elements of a run starting at forward rb0 begins
+    at element Np - rb0 - b_lo (pre = chunk folded in)."""
+    cols = [lanes_x[j] for j in range(L)] + \
+           [e.view(jnp.uint32) if e.dtype != jnp.uint32 else e
+            for e in extras_x]
+    x = jnp.stack(cols, axis=0)
+    LT = x.shape[0]
+    xf = jnp.flip(x, axis=1)
+    y = jnp.concatenate(
+        [jnp.full((LT, pre), packed.PAD_LANE, jnp.uint32), xf,
+         jnp.full((LT, slack), packed.PAD_LANE, jnp.uint32)], axis=1)
+    return y.reshape(LT, y.shape[1] // _LANE, _LANE)
+
+
+@functools.partial(jax.jit, static_argnames=("L", "chunk", "interpret",
+                                             "out_elems"))
+def _merge_call(fwd, rev, ae, ln, be, L: int, chunk: int, interpret: bool,
+                out_elems: int = 0):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
-    L, na = a.shape
-    nb = b.shape[1]
-    n_extra = len(a_extras)
+    LT = fwd.shape[0]
+    n_extra = LT - L
     C = chunk
     R = _rows(C)
-    G = (na + nb) // C
-
-    LT = L + n_extra
-
-    def stack_side(lanes_x, extras_x, pre: int, rev: bool):
-        # (L+n_extra, rows, 128) stacked view: payloads ride as extra
-        # lanes (bitcast to uint32). ``pre`` PAD elements in front and a
-        # full window of slack behind bound dynamic-start reads.
-        cols = [lanes_x[j] for j in range(L)] + \
-               [e.view(jnp.uint32) if e.dtype != jnp.uint32 else e
-                for e in extras_x]
-        x = jnp.stack(cols, axis=0)
-        if rev:
-            x = jnp.flip(x, axis=1)
-        slack = C + _LANE
-        parts = ([jnp.full((LT, pre), packed.PAD_LANE, jnp.uint32)]
-                 if pre else [])
-        parts += [x, jnp.full((LT, slack), packed.PAD_LANE, jnp.uint32)]
-        y = jnp.concatenate(parts, axis=1)
-        return y.reshape(LT, y.shape[1] // _LANE, _LANE)
-
-    # B is consumed two ways: forward windows for pure-B chunks, and
-    # reversed windows (with a C-wide PAD prefix supplying the +inf fill
-    # for short descending windows) for mixed chunks — Mosaic cannot
-    # reverse in-kernel
-    a2 = stack_side(a, a_extras, 0, False)
-    bf = stack_side(b, b_extras, 0, False)
-    br = stack_side(b, b_extras, C, True)
-    edtypes = [e.dtype for e in a_extras]
-    ai = jnp.concatenate([ai, jnp.full((1,), nb, jnp.int32)])
+    G = out_elems // C
 
     kernel = _make_kernel(L, n_extra, C)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=3,
         grid=(G,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 3,
-        out_specs=pl.BlockSpec((LT, R, _LANE), lambda g, ai: (0, g, 0),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
+        out_specs=pl.BlockSpec((LT, R, _LANE), lambda g, ae, ln, be: (0, g, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=(
-            [pltpu.VMEM((LT, R + 1, _LANE), jnp.uint32)] * 2
-            + [pltpu.SemaphoreType.DMA((2 * LT,))]),
+            [pltpu.VMEM((2, LT, R + 1, _LANE), jnp.uint32)] * 2
+            + [pltpu.SemaphoreType.DMA((2, 2, LT))]),
     )
     res = pl.pallas_call(
         kernel, grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((LT, G * R, _LANE), jnp.uint32),
         interpret=interpret,
-    )(ai, a2, bf, br)
-    flat = res.reshape(LT, G * C)
+    )(ae, ln, be, fwd, rev)
+    return res.reshape(LT, G * C)
+
+
+def _unstack(flat, L: int, edtypes):
     lanes = flat[:L]
     extras = tuple(
         flat[L + i].view(dt) if dt != jnp.uint32 else flat[L + i]
@@ -370,15 +430,76 @@ def merge_sorted(a: jax.Array, b: jax.Array,
         b_extras = tuple(jnp.concatenate(
             [e, jnp.zeros((pb - nb,), e.dtype)]) for e in b_extras)
     ai = merge_path_splits(a, b, chunk)
-    lanes, extras = _merge_call(a, b, a_extras, b_extras, ai, chunk,
-                                interpret)
+    G = (pa + pb) // chunk
+    ae = ai[:G]
+    ln = ai[1:] - ai[:-1]
+    be = (jnp.asarray(pb, jnp.int32)
+          - (jnp.arange(G, dtype=jnp.int32) * chunk - ae))
+    fwd = _stack_fwd(a, a_extras, L, chunk + _LANE)
+    rev = _stack_rev(b, b_extras, L, chunk, _LANE)
+    edtypes = [e.dtype for e in a_extras]
+    flat = _merge_call(fwd, rev, ae, ln, be, L, chunk, interpret,
+                       out_elems=pa + pb)
+    lanes, extras = _unstack(flat, L, edtypes)
     if lanes.shape[1] != ntot:
-        # padding slots merged to the tail; everything valid is in the
-        # first na+nb positions only when pads were appended — they sort
-        # last, so clipping is exact
+        # padding slots sort to the tail, so clipping is exact
         lanes = lanes[:, :ntot]
         extras = tuple(e[:ntot] for e in extras)
     return lanes, extras
+
+
+def sort_packed(x: jax.Array, *extras: jax.Array,
+                chunk: int = CHUNK, leaf: int = LEAF,
+                force_pallas: bool | None = None,
+                interpret: bool = False,
+                ) -> Tuple[jax.Array, Tuple[jax.Array, ...]]:
+    """Full sort of packed lanes + payloads: ``lax.sort`` on leaf runs
+    (batched rows — far cheaper per element than one giant sort), then
+    segmented merge-kernel levels. Replaces ``packed.sort`` on the TPU
+    hot paths (the ips4o analog, boss_chunk_construct.cpp:280-306).
+
+    NOT stable between equal keys (the reference's ips4o isn't either).
+    PADs sort to the tail; payloads of PAD-keyed entries are unspecified
+    (callers never read past the valid count). Payload dtypes must be
+    4-byte.
+    """
+    extras = tuple(extras)
+    use = force_pallas if force_pallas is not None else use_pallas()
+    if not (use or interpret):
+        s, es = packed.sort(x, *extras)
+        return s, es
+    leaf = max(leaf, chunk)
+    assert leaf % chunk == 0 and (chunk & (chunk - 1)) == 0
+    L, n = x.shape
+    if n <= leaf:
+        s, es = packed.sort(x, *extras)
+        return s, es
+    Np = -(-n // leaf) * leaf
+    if Np != n:
+        x = packed.pad_to(x, Np)
+        extras = tuple(jnp.concatenate(
+            [e, jnp.zeros((Np - n,), e.dtype)]) for e in extras)
+    # leaf runs: one batched lax.sort over (Np/leaf, leaf) rows
+    Gl = Np // leaf
+    ops = tuple(x[j].reshape(Gl, leaf) for j in range(L)) + tuple(
+        e.reshape(Gl, leaf) for e in extras)
+    res = jax.lax.sort(ops, num_keys=L, is_stable=False)
+    x = jnp.stack([r.reshape(Np) for r in res[:L]])
+    extras = tuple(r.reshape(Np) for r in res[L:])
+    edtypes = [e.dtype for e in extras]
+    run = leaf
+    while run < Np:
+        ae, ln, be = _segment_splits(x, run, chunk)
+        fwd = _stack_fwd(x, extras, L, chunk + _LANE)
+        rev = _stack_rev(x, extras, L, chunk, _LANE)
+        flat = _merge_call(fwd, rev, ae, ln, be, L, chunk, interpret,
+                           out_elems=Np)
+        x, extras = _unstack(flat, L, edtypes)
+        run *= 2
+    if Np != n:
+        x = x[:, :n]
+        extras = tuple(e[:n] for e in extras)
+    return x, extras
 
 
 # ---------------------------------------------------------------------------
@@ -386,14 +507,14 @@ def merge_sorted(a: jax.Array, b: jax.Array,
 # ---------------------------------------------------------------------------
 #
 # packed.compact's "move kept elements to the front" was a stable 1-key
-# lax.sort over every payload operand (~100 ms at 16M x 4 operands).
-# Here it is a single streaming pass: each grid step compacts its chunk
-# in VMEM via log2(C) rounds of power-of-two left shifts driven by the
-# bit decomposition of each element's deficit (= dropped predecessors),
-# then appends the kept run to the output through a row-aligned DMA with
-# a one-row carry (sequential grid steps stitch the ragged boundaries).
-# The classic bit-shift compaction is collision-free processing bits
-# LSB->MSB; validated exhaustively in tests/test_merge.py.
+# lax.sort over every payload operand. Here it is a single streaming
+# pass: each grid step compacts its chunk in VMEM via log2(C) rounds of
+# power-of-two left shifts driven by the bit decomposition of each
+# element's deficit (= dropped predecessors), then appends the kept run
+# to the output through a row-aligned DMA with a one-row carry
+# (sequential grid steps stitch the ragged boundaries). The classic
+# bit-shift compaction is collision-free processing bits LSB->MSB;
+# parity-tested against packed.compact in tests/test_merge.py.
 
 def _shift_flat_left(x, s: int, R: int):
     """x viewed as a flat (R*128,) row-major sequence shifted left by the
@@ -473,6 +594,8 @@ def _make_partition_kernel(L: int, n_extra: int, C: int):
         row_lo = off // _LANE
         t = off % _LANE
         lane = jax.lax.broadcasted_iota(jnp.int32, (R + 1, _LANE), 1)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (R + 1, _LANE), 0)
+        nr = (off + cnt) // _LANE - row_lo
         cps = []
         for idx, x in enumerate(arrs):
             xp = jnp.concatenate([x, x[:1]], axis=0)       # (R+1,128)
@@ -480,8 +603,11 @@ def _make_partition_kernel(L: int, n_extra: int, C: int):
             prev = jnp.concatenate([carry[idx], rolled[:R]], axis=0)
             y = jnp.where(lane >= t, rolled, prev)
             stage[idx] = y
-            nr = (off + cnt) // _LANE - row_lo
-            carry[idx] = jax.lax.dynamic_slice_in_dim(y, nr, 1, axis=0)
+            # carry = row nr of y (Mosaic has no dynamic_slice on TPU:
+            # select the row with an iota compare + sublane reduce)
+            carry[idx] = jnp.sum(
+                jnp.where(rows == nr, y, jnp.uint32(0)),
+                axis=0, keepdims=True)
             dst = (out_ref if idx < L else eout_refs[idx - L])
             if idx < L:
                 cps.append(pltpu.make_async_copy(

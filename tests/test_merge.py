@@ -185,3 +185,54 @@ def test_non_power_of_two_chunk_rejected():
         merge.partition_compact(a, jnp.ones((384,), bool), 384,
                                 chunk=384, interpret=True,
                                 force_pallas=True)
+
+
+# ---------------------------------------------------------------------------
+# sort_packed: interpret-mode parity with packed.sort
+# ---------------------------------------------------------------------------
+
+SORT_CASES = [
+    # (n_valid, cap, L, leaf)  — chunk 1024
+    (4000, 4096, 2, 1024),       # 4 leaf runs, 2 levels
+    (8192, 8192, 2, 1024),       # 8 runs, 3 levels, chunk-exact
+    (5000, 6144, 3, 2048),       # ragged: 3 runs (lone trailing run)
+    (900, 1024, 2, 1024),        # single leaf (pure lax.sort path)
+    (10000, 10240, 1, 1024),     # 10 runs, ragged pairing, single lane
+]
+
+
+@pytest.mark.parametrize("n,cap,L,leaf", SORT_CASES)
+def test_sort_packed_matches_lax_sort(n, cap, L, leaf):
+    rng = np.random.default_rng(n + cap + L)
+    lanes = np.full((L, cap), 0xFFFFFFFF, np.uint32)
+    # duplicates likely: small value range
+    for j in range(L):
+        lanes[j, :n] = rng.integers(0, 50, n).astype(np.uint32)
+    lanes = jnp.asarray(lanes)
+    pay = jnp.asarray(rng.integers(0, 1 << 30, cap).astype(np.int32))
+    got, (gp,) = merge.sort_packed(lanes, pay, chunk=1024, leaf=leaf,
+                                   interpret=True, force_pallas=True)
+    want, (wp,) = packed.sort(lanes, pay)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    # payload multiset per equal-key group must match over VALID entries
+    # (payloads of PAD-keyed slots are unspecified, like merge_sorted)
+    gk, wk = np.asarray(got), np.asarray(want)
+    gpn, wpn = np.asarray(gp)[:n], np.asarray(wp)[:n]
+    gz = np.lexsort([gpn] + [gk[j][:n] for j in range(L)])
+    wz = np.lexsort([wpn] + [wk[j][:n] for j in range(L)])
+    np.testing.assert_array_equal(gpn[gz], wpn[wz])
+
+
+def test_sort_packed_random_large():
+    """Bigger multi-level case with mostly-unique keys."""
+    rng = np.random.default_rng(77)
+    n = 50000
+    cap = 51200   # 50 leaf runs of 1024 -> 6 ragged levels
+    v = rng.integers(0, 1 << 62, n).astype(np.uint64)
+    lanes = np.full((2, cap), 0xFFFFFFFF, np.uint32)
+    lanes[0, :n] = (v >> 32).astype(np.uint32)
+    lanes[1, :n] = (v & 0xFFFFFFFF).astype(np.uint32)
+    got, _ = merge.sort_packed(jnp.asarray(lanes), chunk=1024, leaf=1024,
+                               interpret=True, force_pallas=True)
+    want, _ = packed.sort(jnp.asarray(lanes))
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
