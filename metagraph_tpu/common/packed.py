@@ -295,6 +295,45 @@ def isin_merge(keys: jax.Array, queries: jax.Array) -> jax.Array:
 
 
 # ---------------------------------------------------------------------------
+# blocked scans (XLA's 1D cumsum/cummax lower to a sequential scan at
+# large N; two-level block scans keep them parallel over rows)
+# ---------------------------------------------------------------------------
+
+def blocked_cumsum(x: jax.Array, block: int = 8192) -> jax.Array:
+    """Inclusive 1D cumsum via per-row scans + a tiny cross-row scan."""
+    n = x.shape[0]
+    if n <= block:
+        return jnp.cumsum(x)
+    G = -(-n // block)
+    npad = G * block
+    xp = x if npad == n else jnp.concatenate(
+        [x, jnp.zeros((npad - n,), x.dtype)])
+    x2 = xp.reshape(G, block)
+    within = jnp.cumsum(x2, axis=1)
+    tot = within[:, -1]
+    offs = jnp.cumsum(tot) - tot
+    return (within + offs[:, None]).reshape(-1)[:n]
+
+
+def blocked_cummax(x: jax.Array, block: int = 8192) -> jax.Array:
+    """Inclusive 1D cummax, same two-level structure as blocked_cumsum."""
+    n = x.shape[0]
+    if n <= block:
+        return jax.lax.cummax(x)
+    G = -(-n // block)
+    npad = G * block
+    lowest = jnp.asarray(jnp.iinfo(x.dtype).min, x.dtype)
+    xp = x if npad == n else jnp.concatenate(
+        [x, jnp.full((npad - n,), lowest, x.dtype)])
+    x2 = xp.reshape(G, block)
+    within = jax.lax.cummax(x2, axis=1)
+    tot = within[:, -1]
+    run = jax.lax.cummax(tot)
+    offs = jnp.concatenate([lowest[None], run[:-1]])
+    return jnp.maximum(within, offs[:, None]).reshape(-1)[:n]
+
+
+# ---------------------------------------------------------------------------
 # compaction (fixed-capacity streams)
 # ---------------------------------------------------------------------------
 

@@ -33,6 +33,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..common import merge as pmerge
 from ..common import packed
 from ..kmer import packing
 from ..kmer.alphabets import Alphabet, DNA, INVALID_CODE
@@ -96,12 +97,12 @@ def _sort_unique_ones_body(lanes, count):
     counts the exclusive running sum is just the position index, so
     per-group counts come from compacted first-occurrence positions."""
     cap = lanes.shape[1]
-    lanes_s, _ = packed.sort(lanes)
+    lanes_s, _ = pmerge.sort_packed(lanes)
     first = packed.neighbor_ne(lanes_s)
     valid_s = packed.valid_mask(cap, count)      # PADs sorted to the back
     umask = first & valid_s
     excl = jnp.arange(cap, dtype=jnp.int32)
-    ulanes, ucount, (b,) = packed.compact(lanes_s, umask, cap, excl)
+    ulanes, ucount, (b,) = pmerge.partition_compact(lanes_s, umask, cap, excl)
     total = count.astype(jnp.int32) if hasattr(count, "astype") \
         else jnp.int32(count)
     nxt = jnp.concatenate([b[1:], total[None]])
@@ -122,16 +123,19 @@ def _sort_unique_stage(lanes, counts, count):
     cap = lanes.shape[1]
     valid = packed.valid_mask(cap, count)
     counts = jnp.where(valid, counts, 0)
-    lanes_s, (counts_s,) = packed.sort(lanes, counts)
-    first = packed.neighbor_ne(lanes_s)
+    lanes_s, (counts_s,) = pmerge.sort_packed(lanes, counts)
+    # PAD-keyed payloads are unspecified under the Pallas sort: zero them
+    # so the running count sum stays exact
     valid_s = packed.valid_mask(cap, count)  # PADs sorted to the back
+    counts_s = jnp.where(valid_s, counts_s, 0)
+    first = packed.neighbor_ne(lanes_s)
     umask = first & valid_s
     # int32 running sums: a single shard holds < 2^31 k-mer occurrences
     # (larger inputs stream through chunked/sharded collection)
     excl = jnp.concatenate([jnp.zeros((1,), jnp.int32),
-                            jnp.cumsum(counts_s)[:-1]])
+                            packed.blocked_cumsum(counts_s)[:-1]])
     total = jnp.sum(counts_s)
-    ulanes, ucount, (b,) = packed.compact(lanes_s, umask, cap, excl)
+    ulanes, ucount, (b,) = pmerge.partition_compact(lanes_s, umask, cap, excl)
     nxt = jnp.concatenate([b[1:], total[None]])
     pos_ok = packed.valid_mask(cap, ucount)
     nxt = jnp.where(jnp.concatenate([pos_ok[1:], jnp.zeros((1,), bool)]),
@@ -152,65 +156,123 @@ def _add_rc_stage(lanes, counts, count, K: int, B: int, complement):
     counts = jnp.where(pal, counts * 2, counts)  # int32; emit saturates
     add_mask = valid & ~pal
     n_add = jnp.sum(add_mask.astype(jnp.int32))
-    rc_comp, _, (rc_counts,) = packed.compact(rc, add_mask, cap, counts)
-    out = jnp.concatenate(
-        [jnp.where(valid[None, :], lanes, packed.full_pad(cap, lanes.shape[0])),
-         rc_comp], axis=1)
-    out_counts = jnp.concatenate([jnp.where(valid, counts, 0), rc_counts])
-    out_s, (counts_s,) = packed.sort(out, out_counts)
+    rc_comp, _, (rc_counts,) = pmerge.partition_compact(
+        rc, add_mask, cap, counts)
+    # sort only the rc half, then one linear merge with the (already
+    # sorted) canonical half — instead of re-sorting the 2x concat
+    rc_s, (rc_counts_s,) = pmerge.sort_packed(rc_comp, rc_counts)
+    lanes_m = jnp.where(valid[None, :], lanes,
+                        packed.full_pad(cap, lanes.shape[0]))
+    out_s, (counts_s,) = pmerge.merge_sorted(
+        lanes_m, rc_s, (jnp.where(valid, counts, 0),), (rc_counts_s,))
     return out_s, counts_s, count + n_add
 
 
-@functools.partial(jax.jit, static_argnames=("K", "B"))
-def _dummy_sink_stage(real, n_real, K: int, B: int):
-    """Candidate dummy sink edges (node = e_2..e_K, label $), keeping only
-    those whose node has no real outgoing edge
-    (reference: add_dummy_sink_kmers, boss_chunk_construct.cpp:55-98)."""
+# Valid node/target keys have zero top bits (alphabets use <= B bits per
+# char and the tag shift adds one more); after the tag-bit left shift a
+# PAD surfaces as 0x7FFF... in the top lane — above every valid key.
+_PAD_TOP_AFTER_SHIFT = np.uint32(0x7FFFFFFF)
+
+
+def _tag_lanes(keys, tag: int):
+    """Shift a packed key left one bit and put ``tag`` in the new LSB:
+    within an equal-key run of the (unstable) merge, tag-0 entries sort
+    strictly before tag-1 entries — a stability substitute."""
+    out = packed.shift_left(keys, 1)
+    return out.at[-1].set(out[-1] | np.uint32(tag))
+
+
+def _merge_membership(keys, queries):
+    """Batch set-membership of sorted ``queries`` against sorted ``keys``
+    via ONE linear merge (the Pallas merge kernel on TPU) instead of the
+    round-trip sorts of the old isin formulation.
+
+    Both inputs are (L, n) sorted packed lanes with PAD tails. Returns,
+    in MERGED order: (vals, is_q, present, is_pad, run_first) where
+    ``present`` marks entries whose equal-value run contains a key.
+    Callers then select/compact in merged order — which is sorted — so
+    no route-back sort is ever needed (the reference's analog is the
+    sequential two-iterator walk of add_dummy_sink_kmers,
+    boss_chunk_construct.cpp:55-98)."""
+    kt = _tag_lanes(keys, 0)
+    qt = _tag_lanes(queries, 1)
+    merged, _ = pmerge.merge_sorted(kt, qt)
+    tagbit = merged[-1] & np.uint32(1)
+    vals = packed.shift_right(merged, 1)
+    is_pad = vals[0] >= _PAD_TOP_AFTER_SHIFT
+    is_q = (tagbit == 1) & ~is_pad
+    is_key = jnp.where((tagbit == 0) & ~is_pad, 1, 0).astype(jnp.int32)
+    keys_incl = packed.blocked_cumsum(is_key)
+    run_first = packed.neighbor_ne(vals)
+    # keys sort before queries within a run (tag bit), so "my run has a
+    # key" = key count grew since the run started; the run-start count is
+    # forward-filled with a running max (it is nondecreasing across runs)
+    excl_at_first = jnp.where(run_first, keys_incl - is_key, 0)
+    run_excl = packed.blocked_cummax(excl_at_first)
+    present = (keys_incl - run_excl) > 0
+    return vals, is_q, present, is_pad, run_first
+
+
+def _sink_candidates(real, n_real, K: int, B: int, cap_out: int):
+    """Dummy sink edges (node = e_2..e_K, label $): target nodes of real
+    edges with no real outgoing edge, sorted + deduped
+    (reference: add_dummy_sink_kmers, boss_chunk_construct.cpp:55-98).
+    Returns (sinks (L, cap_out) sorted, TRUE count pre-truncation)."""
     cap = real.shape[1]
+    L = real.shape[0]
     valid = packed.valid_mask(cap, n_real)
+    real_nodes = packing.node_key(real, B)       # order-preserving: sorted
+    keys = jnp.where(valid[None, :], real_nodes, packed.full_pad(cap, L))
     shifted = packing.to_next(real, K, B, 0)
-    # membership: does any real edge leave node(shifted)?
-    real_nodes = packing.node_key(real, B)           # sorted (order-preserving proj.)
-    q_nodes = packing.node_key(shifted, B)
-    present = packed.isin_sorted(real_nodes, q_nodes)
-    keep = valid & ~present
-    cand, n_cand, _ = packed.compact(shifted, keep, cap)
-    cand_s, _ = packed.sort(cand)
-    first = packed.neighbor_ne(cand_s) & packed.valid_mask(cap, n_cand)
-    out, n_out, _ = packed.compact(cand_s, first, cap)
-    return out, n_out
+    q_nodes = jnp.where(valid[None, :], packing.node_key(shifted, B),
+                        packed.full_pad(cap, L))
+    q_s, _ = pmerge.sort_packed(q_nodes)
+    vals, is_q, present, is_pad, run_first = _merge_membership(keys, q_s)
+    # keep each no-key run's first query once (dedupe falls out of the
+    # merged order: duplicates are adjacent)
+    keep = is_q & ~present & ~is_pad & run_first
+    nodes_out, n_out, _ = pmerge.partition_compact(vals, keep, cap_out)
+    m = jnp.minimum(n_out, cap_out)
+    sinks = jnp.where(packed.valid_mask(cap_out, m)[None, :],
+                      packed.shift_left(nodes_out, B),
+                      packed.full_pad(cap_out, L))
+    return sinks, n_out
 
 
-@functools.partial(jax.jit, static_argnames=("K", "B"))
-def _dummy_source_stage(real, n_real, K: int, B: int):
-    """Dummy-1 source edges ($ e_1..e_{K-2}, label e_{K-1}) for source nodes
-    with no real incoming edge
-    (reference: add_dummy_source_kmers, boss_chunk_construct.cpp:100-166)."""
+def _source_candidates(real, n_real, K: int, B: int, cap_out: int):
+    """Dummy-1 source edges ($ e_1..e_{K-2}, label e_{K-1}) for source
+    nodes with no real incoming edge
+    (reference: add_dummy_source_kmers, boss_chunk_construct.cpp:100-166).
+
+    The query key is target_key(to_prev(e)) = (e_1..e_{K-2}, e_{K-1}) —
+    which both identifies the candidate uniquely AND sorts in exactly
+    the BOSS order of the reconstructed dummy edge, so the compacted
+    merged output is already sorted. Returns (src sorted, TRUE count)."""
     cap = real.shape[1]
+    L = real.shape[0]
+    n = cap
     valid = packed.valid_mask(cap, n_real)
-    node_first = packed.neighbor_ne(packing.node_key(real, B)) & valid
+    real_nodes = packing.node_key(real, B)
+    node_first = packed.neighbor_ne(real_nodes) & valid
     prev = packing.to_prev(real, K, B, 0)
-    # redundancy: source node of the real edge has an incoming real edge
-    tkeys = packing.target_key(real, B)
-    tkeys_s, _ = packed.sort(tkeys)
-    has_incoming = packed.isin_sorted(tkeys_s, packing.target_key(prev, B))
-    keep = node_first & ~has_incoming
-    cand, n_cand, _ = packed.compact(prev, keep, cap)
-    cand_s, _ = packed.sort(cand)
-    return cand_s, n_cand
-
-
-@functools.partial(jax.jit, static_argnames=("K", "B"))
-def _dummy_level_stage(cur, n_cur, K: int, B: int):
-    """Next dummy-source level: prepend one more $ to each distinct source
-    node (reference: boss_chunk_construct.cpp:286-306)."""
-    cap = cur.shape[1]
-    valid = packed.valid_mask(cap, n_cur)
-    node_first = packed.neighbor_ne(packing.node_key(cur, B)) & valid
-    nxt = packing.to_prev(cur, K, B, 0)
-    cand, n_cand, _ = packed.compact(nxt, node_first, cap)
-    cand_s, _ = packed.sort(cand)
-    return cand_s, n_cand
+    q_t = packing.target_key(prev, B)
+    qm = jnp.where(node_first[None, :], q_t, packed.full_pad(cap, L))
+    q_s, _ = pmerge.sort_packed(qm)
+    tkeys = jnp.where(valid[None, :], packing.target_key(real, B),
+                      packed.full_pad(cap, L))
+    tk_s, _ = pmerge.sort_packed(tkeys)
+    vals, is_q, present, is_pad, _ = _merge_membership(tk_s, q_s)
+    keep = is_q & ~present & ~is_pad
+    tk_out, n_src, _ = pmerge.partition_compact(vals, keep, cap_out)
+    # reconstruct the edge from its target key: fields (e_1..e_{K-2})
+    # move up one slot (past the $ sentinel), e_{K-1} stays the label
+    lab = packing.label(tk_out, B)
+    body = packed.set_field(tk_out, 0, jnp.zeros((cap_out,), jnp.uint32), B)
+    src = packed.set_field(packed.shift_left(body, B), 0, lab, B)
+    m = jnp.minimum(n_src, cap_out)
+    src = jnp.where(packed.valid_mask(cap_out, m)[None, :], src,
+                    packed.full_pad(cap_out, L))
+    return src, n_src
 
 
 @functools.partial(jax.jit, static_argnames=("K", "B"))
@@ -253,36 +315,19 @@ def _finish_stage(real, counts, n_real, K: int, B: int, alph_size: int,
     if canonical:
         real, counts, n_real = _add_rc_stage.__wrapped__(
             real, counts, n_real, K, B, complement)
-    cap = real.shape[1]
-    valid = packed.valid_mask(cap, n_real)
-    # dummy sinks (merge-based membership: sorts beat gather-bound
-    # binary search when |queries| ~ |keys|)
-    shifted = packing.to_next(real, K, B, 0)
-    real_nodes = packing.node_key(real, B)
-    q_nodes = jnp.where(valid[None, :], packing.node_key(shifted, B),
-                        packed.full_pad(cap, real.shape[0]))
-    present = packed.isin_merge(real_nodes, q_nodes)
-    cand, n_sink_cand, _ = packed.compact(shifted, valid & ~present, cap_d)
-    cand_s, _ = packed.sort(cand)
-    first = packed.neighbor_ne(cand_s) \
-        & packed.valid_mask(cap_d, jnp.minimum(n_sink_cand, cap_d))
-    sinks, n_sinks, _ = packed.compact(cand_s, first, cap_d)
-    # dummy-1 sources
-    node_first = packed.neighbor_ne(real_nodes) & valid
-    prev = packing.to_prev(real, K, B, 0)
-    tkeys = jnp.where(valid[None, :], packing.target_key(real, B),
-                      packed.full_pad(cap, real.shape[0]))
-    q_tkeys = jnp.where(valid[None, :], packing.target_key(prev, B),
-                        packed.full_pad(cap, real.shape[0]))
-    has_incoming = packed.isin_merge(tkeys, q_tkeys)
-    cand, n_src, _ = packed.compact(prev, node_first & ~has_incoming, cap_d)
-    src, _ = packed.sort(cand)
+    # dummy sinks + dummy-1 sources: one linear merge each against the
+    # sorted real-edge projections (no route-back sorts)
+    sinks, n_sink_cand = _sink_candidates(real, n_real, K, B, cap_d)
+    src, n_src = _source_candidates(real, n_real, K, B, cap_d)
+    n_sinks = jnp.minimum(n_sink_cand, cap_d)
     # levels (level counts are non-increasing from n_src, so cap_d holds
     # them all whenever n_src fits)
-    levels, n_levels_total = _levels_phase.__wrapped__(src, n_src, K, B)
+    levels, n_levels_total = _levels_phase.__wrapped__(
+        src, jnp.minimum(n_src, cap_d), K, B)
     kept, n_kept, W, last, F, weights = _merge_emit_body(
-        real, counts, n_real, sinks, n_sinks, src, n_src, levels,
-        n_levels_total, K, B, alph_size, max_count)
+        real, counts, n_real, sinks, n_sinks, src,
+        jnp.minimum(n_src, cap_d), levels, n_levels_total, K, B,
+        alph_size, max_count)
     # search LUT over the padded kept buffer (tail is PAD = all-ones, and
     # real top-16 values are < 0xFFFF, so bucket starts are exact); built
     # here so the host learns max_bucket in the SAME sync as the stats —
@@ -311,7 +356,8 @@ def _merge_emit_stage(real, counts, n_real, sinks, n_sinks, src, n_src,
 def _merge_emit_body(real, counts, n_real, sinks, n_sinks, src, n_src,
                      levels, n_levels_total, K: int, B: int,
                      alph_size: int, max_count: int):
-    """Concat + global sort + the initialize_chunk emit, one dispatch."""
+    """Sort the (small) dummy side, merge it into the (already sorted)
+    real side in one linear pass, then the initialize_chunk emit."""
     L = real.shape[0]
 
     def masked(lanes, n):
@@ -319,14 +365,21 @@ def _merge_emit_body(real, counts, n_real, sinks, n_sinks, src, n_src,
         return jnp.where(v[None, :], lanes,
                          packed.full_pad(lanes.shape[1], L))
 
-    parts = [masked(real, n_real), masked(sinks, n_sinks),
-             masked(src, n_src), levels, packed.zeros(1, L)]
-    cparts = [jnp.where(packed.valid_mask(real.shape[1], n_real), counts, 0)]
-    for p in parts[1:]:
-        cparts.append(jnp.zeros((p.shape[1],), jnp.int32))
-    merged = jnp.concatenate(parts, axis=1)
-    mcounts = jnp.concatenate(cparts)
-    merged, (mcounts,) = packed.sort(merged, mcounts)
+    # every dummy key is distinct from every real key (dummies contain a
+    # sentinel char; reals never do), so the unstable merge reproduces
+    # the stable sorted order bit-for-bit
+    dummies = jnp.concatenate(
+        [masked(sinks, n_sinks), masked(src, n_src), levels,
+         packed.zeros(1, L)], axis=1)
+    dummies_s, _ = pmerge.sort_packed(dummies)
+    real_m = masked(real, n_real)
+    counts_m = jnp.where(packed.valid_mask(real.shape[1], n_real), counts, 0)
+    merged, (mcounts,) = pmerge.merge_sorted(
+        real_m, dummies_s, (counts_m,),
+        (jnp.zeros((dummies_s.shape[1],), jnp.int32),))
+    mcounts = jnp.where(packed.valid_mask(
+        merged.shape[1], n_real + n_sinks + n_src + n_levels_total + 1),
+        mcounts, 0)
     n_total = n_real + n_sinks + n_src + n_levels_total + 1
     return _emit_body(merged, mcounts, n_total, K, B, alph_size, max_count)
 
@@ -345,7 +398,8 @@ def _emit_body(merged, counts, n_total, K, B, alph_size, max_count):
     topc = packing.top_char(merged, K, B)
     skip = same_next & (labels == 0) & (topc != 0)
     keep = valid & ~skip
-    kept, n_kept, (kcounts,) = packed.compact(merged, keep, cap, counts)
+    kept, n_kept, (kcounts,) = pmerge.partition_compact(
+        merged, keep, cap, counts)
 
     kvalid = packed.valid_mask(cap, n_kept)
     knodes = packing.node_key(kept, B)
@@ -357,15 +411,19 @@ def _emit_body(merged, counts, n_total, K, B, alph_size, max_count):
     klabels = packing.label(kept, B)
     ktopc = packing.top_char(kept, K, B)
 
-    # minus flags: not the first occurrence of the (target node, label) key;
-    # computed with a sort + sort-back (scatters are slow on TPU)
+    # minus flags: not the first occurrence of the (target node, label)
+    # key; computed with a sort + sort-back (scatters are slow on TPU).
+    # The edge index rides as an extra KEY lane so the unstable Pallas
+    # sort still puts the smallest edge index first within each group —
+    # "first occurrence" must mean first in BOSS order (boss_chunk.cpp:95)
     tkeys = packing.target_key(kept, B)
-    idx = jnp.arange(cap, dtype=jnp.int32)
-    tk_s, (idx_s,) = packed.sort(tkeys, idx)
-    first_s = packed.neighbor_ne(tk_s)
-    back = jax.lax.sort((idx_s, (~first_s).astype(jnp.uint8)), num_keys=1,
-                        is_stable=True)
-    minus = back[1].astype(bool)
+    idx = jnp.arange(cap, dtype=jnp.uint32)
+    tki = jnp.concatenate([tkeys, idx[None, :]], axis=0)
+    tki_s, _ = pmerge.sort_packed(tki)
+    first_s = packed.neighbor_ne(tki_s[:-1])
+    back, (flags_b,) = pmerge.sort_packed(
+        tki_s[-1:], (~first_s).astype(jnp.uint32))
+    minus = flags_b.astype(bool)
     minus = minus & (klabels != 0) & kvalid
 
     W = jnp.where(minus, klabels + alph_size, klabels).astype(jnp.int32)
@@ -452,39 +510,57 @@ LARGE_FINISH_CAP = 40 << 20    # fused finish verified at this capacity
 # larger goes through the staged path below)
 
 
+@functools.partial(jax.jit, static_argnames=("K", "B", "cap_out"))
+def _sink_stage(real, n_real, K: int, B: int, cap_out: int):
+    return _sink_candidates(real, n_real, K, B, cap_out)
+
+
+@functools.partial(jax.jit, static_argnames=("K", "B", "cap_out"))
+def _source_stage(real, n_real, K: int, B: int, cap_out: int):
+    return _source_candidates(real, n_real, K, B, cap_out)
+
+
+def _sync_scalar(x) -> int:
+    """Force + fetch one device scalar (the axon runtime defers
+    execution until a materialization, so this IS the stage barrier)."""
+    return int(np.asarray(x))
+
+
 def _build_boss_from_kmers_large(real, counts, n_real, K, alphabet, mode,
                                  bits_per_count, keep_kmer_index) -> Boss:
-    """Stage-by-stage finish for very large inputs. The fused single
-    dispatch holds ~8 full-width tensors live at once and runs out of
-    HBM past ~50M k-mers; here each stage syncs, slices its output to a
-    tight bucket, and frees before the next stage launches — host round
-    trips are fully amortized at this scale."""
+    """Stage-by-stage finish for very large inputs. Each stage syncs,
+    slices its output to a tight bucket, and frees before the next stage
+    launches: the fused dispatch must size dummy buffers statically
+    (capacity >> true counts — pure sort/merge waste at this scale) and
+    holds every intermediate live at once, running out of HBM past ~50M
+    k-mers. Host round trips (~120 ms each) are fully amortized here."""
     import gc
     B = alphabet.bits_per_char
     max_count = (1 << bits_per_count) - 1 if bits_per_count else (1 << 31) - 1
     if mode == MODE_CANONICAL:
         real, counts, n_arr = _add_rc_stage(
             real, counts, jnp.int32(n_real), K, B, alphabet.complement)
-        n_real = int(n_arr)
+        n_real = _sync_scalar(n_arr)
         cap2 = _bucket(n_real)
-        real = jax.block_until_ready(real[:, :cap2])
+        real = real[:, :cap2]
         counts = counts[:cap2]
         gc.collect()
-    sinks, n_sinks_d = _dummy_sink_stage(real, jnp.int32(n_real), K, B)
-    n_sinks = int(n_sinks_d)
-    sinks = jax.block_until_ready(sinks[:, :_bucket(n_sinks, lo=4096)])
-    gc.collect()
-    src, n_src_d = _dummy_source_stage(real, jnp.int32(n_real), K, B)
-    n_src = int(n_src_d)
-    src = jax.block_until_ready(src[:, :_bucket(n_src, lo=4096)])
+    # candidate buffers at full capacity: staged never overflows/retries
+    cap = real.shape[1]
+    sinks, n_sinks_d = _sink_stage(real, jnp.int32(n_real), K, B, cap)
+    src, n_src_d = _source_stage(real, jnp.int32(n_real), K, B, cap)
+    n_sinks = _sync_scalar(n_sinks_d)
+    n_src = _sync_scalar(n_src_d)
+    sinks = sinks[:, :_bucket(n_sinks, lo=4096)]
+    src = src[:, :_bucket(n_src, lo=4096)]
     gc.collect()
     levels, n_lvl_d = _levels_phase(src, jnp.int32(n_src), K, B)
-    n_levels_total = int(n_lvl_d)
+    n_levels_total = _sync_scalar(n_lvl_d)
     kept, n_kept_d, W, last, F, weights = _merge_emit_stage(
         real, counts, jnp.int32(n_real), sinks, jnp.int32(n_sinks),
         src, jnp.int32(n_src), levels, jnp.int32(n_levels_total),
         K, B, alphabet.size, max_count)
-    n_kept = int(n_kept_d)
+    n_kept = _sync_scalar(n_kept_d)
     del real, counts, sinks, src, levels
     gc.collect()
     lut = max_bucket = None
@@ -494,7 +570,7 @@ def _build_boss_from_kmers_large(real, counts, n_real, K, alphabet, mode,
                                side="left").astype(jnp.int32)
         lut = jnp.minimum(jnp.concatenate(
             [lut, jnp.full((1,), kept.shape[1], jnp.int32)]), n_kept)
-        max_bucket = int(jnp.max(jnp.diff(lut)))
+        max_bucket = _sync_scalar(jnp.max(jnp.diff(lut)))
     return Boss.from_finish(
         k=K - 1, alph_size=alphabet.size, bits_per_char=B,
         kept=kept, W=W, last=last, F=F, n_kept=n_kept,

@@ -84,5 +84,6 @@ def extract_packed_kmers(
             field = jax.lax.slice(codes, (off,), (off + num_windows,)) \
                 .astype(jnp.uint32)
             ok = ok & (field == np.uint32(c))
-    lanes, count, _ = packed.compact(lanes, ok, num_windows)
+    from ..common import merge as pmerge
+    lanes, count, _ = pmerge.partition_compact(lanes, ok, num_windows)
     return lanes, count
