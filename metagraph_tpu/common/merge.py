@@ -23,14 +23,15 @@ Design (shared by merge_sorted and the segmented levels of sort_packed):
     the A-side precede it in the merge; per-chunk window descriptors
     (A start, A length, B start in a reversed layout) are handed to the
     kernel as scalar-prefetch arrays. PAD (all-ones) tails act as +inf.
-  * Pallas side: each grid step DMAs its two input windows (row-aligned
-    reads + an in-register dynamic element rotate), masks foreign
-    elements to PAD, forms the bitonic sequence [A asc | B desc], and
-    runs the log2(2C) bitonic-merge exchange stages entirely in VMEM —
-    sublane-reshape exchanges for strides >= 128, lane rotates below.
-    Payload columns ride as extra lanes through every exchange.
-    Input DMAs are double-buffered: chunk g+1's windows stream in while
-    chunk g's exchange network runs.
+  * Pallas side: each side's window is covered by two adjacent
+    C-aligned blocks whose indices come from the scalar-prefetch
+    descriptors, so Mosaic streams ALL inputs with its own pipelining
+    (no manual DMA). In-register: dynamic sublane+lane rolls trim the
+    windows, B's window is reversed (index-XOR swap rounds), foreign
+    elements become PAD, and the [A asc | B desc] bitonic sequence runs
+    the log2(2C) exchange stages — sublane-reshape exchanges for
+    strides >= 128, lane rotates below. Payload columns ride as extra
+    lanes through every exchange.
 
 The merged output is sorted; the relative order of *equal* keys is NOT
 preserved (bitonic networks are unstable). Every call site in this
@@ -122,9 +123,9 @@ def _segment_splits(x: jax.Array, run: int, chunk: int) -> Tuple[jax.Array,
     ``x`` is (L, Np) holding Np/run sorted runs back to back (Np a
     multiple of chunk; run a multiple of chunk). Adjacent run pairs
     (2p, 2p+1) merge; a trailing lone run passes through. Returns
-    (ae, ln, be): per output chunk, the A-window element start in the
-    forward layout, the A length, and the B-window element start in the
-    reversed layout (see _stack_rev).
+    (ae, ln, be): per output chunk, the A-window element start, the A
+    length, and the B-window element start (both forward coordinates;
+    the kernel reverses B's window in-register).
     """
     L, Np = x.shape
     G = Np // chunk
@@ -160,7 +161,7 @@ def _segment_splits(x: jax.Array, run: int, chunk: int) -> Tuple[jax.Array,
     ln = (m_next - m[:-1]).astype(jnp.int32)
     b_lo = (d - m)[:G]
     rb0 = (p * (2 * S) + S)[:G]
-    be = (Np - rb0 - b_lo).astype(jnp.int32)
+    be = (rb0 + b_lo).astype(jnp.int32)     # forward B-window start
     return ae.astype(jnp.int32), ln, be
 
 
@@ -219,51 +220,60 @@ def _bitonic_merge(keys, pays, R2: int):
     return arrs[:nk], arrs[nk:]
 
 
+def _window(b0, b1, loc, R: int):
+    """Assemble the C-element window starting at element ``loc`` of the
+    two adjacent C-blocks [b0 | b1] ((R, 128) each): a dynamic sublane
+    roll drops whole rows, a dynamic lane roll + next-row blend drops
+    the remainder. All in-register — no manual DMA."""
+    from jax.experimental.pallas import tpu as pltpu
+    tr = loc // _LANE
+    tl = loc % _LANE
+    w = jnp.concatenate([b0, b1], axis=0)              # (2R, 128)
+    rolled = pltpu.roll(w, 2 * R - tr, 0)[:R + 1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (R, _LANE), 1)
+    sh = (_LANE - tl) % _LANE
+    same = pltpu.roll(rolled[:R], sh, 1)
+    nxt = pltpu.roll(rolled[1:R + 1], sh, 1)
+    return jnp.where(lane < _LANE - tl, same, nxt)
+
+
+def _reverse_flat(x, R: int):
+    """Reverse a (R, 128) array in flat row-major element order — i.e.
+    element i moves to R*128-1-i. Index reversal is XOR with all ones:
+    log2(R) static half-swaps on rows + 7 XOR-roll rounds on lanes.
+    Used to turn an ascending B window descending in-register, instead
+    of materializing a reversed copy of the whole array in HBM."""
+    from jax.experimental.pallas import tpu as pltpu
+    s = R // 2
+    while s >= 1:                                       # rows: i ^= s
+        n2 = R // (2 * s)
+        v = x.reshape(n2, 2, s, _LANE)
+        x = jnp.concatenate([v[:, 1], v[:, 0]], axis=1).reshape(R, _LANE)
+        s //= 2
+    lane = jax.lax.broadcasted_iota(jnp.int32, (R, _LANE), 1)
+    s = 64
+    while s >= 1:                                       # lanes: i ^= s
+        bit = (lane & s) != 0
+        x = jnp.where(bit, pltpu.roll(x, s, 1), pltpu.roll(x, _LANE - s, 1))
+        s //= 2
+    return x
+
+
 def _make_kernel(L: int, n_extra: int, C: int):
-    """Descriptor-driven merge kernel. Payloads ride as extra lanes of
-    the stacked (L+n_extra, rows, 128) inputs: one scratch buffer and
-    one DMA pattern per side regardless of payload count. Lanes [0, L)
-    are compared; the rest only move. Input windows are double-buffered:
-    chunk g+1's DMAs start before chunk g's exchange network runs."""
+    """Descriptor-driven merge kernel with fully blocked, auto-pipelined
+    I/O: each side's window is covered by two adjacent C-aligned blocks
+    whose indices come from the scalar-prefetch descriptors, so Mosaic
+    streams all inputs (double-buffered) while the exchange network
+    runs. Payloads ride as extra lanes of the stacked inputs; lanes
+    [0, L) are compared, the rest only move."""
     R = _rows(C)
     LT = L + n_extra
 
-    def kernel(ae_ref, ln_ref, be_ref, fwd_ref, rev_ref, out_ref,
-               sa, sb, sems):
+    def kernel(ae_ref, ln_ref, be_ref, a0, a1, b0, b1, out_ref):
         import jax.experimental.pallas as pl
-        from jax.experimental.pallas import tpu as pltpu
         g = pl.program_id(0)
-        G = pl.num_programs(0)
-
-        def copies(gg, slot):
-            ar = ae_ref[gg] // _LANE
-            br = be_ref[gg] // _LANE
-            cps = []
-            for j in range(LT):
-                cps.append(pltpu.make_async_copy(
-                    fwd_ref.at[j, pl.ds(ar, R + 1), :], sa.at[slot, j],
-                    sems.at[slot, 0, j]))
-                cps.append(pltpu.make_async_copy(
-                    rev_ref.at[j, pl.ds(br, R + 1), :], sb.at[slot, j],
-                    sems.at[slot, 1, j]))
-            return cps
-
-        @pl.when(g == 0)
-        def _():
-            for c in copies(0, 0):
-                c.start()
-
-        @pl.when(g + 1 < G)
-        def _():
-            for c in copies(g + 1, (g + 1) % 2):
-                c.start()
-
-        slot = g % 2
-        for c in copies(g, slot):
-            c.wait()
-
-        ta = ae_ref[g] % _LANE
-        tb = be_ref[g] % _LANE
+        la = ae_ref[g] % C
+        lb = be_ref[g] % C
         len_a = ln_ref[g]
         full_a = len_a == C
 
@@ -273,7 +283,7 @@ def _make_kernel(L: int, n_extra: int, C: int):
         @pl.when(full_a)
         def _():
             for j in range(LT):
-                out_ref[j] = _shift_window(sa[slot, j], ta, R)
+                out_ref[j] = _window(a0[j], a1[j], la, R)
 
         @pl.when(~full_a)
         def _():
@@ -281,14 +291,14 @@ def _make_kernel(L: int, n_extra: int, C: int):
                    * _LANE
                    + jax.lax.broadcasted_iota(jnp.int32, (R, _LANE), 1))
             in_a = pos < len_a
-            # descending B window: foreign elements sit in the first
-            # len_a slots and must become +inf (PAD) to keep the
-            # combined sequence bitonic
+            # descending B window (reversed in-register from the forward
+            # read): foreign elements sit in the first len_a slots and
+            # must become +inf (PAD) to keep the combined sequence bitonic
             in_b = pos >= len_a
             keys, pays = [], []
             for j in range(LT):
-                av = _shift_window(sa[slot, j], ta, R)
-                bv = _shift_window(sb[slot, j], tb, R)
+                av = _window(a0[j], a1[j], la, R)
+                bv = _reverse_flat(_window(b0[j], b1[j], lb, R), R)
                 if j < L:       # key lanes: mask foreign slots to PAD
                     av = jnp.where(in_a, av, packed.PAD_LANE)
                     bv = jnp.where(in_b, bv, packed.PAD_LANE)
@@ -318,23 +328,6 @@ def _stack_fwd(lanes_x, extras_x, L: int, slack: int):
     return y.reshape(LT, y.shape[1] // _LANE, _LANE)
 
 
-def _stack_rev(lanes_x, extras_x, L: int, pre: int, slack: int):
-    """Reversed layout with ``pre`` PAD elements in front: position i
-    holds element Np-1-(i-pre). The descending window for a chunk that
-    has consumed b_lo elements of a run starting at forward rb0 begins
-    at element Np - rb0 - b_lo (pre = chunk folded in)."""
-    cols = [lanes_x[j] for j in range(L)] + \
-           [e.view(jnp.uint32) if e.dtype != jnp.uint32 else e
-            for e in extras_x]
-    x = jnp.stack(cols, axis=0)
-    LT = x.shape[0]
-    xf = jnp.flip(x, axis=1)
-    y = jnp.concatenate(
-        [jnp.full((LT, pre), packed.PAD_LANE, jnp.uint32), xf,
-         jnp.full((LT, slack), packed.PAD_LANE, jnp.uint32)], axis=1)
-    return y.reshape(LT, y.shape[1] // _LANE, _LANE)
-
-
 @functools.partial(jax.jit, static_argnames=("L", "chunk", "interpret",
                                              "out_elems"))
 def _merge_call(fwd, rev, ae, ln, be, L: int, chunk: int, interpret: bool,
@@ -348,21 +341,28 @@ def _merge_call(fwd, rev, ae, ln, be, L: int, chunk: int, interpret: bool,
     G = out_elems // C
 
     kernel = _make_kernel(L, n_extra, C)
+    blk = (LT, R, _LANE)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(G,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
-        out_specs=pl.BlockSpec((LT, R, _LANE), lambda g, ae, ln, be: (0, g, 0),
+        in_specs=[
+            pl.BlockSpec(blk, lambda g, ae, ln, be: (0, ae[g] // C, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(blk, lambda g, ae, ln, be: (0, ae[g] // C + 1, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(blk, lambda g, ae, ln, be: (0, be[g] // C, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(blk, lambda g, ae, ln, be: (0, be[g] // C + 1, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(blk, lambda g, ae, ln, be: (0, g, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=(
-            [pltpu.VMEM((2, LT, R + 1, _LANE), jnp.uint32)] * 2
-            + [pltpu.SemaphoreType.DMA((2, 2, LT))]),
     )
     res = pl.pallas_call(
         kernel, grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((LT, G * R, _LANE), jnp.uint32),
         interpret=interpret,
-    )(ae, ln, be, fwd, rev)
+    )(ae, ln, be, fwd, fwd, rev, rev)
     return res.reshape(LT, G * C)
 
 
@@ -433,12 +433,11 @@ def merge_sorted(a: jax.Array, b: jax.Array,
     G = (pa + pb) // chunk
     ae = ai[:G]
     ln = ai[1:] - ai[:-1]
-    be = (jnp.asarray(pb, jnp.int32)
-          - (jnp.arange(G, dtype=jnp.int32) * chunk - ae))
-    fwd = _stack_fwd(a, a_extras, L, chunk + _LANE)
-    rev = _stack_rev(b, b_extras, L, chunk, _LANE)
+    be = jnp.arange(G, dtype=jnp.int32) * chunk - ae    # b_lo, forward
+    fwd_a = _stack_fwd(a, a_extras, L, 2 * chunk)
+    fwd_b = _stack_fwd(b, b_extras, L, 2 * chunk)
     edtypes = [e.dtype for e in a_extras]
-    flat = _merge_call(fwd, rev, ae, ln, be, L, chunk, interpret,
+    flat = _merge_call(fwd_a, fwd_b, ae, ln, be, L, chunk, interpret,
                        out_elems=pa + pb)
     lanes, extras = _unstack(flat, L, edtypes)
     if lanes.shape[1] != ntot:
@@ -490,9 +489,8 @@ def sort_packed(x: jax.Array, *extras: jax.Array,
     run = leaf
     while run < Np:
         ae, ln, be = _segment_splits(x, run, chunk)
-        fwd = _stack_fwd(x, extras, L, chunk + _LANE)
-        rev = _stack_rev(x, extras, L, chunk, _LANE)
-        flat = _merge_call(fwd, rev, ae, ln, be, L, chunk, interpret,
+        fwd = _stack_fwd(x, extras, L, 2 * chunk)
+        flat = _merge_call(fwd, fwd, ae, ln, be, L, chunk, interpret,
                            out_elems=Np)
         x, extras = _unstack(flat, L, edtypes)
         run *= 2
@@ -530,7 +528,12 @@ def _shift_flat_left(x, s: int, R: int):
 
 
 def _prefix_sum_excl(x, R: int):
-    """Exclusive prefix sum of int32 (R, 128) in flat row-major order."""
+    """Exclusive prefix sum of int32 (R, 128) in flat row-major order.
+
+    Within-row scan by lane rolls; the cross-row exclusive scan is a
+    strictly-lower-triangular matmul on the MXU (row sums <= chunk <<
+    2^24, exact in f32) — Mosaic rejects the offset-row concatenates a
+    shift-based row scan would need."""
     from jax.experimental.pallas import tpu as pltpu
     lane = jax.lax.broadcasted_iota(jnp.int32, (R, _LANE), 1)
     incl = x
@@ -540,13 +543,12 @@ def _prefix_sum_excl(x, R: int):
         incl = incl + sh
         s *= 2
     row_tot = incl[:, _LANE - 1:_LANE]                    # (R, 1)
-    acc = row_tot
-    s = 1
-    while s < R:
-        acc = acc + jnp.concatenate(
-            [jnp.zeros((s, 1), jnp.int32), acc[:-s]], axis=0)
-        s *= 2
-    row_excl = acc - row_tot
+    rows_i = jax.lax.broadcasted_iota(jnp.int32, (R, R), 0)
+    cols_i = jax.lax.broadcasted_iota(jnp.int32, (R, R), 1)
+    tri = (cols_i < rows_i).astype(jnp.float32)
+    row_tot_b = jnp.broadcast_to(row_tot, (R, _LANE)).astype(jnp.float32)
+    row_excl = jnp.dot(tri, row_tot_b,
+                       preferred_element_type=jnp.float32).astype(jnp.int32)
     return incl - x + row_excl
 
 
@@ -604,10 +606,12 @@ def _make_partition_kernel(L: int, n_extra: int, C: int):
             y = jnp.where(lane >= t, rolled, prev)
             stage[idx] = y
             # carry = row nr of y (Mosaic has no dynamic_slice on TPU:
-            # select the row with an iota compare + sublane reduce)
-            carry[idx] = jnp.sum(
-                jnp.where(rows == nr, y, jnp.uint32(0)),
-                axis=0, keepdims=True)
+            # select the row with an iota compare + sublane reduce; the
+            # reduce runs in int32 — Mosaic rejects unsigned reductions —
+            # which is bit-exact here since only one row is nonzero)
+            sel = jnp.where(rows == nr, y, jnp.uint32(0)).astype(jnp.int32)
+            carry[idx] = jnp.sum(sel, axis=0, keepdims=True
+                                 ).astype(jnp.uint32)
             dst = (out_ref if idx < L else eout_refs[idx - L])
             if idx < L:
                 cps.append(pltpu.make_async_copy(

@@ -91,13 +91,51 @@ def _collect_stage(codes, K: int, B: int, suffix, canonical: bool, complement):
     return _sort_unique_ones_body(lanes, count)
 
 
+def pack_codes_host(codes_np: np.ndarray) -> np.ndarray:
+    """Host-side 4-bit packing of a char-code array (8 codes per uint32)
+    for the h2d transfer: the remote-TPU link moves ~0.5-1 GB/s, so the
+    input bytes are on the critical path of every large build. INVALID
+    (255) maps to nibble 15; only <=4-bit alphabets qualify.
+
+    Block layout: nibble i of word j holds code[i*(n/8) + j] — both the
+    host pack and the device unpack are then pure contiguous-slice
+    shift/ORs with no strided access or transpose."""
+    n = codes_np.shape[0]
+    npad = -(-n // 8) * 8
+    nib = codes_np
+    if npad != n:
+        nib = np.concatenate(
+            [nib, np.full(npad - n, INVALID_CODE, np.uint8)])
+    v = np.where(nib == INVALID_CODE, 15, nib).reshape(8, npad // 8)
+    words = v[0].astype(np.uint32)
+    for i in range(1, 8):
+        words |= v[i].astype(np.uint32) << np.uint32(4 * i)
+    return words
+
+
+def _unpack_codes(words: jax.Array, n: int) -> jax.Array:
+    """Device-side inverse of pack_codes_host -> (n,) uint8 codes."""
+    rows = [((words >> jnp.uint32(4 * i)) & jnp.uint32(0xF)
+             ).astype(jnp.uint8) for i in range(8)]
+    c = jnp.concatenate(rows)[:n]
+    return jnp.where(c == 15, jnp.uint8(INVALID_CODE), c)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "n", "K", "B", "suffix", "canonical", "complement"))
+def _collect_stage_packed(words, n: int, K: int, B: int, suffix,
+                          canonical: bool, complement):
+    return _collect_stage.__wrapped__(
+        _unpack_codes(words, n), K, B, suffix, canonical, complement)
+
+
 def _sort_unique_ones_body(lanes, count):
     """Sort-unique when every input k-mer has count 1 (the from-sequence
     path): the counts payload is dropped from the big sort — with unit
     counts the exclusive running sum is just the position index, so
     per-group counts come from compacted first-occurrence positions."""
     cap = lanes.shape[1]
-    lanes_s, _ = pmerge.sort_packed(lanes)
+    lanes_s, _ = packed.sort(lanes)
     first = packed.neighbor_ne(lanes_s)
     valid_s = packed.valid_mask(cap, count)      # PADs sorted to the back
     umask = first & valid_s
@@ -123,11 +161,8 @@ def _sort_unique_stage(lanes, counts, count):
     cap = lanes.shape[1]
     valid = packed.valid_mask(cap, count)
     counts = jnp.where(valid, counts, 0)
-    lanes_s, (counts_s,) = pmerge.sort_packed(lanes, counts)
-    # PAD-keyed payloads are unspecified under the Pallas sort: zero them
-    # so the running count sum stays exact
+    lanes_s, (counts_s,) = packed.sort(lanes, counts)
     valid_s = packed.valid_mask(cap, count)  # PADs sorted to the back
-    counts_s = jnp.where(valid_s, counts_s, 0)
     first = packed.neighbor_ne(lanes_s)
     umask = first & valid_s
     # int32 running sums: a single shard holds < 2^31 k-mer occurrences
@@ -160,7 +195,7 @@ def _add_rc_stage(lanes, counts, count, K: int, B: int, complement):
         rc, add_mask, cap, counts)
     # sort only the rc half, then one linear merge with the (already
     # sorted) canonical half — instead of re-sorting the 2x concat
-    rc_s, (rc_counts_s,) = pmerge.sort_packed(rc_comp, rc_counts)
+    rc_s, (rc_counts_s,) = packed.sort(rc_comp, rc_counts)
     lanes_m = jnp.where(valid[None, :], lanes,
                         packed.full_pad(cap, lanes.shape[0]))
     out_s, (counts_s,) = pmerge.merge_sorted(
@@ -226,7 +261,7 @@ def _sink_candidates(real, n_real, K: int, B: int, cap_out: int):
     shifted = packing.to_next(real, K, B, 0)
     q_nodes = jnp.where(valid[None, :], packing.node_key(shifted, B),
                         packed.full_pad(cap, L))
-    q_s, _ = pmerge.sort_packed(q_nodes)
+    q_s, _ = packed.sort(q_nodes)
     vals, is_q, present, is_pad, run_first = _merge_membership(keys, q_s)
     # keep each no-key run's first query once (dedupe falls out of the
     # merged order: duplicates are adjacent)
@@ -250,17 +285,16 @@ def _source_candidates(real, n_real, K: int, B: int, cap_out: int):
     merged output is already sorted. Returns (src sorted, TRUE count)."""
     cap = real.shape[1]
     L = real.shape[0]
-    n = cap
     valid = packed.valid_mask(cap, n_real)
     real_nodes = packing.node_key(real, B)
     node_first = packed.neighbor_ne(real_nodes) & valid
     prev = packing.to_prev(real, K, B, 0)
     q_t = packing.target_key(prev, B)
     qm = jnp.where(node_first[None, :], q_t, packed.full_pad(cap, L))
-    q_s, _ = pmerge.sort_packed(qm)
+    q_s, _ = packed.sort(qm)
     tkeys = jnp.where(valid[None, :], packing.target_key(real, B),
                       packed.full_pad(cap, L))
-    tk_s, _ = pmerge.sort_packed(tkeys)
+    tk_s, _ = packed.sort(tkeys)
     vals, is_q, present, is_pad, _ = _merge_membership(tk_s, q_s)
     keep = is_q & ~present & ~is_pad
     tk_out, n_src, _ = pmerge.partition_compact(vals, keep, cap_out)
@@ -371,7 +405,7 @@ def _merge_emit_body(real, counts, n_real, sinks, n_sinks, src, n_src,
     dummies = jnp.concatenate(
         [masked(sinks, n_sinks), masked(src, n_src), levels,
          packed.zeros(1, L)], axis=1)
-    dummies_s, _ = pmerge.sort_packed(dummies)
+    dummies_s, _ = packed.sort(dummies)
     real_m = masked(real, n_real)
     counts_m = jnp.where(packed.valid_mask(real.shape[1], n_real), counts, 0)
     merged, (mcounts,) = pmerge.merge_sorted(
@@ -419,10 +453,10 @@ def _emit_body(merged, counts, n_total, K, B, alph_size, max_count):
     tkeys = packing.target_key(kept, B)
     idx = jnp.arange(cap, dtype=jnp.uint32)
     tki = jnp.concatenate([tkeys, idx[None, :]], axis=0)
-    tki_s, _ = pmerge.sort_packed(tki)
+    tki_s, _ = packed.sort(tki, stable=False)
     first_s = packed.neighbor_ne(tki_s[:-1])
-    back, (flags_b,) = pmerge.sort_packed(
-        tki_s[-1:], (~first_s).astype(jnp.uint32))
+    back, (flags_b,) = packed.sort(
+        tki_s[-1:], (~first_s).astype(jnp.uint32), stable=False)
     minus = flags_b.astype(bool)
     minus = minus & (klabels != 0) & kvalid
 
@@ -469,9 +503,15 @@ def collect_kmers(
     if codes_np.shape[0] < target:
         codes_np = np.concatenate(
             [codes_np, np.full(target - codes_np.shape[0], INVALID_CODE, np.uint8)])
-    codes = jnp.asarray(codes_np)
-    ulanes, ucounts, ucount = _collect_stage(codes, K, B, tuple(suffix),
-                                             canonical, alphabet.complement)
+    if B == 4:
+        words = jnp.asarray(pack_codes_host(codes_np))
+        ulanes, ucounts, ucount = _collect_stage_packed(
+            words, codes_np.shape[0], K, B, tuple(suffix), canonical,
+            alphabet.complement)
+    else:
+        codes = jnp.asarray(codes_np)
+        ulanes, ucounts, ucount = _collect_stage(
+            codes, K, B, tuple(suffix), canonical, alphabet.complement)
     n_u = int(ucount)
     cap = _bucket(n_u)
     return ulanes[:, :max(cap, 1)], ucounts[:max(cap, 1)], n_u
@@ -605,7 +645,7 @@ def build_boss_from_kmers(
             real, counts, n_real, K, alphabet, mode, bits_per_count,
             keep_kmer_index)
     max_count = (1 << bits_per_count) - 1 if bits_per_count else (1 << 31) - 1
-    cap_d = max(real.shape[1] >> 4, 4096)
+    cap_d = max(real.shape[1] >> 6, 4096)
     while True:
         kept, W, last, F, weights, lut, stats = _finish_stage(
             real, counts, jnp.int32(n_real), K, B, alphabet.size,
@@ -641,9 +681,16 @@ def build_boss_from_codes(
         codes_np = np.concatenate(
             [codes_np,
              np.full(target - codes_np.shape[0], INVALID_CODE, np.uint8)])
-    ulanes, ucounts, ucount = _collect_stage(
-        jnp.asarray(codes_np), k, alphabet.bits_per_char, (), canonical,
-        alphabet.complement)
+    B = alphabet.bits_per_char
+    if B == 4:
+        words = jnp.asarray(pack_codes_host(codes_np))
+        ulanes, ucounts, ucount = _collect_stage_packed(
+            words, codes_np.shape[0], k, B, (), canonical,
+            alphabet.complement)
+    else:
+        ulanes, ucounts, ucount = _collect_stage(
+            jnp.asarray(codes_np), k, B, (), canonical,
+            alphabet.complement)
     n_u = int(ucount)
     cap = _bucket(n_u)
     return build_boss_from_kmers(
