@@ -145,12 +145,24 @@ def numpy_baseline_kmers_per_sec(seqs):
     return total_windows / dt, n_unique, total_windows
 
 
+def force(out):
+    """Materialize one element of every array: on the axon runtime,
+    block_until_ready returns before DEFERRED execution — only a d2h
+    materialization is a true barrier (measured round 4)."""
+    import jax
+    for a in jax.tree_util.tree_leaves(out):
+        if hasattr(a, "ravel") and getattr(a, "size", 0):
+            np.asarray(a.ravel()[:1])
+    return out
+
+
 def tpu_build_seconds(seqs):
     from metagraph_tpu.graph.boss_construct import build_boss
 
     # warm-up run compiles all stage kernels
     t0 = time.time()
     boss = build_boss(seqs, K)
+    force(boss.F)
     log(f"cold build (incl. compile): {time.time() - t0:.2f} s, "
         f"num_edges={boss.num_edges}")
     # warm runs: take the best of 5 (the remote runtime's dispatch
@@ -195,14 +207,14 @@ def bench_capacity(bw: float):
     rng = np.random.default_rng(0)
     codes = rng.integers(1, 5, n).astype(np.uint8)
     boss = build_boss_from_codes(codes, 20, DNA)      # compile + warm
-    jax.block_until_ready(boss.F)
+    force((boss.F, boss.NF, boss.last_rank.words))
     lanes = boss.edge_lanes.shape[0] if boss.edge_lanes is not None else 3
     del boss
     gc.collect()
     codes = rng.integers(1, 5, n).astype(np.uint8)
     t0 = time.time()
     boss = build_boss_from_codes(codes, 20, DNA)
-    jax.block_until_ready(boss.F)
+    force((boss.F, boss.NF, boss.last_rank.words))
     dt = time.time() - t0
     rate = (n - 19) / dt
     pct = roofline_pct(n - 19, lanes, dt, bw)
@@ -212,27 +224,62 @@ def bench_capacity(bw: float):
     return rate, pct
 
 
-def bench_sort(bw: float):
-    """Hot-kernel metric: packed-lane sort throughput at (L=2, N=16M),
-    the per-chip ceiling of the whole framework (VERDICT r2, missing #1).
-    Returns dict of {engine: seconds}."""
+def bench_kernels(bw: float):
+    """Hot-kernel metrics: the production Pallas kernels vs their
+    lax.sort formulations (the per-chip ceiling of the framework).
+    The construction pipeline replaced most SORTS with linear merges/
+    partitions of already-sorted data — a full Pallas sort was built
+    and measured SLOWER than XLA's sort (see COMPONENTS.md), so the
+    honest hot-kernel numbers are these."""
     import jax
     import jax.numpy as jnp
-    from metagraph_tpu.common import packed
+    from metagraph_tpu.common import merge, packed
     rng = np.random.default_rng(0)
     N = 1 << 24
-    x = jnp.asarray(rng.integers(0, 1 << 32, size=(2, N), dtype=np.uint64)
-                    .astype(np.uint32))
     res = {}
-    f = jax.jit(lambda v: packed.sort(v)[0])
-    jax.block_until_ready(f(x))
-    t0 = time.time()
-    jax.block_until_ready(f(x))
-    res["lane_sort"] = time.time() - t0
-    moved = 2 * 8 * N * 8  # ideal radix: 8 passes x read+write x 8B keys
-    log(f"sort (L=2, N=16M): {res['lane_sort']*1e3:.1f} ms "
-        f"({moved/res['lane_sort']/1e9:.0f} GB/s radix-equivalent, "
-        f"HBM {bw/1e9:.0f} GB/s)")
+
+    def timeit(f, *a):
+        force(f(*a))
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            force(f(*a))
+            best = min(best, time.time() - t0)
+        return best
+
+    v = np.sort(rng.integers(0, 1 << 62, N).astype(np.uint64))
+    a = jnp.asarray(
+        np.stack([np.zeros(N, np.uint32), (v >> 32).astype(np.uint32),
+                  (v & 0xFFFFFFFF).astype(np.uint32)]))
+    v2 = np.sort(rng.integers(0, 1 << 62, N).astype(np.uint64))
+    b = jnp.asarray(
+        np.stack([np.zeros(N, np.uint32), (v2 >> 32).astype(np.uint32),
+                  (v2 & 0xFFFFFFFF).astype(np.uint32)]))
+    force(a); force(b)
+    jm = jax.jit(lambda a, b: merge.merge_sorted(a, b)[0])
+    js = jax.jit(lambda a, b: packed.sort(
+        jnp.concatenate([a, b], axis=1))[0])
+    res["merge_ms"] = timeit(jm, a, b) * 1e3
+    res["merge_sort_ms"] = timeit(js, a, b) * 1e3
+    moved = 2 * 2 * N * 12          # read+write both sides, 12B keys
+    log(f"merge 16M+16M (L=3): {res['merge_ms']:.1f} ms "
+        f"({moved/res['merge_ms']/1e6:.0f} GB/s, HBM {bw/1e9:.0f} GB/s) "
+        f"vs lax.sort of concat {res['merge_sort_ms']:.1f} ms "
+        f"-> {res['merge_sort_ms']/res['merge_ms']:.2f}x")
+    keep = jnp.asarray(rng.random(2 * N) < 0.5)
+    x2 = jnp.concatenate([a, b], axis=1)
+    force(keep)
+    jp = jax.jit(lambda x, k: merge.partition_compact(x, k, 2 * N)[0])
+    jc = jax.jit(lambda x, k: packed.compact(x, k, 2 * N)[0])
+    res["partition_ms"] = timeit(jp, x2, keep) * 1e3
+    res["partition_sort_ms"] = timeit(jc, x2, keep) * 1e3
+    log(f"partition 32M (L=3): {res['partition_ms']:.1f} ms vs "
+        f"stable-sort compact {res['partition_sort_ms']:.1f} ms "
+        f"-> {res['partition_sort_ms']/res['partition_ms']:.2f}x")
+    jl = jax.jit(lambda x: packed.sort(x[:2])[0])
+    res["lane_sort_ms"] = timeit(jl, x2[:, :N]) * 1e3
+    log(f"lax.sort (L=2, N=16M): {res['lane_sort_ms']:.1f} ms "
+        f"(the remaining sort primitive)")
     return res
 
 
@@ -358,10 +405,16 @@ def main():
             log(f"capacity bench failed: {e}")
             out.setdefault("error", f"capacity: {e}")
         try:
-            sort_res = bench_sort(bw)
-            out["sort_l2_n16m_ms"] = round(sort_res["lane_sort"] * 1e3, 2)
+            kres = bench_kernels(bw)
+            out["merge_16m_ms"] = round(kres["merge_ms"], 2)
+            out["merge_vs_sort_x"] = round(
+                kres["merge_sort_ms"] / kres["merge_ms"], 2)
+            out["partition_32m_ms"] = round(kres["partition_ms"], 2)
+            out["partition_vs_sort_x"] = round(
+                kres["partition_sort_ms"] / kres["partition_ms"], 2)
+            out["sort_l2_n16m_ms"] = round(kres["lane_sort_ms"], 2)
         except Exception as e:
-            log(f"sort bench failed: {e}")
+            log(f"kernel bench failed: {e}")
 
     if os.environ.get("METAGRAPH_TPU_BENCH_EXTRA") and boss is not None:
         try:

@@ -1,5 +1,12 @@
 """Profile the capacity build (33.5M k-mers) stage by stage on the TPU.
 
+Axon-runtime gotcha (measured, round 4): computation can be DEFERRED
+until a d2h materialization — ``block_until_ready`` on a never-
+materialized buffer returns immediately without compiling or running
+anything. Every stage here is therefore forced with a 1-element
+``np.asarray`` slice (costs one d2h round trip ~30-60 ms, subtracted
+via the measured sync floor).
+
 Usage: python scripts/profile_capacity.py [n_log2]
 """
 import os
@@ -24,15 +31,33 @@ codes_np = rng.integers(1, 5, n).astype(np.uint8)
 B = DNA.bits_per_char
 
 
+def force(out):
+    """Materialize ONE element of every array in ``out`` (tuple/array)."""
+    leaves = jax.tree_util.tree_leaves(out)
+    for a in leaves:
+        if hasattr(a, "shape") and a.size:
+            np.asarray(a.ravel()[:1] if a.ndim else a)
+    return out
+
+
+# measure the d2h sync floor first
+_x = jnp.zeros((8,), jnp.int32)
+force(_x)
+t0 = time.time()
+for _ in range(5):
+    force(_x + 1)
+SYNC_MS = (time.time() - t0) / 5 * 1e3
+print(f"d2h sync floor: {SYNC_MS:.1f} ms", flush=True)
+
+
 def t(name, fn, *args, **kw):
-    # warm
-    out = fn(*args, **kw)
-    jax.block_until_ready(out)
-    t0 = time.time()
-    out = fn(*args, **kw)
-    jax.block_until_ready(out)
-    dt = time.time() - t0
-    print(f"{name:30s} {dt*1e3:9.1f} ms", flush=True)
+    out = force(fn(*args, **kw))          # compile + first real run
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        out = force(fn(*args, **kw))
+        best = min(best, time.time() - t0)
+    print(f"{name:32s} {best*1e3 - SYNC_MS:9.1f} ms", flush=True)
     return out
 
 
@@ -42,8 +67,9 @@ if codes_np.shape[0] < target:
         [codes_np, np.full(target - codes_np.shape[0], 255, np.uint8)])
 
 t0 = time.time()
-codes = jax.block_until_ready(jnp.asarray(codes_np))
-print(f"{'h2d codes':30s} {(time.time()-t0)*1e3:9.1f} ms")
+codes = jax.device_put(codes_np)
+force(codes)
+print(f"{'h2d codes (warm process)':32s} {(time.time()-t0)*1e3:9.1f} ms")
 
 out = t("collect(extract+sort+uniq)", bc._collect_stage, codes, K, B, (),
         False, DNA.complement)
@@ -51,13 +77,14 @@ ulanes, ucounts, ucount = out
 n_u = int(ucount)
 cap = bc._bucket(n_u)
 real, counts = ulanes[:, :cap], ucounts[:cap]
+real = force(real)
+counts = force(counts)
 print(f"n_unique={n_u} cap={cap} lanes={real.shape}")
 
-# individual pieces of the finish
 t("extract only", bc._extract_stage, codes, K, B, (), False, DNA.complement)
 
 jsort = jax.jit(lambda v: packed.sort(v)[0])
-t("bare sort (cap, L=2)", jsort, real)
+t(f"bare sort (cap, L={real.shape[0]})", jsort, real)
 jsort_c = jax.jit(lambda v, c: packed.sort(v, c)[0])
 t("sort + counts payload", jsort_c, real, counts)
 
@@ -94,39 +121,36 @@ def compact_piece(real, keep, cap_d):
     return packed.compact(real, keep, cap_d)
 
 
-keep = jnp.arange(cap) % 7 == 0
-t("compact to cap_d", compact_piece, real, keep, cap_d)
+keep = jnp.arange(real.shape[1]) % 7 == 0
+t("compact (stable sort)", compact_piece, real, keep, cap_d)
 
-levels_src = real[:, :cap_d]
-t("levels_phase (K-2 loops)", bc._levels_phase, levels_src,
-  jnp.int32(cap_d // 2), K, B)
+lv_src = packed.pad_to(real[:, :1024], cap_d)
+t("levels_phase (K-2 loops)", bc._levels_phase, lv_src,
+  jnp.int32(1024), K, B)
 
 t("merge_emit", bc._merge_emit_stage, real, counts, jnp.int32(n_u),
-  levels_src, jnp.int32(1000), levels_src, jnp.int32(1000),
-  packed.full_pad(cap_d * (K - 2), real.shape[0]), jnp.int32(0),
+  lv_src, jnp.int32(1000), lv_src, jnp.int32(1000),
+  packed.full_pad(cap_d, real.shape[0]), jnp.int32(0),
   K, B, DNA.size, max_count)
 
-# from_finish
 kept, W, last, F, weights, lut, stats_d = res
-t0 = time.time()
-boss = bc.Boss.from_finish(k=K - 1, alph_size=DNA.size, bits_per_char=B,
-                           kept=kept, W=W, last=last, F=F,
-                           n_kept=int(stats[0]), weights=None,
-                           keep_kmer_index=True, lut=lut,
-                           max_bucket=int(stats[5]))
-jax.block_until_ready(boss.F)
-print(f"{'from_finish (cold)':30s} {(time.time()-t0)*1e3:9.1f} ms")
-t0 = time.time()
-boss = bc.Boss.from_finish(k=K - 1, alph_size=DNA.size, bits_per_char=B,
-                           kept=kept, W=W, last=last, F=F,
-                           n_kept=int(stats[0]), weights=None,
-                           keep_kmer_index=True, lut=lut,
-                           max_bucket=int(stats[5]))
-jax.block_until_ready(boss.F)
-print(f"{'from_finish (warm)':30s} {(time.time()-t0)*1e3:9.1f} ms")
 
-# full end-to-end again
-t0 = time.time()
-b2 = bc.build_boss_from_codes(rng.integers(1, 5, n).astype(np.uint8), K, DNA)
-jax.block_until_ready(b2.F)
-print(f"{'build_boss_from_codes (warm)':30s} {(time.time()-t0)*1e3:9.1f} ms")
+
+def fin():
+    b = bc.Boss.from_finish(k=K - 1, alph_size=DNA.size, bits_per_char=B,
+                            kept=kept, W=W, last=last, F=F,
+                            n_kept=int(stats[0]), weights=None,
+                            keep_kmer_index=True, lut=lut,
+                            max_bucket=int(stats[5]))
+    return b.F, b.NF, b.last_rank.words
+
+
+t("from_finish(finalize ranks)", fin)
+
+
+def full():
+    b2 = bc.build_boss_from_codes(codes_np, K, DNA)
+    return b2.F, b2.NF
+
+
+t("build_boss_from_codes e2e", full)
