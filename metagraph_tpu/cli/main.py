@@ -605,7 +605,7 @@ def cmd_query(args):
         from ..align.aligner import Aligner, AlignerConfig
         aligner = Aligner(g, AlignerConfig(
             min_exact_match=args.align_min_exact_match))
-    bq = BatchQuery(adbg) if simple else None
+    bq = BatchQuery(adbg)
     idx = 0
     from ..seqio.fasta import BatchFeeder
     # prefetch: host parsing of the next batch overlaps device compute
@@ -660,12 +660,71 @@ def cmd_query(args):
                 idx += 1
                 n += 1
         else:
-            for rec in batch:
-                line = format_query_result(idx, rec.name.decode(), adbg,
-                                           rec.seq, args)
-                out.write(line)
-                idx += 1
-                n += 1
+            # non-simple modes run through the SAME batched executor
+            # (VERDICT r2 item 5): one device fetch per batch, host-only
+            # per-read formatting
+            seqs_b = [r.seq for r in batch]
+            if args.print_signature:
+                results = bq.get_top_label_signatures_batch(
+                    seqs_b, args.num_top_labels, args.discovery_fraction)
+                for rec, tops in zip(batch, results):
+                    if not tops and args.suppress_unlabeled:
+                        idx += 1
+                        continue
+                    parts = [f"{idx}\t{rec.name.decode()}"]
+                    for label, mask in tops:
+                        bits = "".join("1" if b else "0" for b in mask)
+                        parts.append(
+                            f"<{label}>:{int(mask.sum())}:{bits}:"
+                            f"{adbg.score_kmer_presence_mask(mask)}")
+                    out.write("\t".join(parts) + "\n")
+                    idx += 1
+                    n += 1
+            elif args.query_coords:
+                results = bq.get_kmer_coordinates_batch(
+                    seqs_b, args.num_top_labels, args.discovery_fraction)
+                for rec, res in zip(batch, results):
+                    if not res and args.suppress_unlabeled:
+                        idx += 1
+                        continue
+                    parts = [f"{idx}\t{rec.name.decode()}"]
+                    for label, tuples in res:
+                        item = f"<{label}>"
+                        for coords in tuples:
+                            item += ":" + ",".join(str(c) for c in coords)
+                        parts.append(item)
+                    out.write("\t".join(parts) + "\n")
+                    idx += 1
+                    n += 1
+            elif args.count_quantiles:
+                qs = [float(x) for x in args.count_quantiles.split()]
+                results = bq.get_label_count_quantiles_batch(
+                    seqs_b, args.num_top_labels, args.discovery_fraction,
+                    qs)
+                for rec, res in zip(batch, results):
+                    if not res and args.suppress_unlabeled:
+                        idx += 1
+                        continue
+                    parts = [f"{idx}\t{rec.name.decode()}"]
+                    for label, quants in res:
+                        parts.append(f"<{label}>:"
+                                     + ":".join(str(q) for q in quants))
+                    out.write("\t".join(parts) + "\n")
+                    idx += 1
+                    n += 1
+            else:   # --query-counts (with or without --count-labels)
+                results = bq.get_top_labels_batch(
+                    seqs_b, args.num_top_labels, args.discovery_fraction,
+                    with_kmer_counts=True)
+                for rec, tops in zip(batch, results):
+                    if not tops and args.suppress_unlabeled:
+                        idx += 1
+                        continue
+                    parts = [f"{idx}\t{rec.name.decode()}"]
+                    parts += [f"<{l}>:{c}" for l, c in tops]
+                    out.write("\t".join(parts) + "\n")
+                    idx += 1
+                    n += 1
     log(f"Queried {n} sequences in {time.time() - t0:.2f} s "
         f"({n / max(time.time() - t0, 1e-9):.0f} reads/s)")
 
