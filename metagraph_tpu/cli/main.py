@@ -211,6 +211,7 @@ def cmd_build(args):
             f"({sum(map(len, seqs)) / 1e6:.1f} Mbp)")
     from ..common import telemetry
     t0 = time.time()
+    valid_mask = None
     if args.disk_swap:
         # bounded-HBM streaming collection; a real directory engages the
         # on-disk chunk tier (SortedSetDisk role)
@@ -219,6 +220,17 @@ def cmd_build(args):
         boss = build_boss_streaming(seqs, args.k, alphabet=DNA, mode=mode,
                                     bits_per_count=bits_per_count,
                                     disk_dir=swap_dir)
+    elif args.num_shards > 1 and mode == "basic":
+        # out-of-core sharded finish: device working set shrinks by
+        # ~num_shards; the preferred scale path on one chip
+        from ..parallel.outofcore import build_boss_out_of_core
+        with telemetry.span("construct_ooc",
+                            items=sum(map(len, seqs)), unit="chars"):
+            boss, valid_mask = build_boss_out_of_core(
+                seqs, args.k, alphabet=DNA, n_shards=args.num_shards,
+                bits_per_count=bits_per_count,
+                keep_kmer_index=getattr(args, "state", "fast") != "small",
+                verbose=args.verbose, return_valid=True)
     elif args.suffix_len > 0 or args.num_shards > 1:
         boss = build_boss_sharded(
             seqs, args.k, alphabet=DNA, mode=mode,
@@ -238,7 +250,7 @@ def cmd_build(args):
                               bits_per_count=bits_per_count)
     log(f"Graph construction: {time.time() - t0:.2f} s")
     with telemetry.span("serialize"):
-        graph = DbgSuccinct.from_boss(boss, DNA, mode)
+        graph = DbgSuccinct.from_boss(boss, DNA, mode, valid=valid_mask)
         out = graph_io.save_graph(args.outfile_base, graph,
                                   state=getattr(args, "state", "fast"))
     log(f"Serialized to {out}")

@@ -389,9 +389,12 @@ def _merge_emit_stage(real, counts, n_real, sinks, n_sinks, src, n_src,
 
 def _merge_emit_body(real, counts, n_real, sinks, n_sinks, src, n_src,
                      levels, n_levels_total, K: int, B: int,
-                     alph_size: int, max_count: int):
+                     alph_size: int, max_count: int,
+                     with_sentinel: bool = True):
     """Sort the (small) dummy side, merge it into the (already sorted)
-    real side in one linear pass, then the initialize_chunk emit."""
+    real side in one linear pass, then the initialize_chunk emit.
+    ``with_sentinel=False`` skips the $^K row (out-of-core / sharded
+    emits add it on the lowest-colex shard only)."""
     L = real.shape[0]
 
     def masked(lanes, n):
@@ -402,19 +405,19 @@ def _merge_emit_body(real, counts, n_real, sinks, n_sinks, src, n_src,
     # every dummy key is distinct from every real key (dummies contain a
     # sentinel char; reals never do), so the unstable merge reproduces
     # the stable sorted order bit-for-bit
+    sent = packed.zeros(1, L) if with_sentinel else packed.full_pad(1, L)
     dummies = jnp.concatenate(
-        [masked(sinks, n_sinks), masked(src, n_src), levels,
-         packed.zeros(1, L)], axis=1)
+        [masked(sinks, n_sinks), masked(src, n_src), levels, sent], axis=1)
     dummies_s, _ = packed.sort(dummies)
     real_m = masked(real, n_real)
     counts_m = jnp.where(packed.valid_mask(real.shape[1], n_real), counts, 0)
     merged, (mcounts,) = pmerge.merge_sorted(
         real_m, dummies_s, (counts_m,),
         (jnp.zeros((dummies_s.shape[1],), jnp.int32),))
-    mcounts = jnp.where(packed.valid_mask(
-        merged.shape[1], n_real + n_sinks + n_src + n_levels_total + 1),
-        mcounts, 0)
-    n_total = n_real + n_sinks + n_src + n_levels_total + 1
+    n_total = (n_real + n_sinks + n_src + n_levels_total
+               + (1 if with_sentinel else 0))
+    mcounts = jnp.where(packed.valid_mask(merged.shape[1], n_total),
+                        mcounts, 0)
     return _emit_body(merged, mcounts, n_total, K, B, alph_size, max_count)
 
 

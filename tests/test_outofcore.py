@@ -1,0 +1,83 @@
+"""Out-of-core build parity: bit-identical to the in-core build."""
+
+import numpy as np
+import pytest
+
+from conftest import random_dna
+from metagraph_tpu.graph.boss_construct import build_boss
+from metagraph_tpu.parallel.outofcore import (build_boss_out_of_core,
+                                              h_group_key, h_node_key,
+                                              h_target_key, h_to_next,
+                                              h_to_prev)
+from metagraph_tpu.kmer.alphabets import DNA
+
+
+def _boss_equal(a, b, weights=False):
+    np.testing.assert_array_equal(np.asarray(a.W), np.asarray(b.W))
+    np.testing.assert_array_equal(np.asarray(a.last), np.asarray(b.last))
+    np.testing.assert_array_equal(np.asarray(a.F), np.asarray(b.F))
+    assert a.num_edges == b.num_edges
+    if weights:
+        np.testing.assert_array_equal(np.asarray(a.weights),
+                                      np.asarray(b.weights))
+
+
+def test_host_transforms_match_device(rng):
+    """The numpy key transforms must mirror kmer/packing.py exactly."""
+    import jax.numpy as jnp
+    from metagraph_tpu.common import packed
+    from metagraph_tpu.kmer import packing
+    K, B = 11, 4
+    L = packing.lanes_for(K, B)
+    chars = rng.integers(1, 5, (257, K)).astype(np.uint8)
+    lanes = np.asarray(packing.pack_from_chars(jnp.asarray(chars), K, B))
+    d = jnp.asarray(lanes)
+    np.testing.assert_array_equal(
+        h_node_key(lanes, B), np.asarray(packing.node_key(d, B)))
+    np.testing.assert_array_equal(
+        h_target_key(lanes, B), np.asarray(packing.target_key(d, B)))
+    np.testing.assert_array_equal(
+        h_to_next(lanes, K, B), np.asarray(packing.to_next(d, K, B, 0)))
+    np.testing.assert_array_equal(
+        h_to_prev(lanes, K, B), np.asarray(packing.to_prev(d, K, B, 0)))
+    from metagraph_tpu.parallel.distributed import group_key
+    np.testing.assert_array_equal(
+        h_group_key(lanes, B), np.asarray(group_key(d, B)))
+
+
+@pytest.mark.parametrize("n_shards", [1, 3, 8])
+def test_out_of_core_matches_incore(rng, n_shards):
+    k = 9
+    seqs = [random_dna(rng, 400) for _ in range(6)]
+    ref = build_boss(seqs, k)
+    got = build_boss_out_of_core(seqs, k, n_shards=n_shards,
+                                 chunk_codes=1 << 10)
+    _boss_equal(ref, got)
+
+
+def test_out_of_core_weights_and_chunking(rng):
+    """Tiny chunks force duplicate k-mers across runs; counts must
+    aggregate identically to the in-core build."""
+    k = 8
+    base = random_dna(rng, 300)
+    seqs = [base, base[50:250], random_dna(rng, 200), base]
+    ref = build_boss(seqs, k, bits_per_count=8)
+    got = build_boss_out_of_core(seqs, k, n_shards=4, bits_per_count=8,
+                                 chunk_codes=1 << 9)
+    _boss_equal(ref, got, weights=True)
+
+
+def test_out_of_core_query_surface(rng):
+    """A small-state out-of-core graph must answer node queries."""
+    from metagraph_tpu.graph.dbg_succinct import DbgSuccinct
+    k = 9
+    seqs = [random_dna(rng, 500) for _ in range(3)]
+    boss, valid = build_boss_out_of_core(seqs, k, n_shards=4,
+                                         chunk_codes=1 << 10,
+                                         return_valid=True)
+    assert boss.edge_lanes is None          # small state
+    g = DbgSuccinct.from_boss(boss, DNA, "basic", valid=valid)
+    nodes = g.map_to_nodes(seqs[0])
+    assert (nodes > 0).all()
+    nodes2 = g.map_to_nodes(b"N" * 40)
+    assert (nodes2 == 0).all()
