@@ -212,10 +212,16 @@ def bench_capacity(bw: float):
     del boss
     gc.collect()
     codes = rng.integers(1, 5, n).astype(np.uint8)
-    t0 = time.time()
-    boss = build_boss_from_codes(codes, 20, DNA)
-    force((boss.F, boss.NF, boss.last_rank.words))
-    dt = time.time() - t0
+    # best-of-3: the remote runtime's dispatch occasionally stalls for
+    # many seconds — a one-shot reading is hostage to that (round 4:
+    # one-shot 19.2s vs best-of-3 2.3s for the same build)
+    dt = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        boss = build_boss_from_codes(codes, 20, DNA)
+        force((boss.F, boss.NF, boss.last_rank.words))
+        dt = min(dt, time.time() - t0)
+        gc.collect()
     rate = (n - 19) / dt
     pct = roofline_pct(n - 19, lanes, dt, bw)
     log(f"capacity: {n/1e6:.0f}M-char single-chip build in {dt:.2f}s -> "
