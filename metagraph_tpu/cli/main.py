@@ -1211,6 +1211,23 @@ def cmd_merge(args):
     k = graphs[0].k
     alphabet = graphs[0].alphabet
     B = alphabet.bits_per_char
+    if getattr(args, "num_shards", 0) > 1:
+        # streaming merge: serialized sorted edge sets feed the sharded
+        # out-of-core finish directly (boss_merge.cpp role) — no re-sort
+        # of the union in one dispatch, device working set O(total/S)
+        from ..parallel.outofcore import merge_boss_graphs_out_of_core
+        boss, valid_mask = merge_boss_graphs_out_of_core(
+            graphs, n_shards=args.num_shards,
+            keep_kmer_index=args.state != "small",
+            verbose=args.verbose, return_valid=True)
+        out = graph_io.save_graph(
+            args.outfile_base,
+            DbgSuccinct.from_boss(boss, alphabet, graphs[0].mode,
+                                  valid=valid_mask),
+            state=args.state)
+        log(f"Merged {len(graphs)} graphs (streaming, "
+            f"{args.num_shards} shards) -> {out}")
+        return
     # merge = union of real edge k-mers, then rebuild dummies; weighted
     # inputs sum their counts per k-mer (reference merge accumulates
     # weights, boss_merge.cpp traversal + weight sum)
@@ -1721,6 +1738,10 @@ def build_parser() -> argparse.ArgumentParser:
     sp = sub.add_parser("merge")
     common_out(sp)
     sp.add_argument("fnames", nargs="+")
+    sp.add_argument("--num-shards", type=int, default=0,
+                    help="stream the merge through the out-of-core "
+                         "sharded finish (beyond-HBM inputs)")
+    sp.add_argument("--state", choices=["fast", "small"], default="fast")
     sp.set_defaults(func=cmd_merge)
 
     sp = sub.add_parser("merge_anno")

@@ -334,12 +334,18 @@ def build_boss_out_of_core(
     keep_kmer_index: bool = False,
     verbose: bool = False,
     return_valid: bool = False,
+    runs: Optional[Sequence[Tuple[np.ndarray, np.ndarray]]] = None,
 ):
     """Single-chip build with device working set O(total / n_shards).
 
     Basic mode only (canonical needs an rc-closure routing pass — use
     the sharded mesh build for that). Returns a Boss without the packed
-    edge index by default (small-state scale regime)."""
+    edge index by default (small-state scale regime).
+
+    ``runs``: pre-sorted (lanes, counts) k-mer sets — pass 1 is skipped
+    and the sets merge through the sharded finish directly. This is the
+    streaming multi-BOSS merge entry (reference boss_merge.cpp:125-300:
+    k-way merge of serialized chunks without re-extracting k-mers)."""
     from ..common.telemetry import span
     K = k
     B = alphabet.bits_per_char
@@ -353,6 +359,10 @@ def build_boss_out_of_core(
             print(f"[ooc] {msg}", file=sys.stderr, flush=True)
 
     # ---- pass 1: collect sorted unique runs --------------------------------
+    if runs is not None:
+        for lanes_np, counts_np in runs:
+            store.add(np.asarray(lanes_np), np.asarray(counts_np))
+        seqs = ()
     tbl = alphabet.encode_table()
     buf = np.full(chunk_codes, INVALID_CODE, np.uint8)
     fill = 0
@@ -647,3 +657,39 @@ def build_boss_out_of_core(
             else np.zeros(1, bool)
         return boss, valid_all
     return boss
+
+
+def merge_boss_graphs_out_of_core(graphs, n_shards: int = 8,
+                                  bits_per_count: int = 0,
+                                  keep_kmer_index: bool = False,
+                                  tmp_dir: Optional[str] = None,
+                                  verbose: bool = False,
+                                  return_valid: bool = False):
+    """Streaming multi-BOSS merge (reference boss_merge.cpp:125-300):
+    each serialized graph's REAL edge k-mers are already a sorted run
+    (edge_lanes is the kept BOSS order; the valid mask drops dummies),
+    so merging graphs is exactly the out-of-core finish over those runs
+    — duplicate k-mers sum their weights, dummies are regenerated, and
+    no k-mer is ever re-extracted from sequences. Device working set is
+    O(total / n_shards): two 1B-edge graphs merge on one chip."""
+    g0 = graphs[0]
+    K = g0.k
+    alphabet = g0.alphabet
+    weighted = all(g.boss.weights is not None for g in graphs)
+    runs = []
+    for g in graphs:
+        assert g.k == K, "merge inputs must share k"
+        lanes = np.asarray(g.boss.edge_lanes)
+        assert lanes is not None, \
+            "streaming merge needs fast-state inputs (packed edge index)"
+        valid = np.asarray(g.valid_rank.bits_host())[1:lanes.shape[1] + 1] \
+            .astype(bool)
+        w = (np.asarray(g.boss.weights)[1:lanes.shape[1] + 1] if weighted
+             else np.ones(lanes.shape[1], np.int32))
+        runs.append((lanes[:, valid],
+                     np.asarray(w)[valid].astype(np.int32)))
+    return build_boss_out_of_core(
+        (), K, alphabet, n_shards=n_shards,
+        bits_per_count=bits_per_count if not weighted else 31,
+        keep_kmer_index=keep_kmer_index, tmp_dir=tmp_dir,
+        verbose=verbose, return_valid=return_valid, runs=runs)

@@ -81,3 +81,27 @@ def test_out_of_core_query_surface(rng):
     assert (nodes > 0).all()
     nodes2 = g.map_to_nodes(b"N" * 40)
     assert (nodes2 == 0).all()
+
+
+def test_streaming_merge_matches_rebuild(rng, tmp_path):
+    """merge --num-shards: k-way merge of serialized graphs' sorted edge
+    sets through the sharded finish must equal the union rebuild
+    bit-for-bit (VERDICT r2 item 7, reference boss_merge.cpp:125-300)."""
+    from metagraph_tpu.graph.dbg_succinct import DbgSuccinct
+    from metagraph_tpu.parallel.outofcore import \
+        merge_boss_graphs_out_of_core
+    k = 9
+    s1 = [random_dna(rng, 400) for _ in range(2)]
+    s2 = [s1[0][100:300]] + [random_dna(rng, 350)]
+    g1 = DbgSuccinct.from_boss(build_boss(s1, k, bits_per_count=8),
+                               DNA, "basic")
+    g2 = DbgSuccinct.from_boss(build_boss(s2, k, bits_per_count=8),
+                               DNA, "basic")
+    ref = build_boss(s1 + s2, k, bits_per_count=31)
+    got, valid = merge_boss_graphs_out_of_core(
+        [g1, g2], n_shards=4, return_valid=True)
+    _boss_equal(ref, got, weights=True)
+    # the merged valid mask matches the rebuild-derived one
+    gref = DbgSuccinct.from_boss(ref, DNA, "basic")
+    np.testing.assert_array_equal(
+        np.asarray(gref.valid_rank.bits_host()), valid)
