@@ -32,6 +32,49 @@ from ..kmer.alphabets import Alphabet, DNA, INVALID_CODE
 from ..kmer.extractor import encode_sequences
 
 
+def _repack_bits(K: int, B: int, alph_size: int) -> int:
+    """Narrowest spill width: real chars are 1..alph_size-1, stored as
+    c-1 in B2 bits with B2 the smallest divisor of 32 that fits — DNA
+    packs 2 bits/char (the reference's Elias-Fano spill role,
+    elias_fano.hpp:165: ~2.4x fewer disk bytes than the working form);
+    wider alphabets fall back to the working width."""
+    need = max((alph_size - 2).bit_length(), 1)
+    for b2 in (1, 2, 4, 8, 16):
+        if b2 >= need:
+            return b2 if b2 < B else B
+    return B
+
+
+def _pack_run(lanes: np.ndarray, K: int, B: int, B2: int) -> np.ndarray:
+    """(L, n) working-form lanes -> (L2, n) compact lanes (c -> c-1 in
+    B2-bit fields). Field order is preserved, and c -> c-1 is monotone,
+    so colex ORDER is preserved: disk merges compare compact keys."""
+    from ..parallel.outofcore import h_get_field
+    n = lanes.shape[1]
+    per = 32 // B2
+    L2 = max(-(-K // per), 1)
+    out = np.zeros((L2, n), np.uint32)
+    for slot in range(K):
+        c = (h_get_field(lanes, slot, B) - 1).astype(np.uint32)
+        lane = L2 - 1 - (slot * B2) // 32
+        out[lane] |= c << np.uint32((slot * B2) % 32)
+    return out
+
+
+def _unpack_run(packed_l: np.ndarray, K: int, B: int, B2: int) -> np.ndarray:
+    """Inverse of _pack_run -> working-form (L, n) lanes."""
+    n = packed_l.shape[1]
+    L = packing.lanes_for(K, B)
+    out = np.zeros((L, n), np.uint32)
+    mask2 = np.uint32((1 << B2) - 1)
+    for slot in range(K):
+        lane2 = packed_l.shape[0] - 1 - (slot * B2) // 32
+        c = ((packed_l[lane2] >> np.uint32((slot * B2) % 32)) & mask2) + 1
+        lane = L - 1 - (slot * B) // 32
+        out[lane] |= c.astype(np.uint32) << np.uint32((slot * B) % 32)
+    return out
+
+
 def _merge_sorted_chunks(chunks: List[Tuple[np.ndarray, np.ndarray]],
                          L: int) -> Tuple[np.ndarray, np.ndarray]:
     """K-way merge of sorted (lanes (L, n), counts (n,)) host chunks with
@@ -214,8 +257,12 @@ def collect_kmers_streaming(
     host RAM (--disk-swap; the SortedSetDisk role)."""
     B = alphabet.bits_per_char
     L = packing.lanes_for(K, B)
+    # disk runs spill in the narrowest order-preserving form (2 bits/char
+    # for DNA); merges compare compact keys, unpack happens once at the end
+    B2 = _repack_bits(K, B, alphabet.size)
+    L2 = max(-(-K // (32 // B2)), 1) if B2 < B else L
     chunks: List[Tuple[np.ndarray, np.ndarray]] = []
-    store = DiskChunkStore(disk_dir, L) if disk_dir else None
+    store = DiskChunkStore(disk_dir, L2) if disk_dir else None
     buf = np.full(chunk_codes, INVALID_CODE, np.uint8)
     fill = 0
 
@@ -226,11 +273,13 @@ def collect_kmers_streaming(
         ulanes, ucounts, ucount = _collect_stage(
             jnp.asarray(buf), K, B, (), canonical, alphabet.complement)
         n = int(ucount)
+        run = np.asarray(ulanes[:, :n])
         if store is not None:
-            store.spill(np.asarray(ulanes[:, :n]), np.asarray(ucounts[:n]))
+            if B2 < B:
+                run = _pack_run(run, K, B, B2)
+            store.spill(run, np.asarray(ucounts[:n]))
         else:
-            chunks.append((np.asarray(ulanes[:, :n]),
-                           np.asarray(ucounts[:n])))
+            chunks.append((run, np.asarray(ucounts[:n])))
         buf.fill(INVALID_CODE)
         fill = 0
 
@@ -252,7 +301,10 @@ def collect_kmers_streaming(
                 pos = max(0, pos - (K - 1))
     flush()
     if store is not None:
-        return store.merge_all()
+        lanes_m, counts_m = store.merge_all()
+        if B2 < B:
+            lanes_m = _unpack_run(np.asarray(lanes_m), K, B, B2)
+        return lanes_m, counts_m
     return _merge_sorted_chunks(chunks, L)
 
 
