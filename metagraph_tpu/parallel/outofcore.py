@@ -414,8 +414,12 @@ def build_boss_out_of_core(
     log(f"splitters: {S} shards")
 
     # ---- pass 2: per-shard sort-unique -------------------------------------
+    # ONE capacity for every shard: each distinct shape is a fresh
+    # (remote) XLA compile costing ~30-60 s — uniform caps mean each
+    # stage kernel compiles exactly once across all S shards
     shard_lanes: List[np.ndarray] = []
     shard_counts: List[np.ndarray] = []
+    shard_ins = []
     for s in range(S):
         parts_l, parts_c = [], []
         for i in range(len(store.runs)):
@@ -425,21 +429,28 @@ def build_boss_out_of_core(
                 parts_l.append(np.asarray(lanes[:, lo:hi]))
                 parts_c.append(np.asarray(counts[lo:hi]))
         if not parts_l:
+            shard_ins.append((np.zeros((L, 0), U32), np.zeros(0, np.int32)))
+        else:
+            shard_ins.append((np.concatenate(parts_l, axis=1),
+                              np.concatenate(parts_c)))
+    cap2 = bc._bucket(max(max(c[0].shape[1] for c in shard_ins), 1))
+    for s in range(S):
+        cat, ccat = shard_ins[s]
+        n_in = cat.shape[1]
+        if n_in == 0:
             shard_lanes.append(np.zeros((L, 0), U32))
             shard_counts.append(np.zeros(0, np.int32))
             continue
-        cat = np.concatenate(parts_l, axis=1)
-        ccat = np.concatenate(parts_c)
-        n_in = cat.shape[1]
-        cap = bc._bucket(n_in)
         ul, uc, un = bc._sort_unique_stage(
-            jnp.asarray(_pad_lanes_np(cat, cap)),
+            jnp.asarray(_pad_lanes_np(cat, cap2)),
             jnp.asarray(np.concatenate(
-                [ccat, np.zeros(cap - n_in, np.int32)])),
+                [ccat, np.zeros(cap2 - n_in, np.int32)])),
             jnp.int32(n_in))
         n_u = int(un)
         shard_lanes.append(_d2h_tight(ul, n_u))
         shard_counts.append(np.asarray(uc[:n_u]))
+        shard_ins[s] = None
+    del shard_ins
     store.cleanup()
     total_real = sum(x.shape[1] for x in shard_lanes)
     log(f"pass2: {total_real / 1e6:.2f}M unique k-mers across {S} shards "
@@ -482,46 +493,61 @@ def build_boss_out_of_core(
                 srcq_buckets[d].append((piece, np.full(
                     piece.shape[1], s, np.int32), pidx))
 
-    # ---- pass 3: device joins ----------------------------------------------
+    # ---- pass 3: device joins (uniform caps: one compile per kernel) -------
     sink_edges: List[np.ndarray] = [np.zeros((L, 0), U32)] * S
     src_home: List[List[np.ndarray]] = [[] for _ in range(S)]
     verdicts_by_origin = [[] for _ in range(S)]   # (idx, verdict)
+    sq_cat = [(np.concatenate(sinkq_buckets[s], axis=1)
+               if sinkq_buckets[s] else np.zeros((L, 0), U32))
+              for s in range(S)]
+    rt_cat = [(np.concatenate(reftk_buckets[s], axis=1)
+               if reftk_buckets[s] else np.zeros((L, 0), U32))
+              for s in range(S)]
+    qt_cat = [(np.concatenate([p for p, _, _ in srcq_buckets[s]], axis=1)
+               if srcq_buckets[s] else np.zeros((L, 0), U32))
+              for s in range(S)]
+    qt_org = [(np.concatenate([o for _, o, _ in srcq_buckets[s]])
+               if srcq_buckets[s] else np.zeros(0, np.int32))
+              for s in range(S)]
+    qt_idx = [(np.concatenate([i for _, _, i in srcq_buckets[s]])
+               if srcq_buckets[s] else np.zeros(0, np.int64))
+              for s in range(S)]
+    # the bucket piece lists duplicate the concatenated arrays — free them
+    sinkq_buckets = reftk_buckets = srcq_buckets = None
+    kcap = bc._bucket(max(max(x.shape[1] for x in shard_lanes), 1))
+    sq_cap = bc._bucket(max(max(x.shape[1] for x in sq_cat), 1))
+    rcap = bc._bucket(max(max(x.shape[1] for x in rt_cat), 1))
+    qt_cap = bc._bucket(max(max(x.shape[1] for x in qt_cat), 1))
     for s in range(S):
         real = shard_lanes[s]
         n_keys = real.shape[1]
-        kcap = bc._bucket(max(n_keys, 1))
         keys = h_node_key(real, B) if n_keys else np.zeros((L, 0), U32)
         # sinks
-        qs = (np.concatenate(sinkq_buckets[s], axis=1)
-              if sinkq_buckets[s] else np.zeros((L, 0), U32))
+        qs = sq_cat[s]
         n_q = qs.shape[1]
         if n_q:
-            qcap = bc._bucket(n_q)
-            cap_out = qcap
             sinks_d, n_out = _sink_join_jit(
                 jnp.asarray(_pad_lanes_np(keys, kcap)), jnp.int32(n_keys),
-                jnp.asarray(_pad_lanes_np(qs, qcap)), jnp.int32(n_q),
-                B, cap_out)
+                jnp.asarray(_pad_lanes_np(qs, sq_cap)), jnp.int32(n_q),
+                B, sq_cap)
             n_sinks = int(n_out)
-            assert n_sinks <= cap_out
+            assert n_sinks <= sq_cap
             sink_edges[s] = _d2h_tight(sinks_d, n_sinks)
         # sources
-        if srcq_buckets[s]:
-            qtk = np.concatenate([p for p, _, _ in srcq_buckets[s]], axis=1)
-            qorg = np.concatenate([o for _, o, _ in srcq_buckets[s]])
-            qidx = np.concatenate([i for _, _, i in srcq_buckets[s]])
-            rtk = (np.concatenate(reftk_buckets[s], axis=1)
-                   if reftk_buckets[s] else np.zeros((L, 0), U32))
-            qcap = bc._bucket(qtk.shape[1])
-            rcap = bc._bucket(max(rtk.shape[1], 1))
+        if qt_cat[s].shape[1]:
+            qtk = qt_cat[s]
+            qorg = qt_org[s]
+            qidx = qt_idx[s]
+            rtk = rt_cat[s]
             verd = np.asarray(_src_join_jit(
                 jnp.asarray(_pad_lanes_np(rtk, rcap)),
                 jnp.int32(rtk.shape[1]),
-                jnp.asarray(_pad_lanes_np(qtk, qcap)),
+                jnp.asarray(_pad_lanes_np(qtk, qt_cap)),
                 jnp.int32(qtk.shape[1])))[:qtk.shape[1]]
             for o in np.unique(qorg):
                 m = qorg == o
                 verdicts_by_origin[int(o)].append((qidx[m], verd[m]))
+    del sq_cat, rt_cat, qt_cat, qt_org, qt_idx
 
     # ---- host: route dummy-1 sources home, then iterate levels -------------
     for s in range(S):
@@ -571,7 +597,12 @@ def build_boss_out_of_core(
                + sum(x.shape[1] for lv in level_edges for x in lv))
     log(f"dummies: {n_dummy} total")
 
-    # ---- pass 4: per-shard merge + emit ------------------------------------
+    # ---- pass 4: per-shard merge + emit (uniform caps again) ---------------
+    cap4 = bc._bucket(max(max(x.shape[1] for x in shard_lanes), 1))
+    cap4_d = bc._bucket(max([1024] + [x.shape[1] for x in sink_edges]
+                            + [x.shape[1] for x in src_edges]), lo=1024)
+    cap4_lev = bc._bucket(max([1024] + [sum(x.shape[1] for x in lv)
+                               for lv in level_edges]), lo=1024)
     W_parts, last_parts, weight_parts, kept_parts = [], [], [], []
     valid_parts = []
     hist_sum = np.zeros(alphabet.size, np.int64)
@@ -587,10 +618,9 @@ def build_boss_out_of_core(
         if n_real == 0 and sinks.shape[1] == 0 and src.shape[1] == 0 \
                 and levels.shape[1] == 0 and not with_sentinel:
             continue
-        cap = bc._bucket(max(n_real, 1))
-        cap_d = bc._bucket(max(sinks.shape[1], src.shape[1], 1, 1024),
-                           lo=1024)
-        lev_cap = bc._bucket(max(levels.shape[1], 1), lo=1024)
+        cap = cap4
+        cap_d = cap4_d
+        lev_cap = cap4_lev
         kept, n_kept_d, W, last, hist, weights, vreal = _emit_hist_jit(
             jnp.asarray(_pad_lanes_np(real, cap)),
             jnp.asarray(np.concatenate(
