@@ -21,7 +21,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax import shard_map
+from jax import shard_map as _shard_map
+import functools as _functools
+# check_vma=False: the step bodies call the Pallas merge/partition
+# kernels, whose pallas_call outputs carry no varying-mesh-axes spec —
+# shard_map's VMA inference rejects them on a real TPU mesh (the CPU
+# fallback path hides this). Replication correctness is asserted by the
+# bit-identity tests instead.
+shard_map = _functools.partial(_shard_map, check_vma=False)
 
 from ..common import packed
 from ..kmer import packing

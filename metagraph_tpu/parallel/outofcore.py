@@ -497,23 +497,25 @@ def build_boss_out_of_core(
     sink_edges: List[np.ndarray] = [np.zeros((L, 0), U32)] * S
     src_home: List[List[np.ndarray]] = [[] for _ in range(S)]
     verdicts_by_origin = [[] for _ in range(S)]   # (idx, verdict)
-    sq_cat = [(np.concatenate(sinkq_buckets[s], axis=1)
-               if sinkq_buckets[s] else np.zeros((L, 0), U32))
-              for s in range(S)]
-    rt_cat = [(np.concatenate(reftk_buckets[s], axis=1)
-               if reftk_buckets[s] else np.zeros((L, 0), U32))
-              for s in range(S)]
-    qt_cat = [(np.concatenate([p for p, _, _ in srcq_buckets[s]], axis=1)
-               if srcq_buckets[s] else np.zeros((L, 0), U32))
-              for s in range(S)]
-    qt_org = [(np.concatenate([o for _, o, _ in srcq_buckets[s]])
-               if srcq_buckets[s] else np.zeros(0, np.int32))
-              for s in range(S)]
-    qt_idx = [(np.concatenate([i for _, _, i in srcq_buckets[s]])
-               if srcq_buckets[s] else np.zeros(0, np.int64))
-              for s in range(S)]
-    # the bucket piece lists duplicate the concatenated arrays — free them
-    sinkq_buckets = reftk_buckets = srcq_buckets = None
+    # concatenate each shard's bucket pieces and free the pieces at once
+    # (they duplicate the concatenated arrays — at 512M inputs the
+    # difference is tens of GB of peak host RSS)
+    sq_cat, rt_cat, qt_cat, qt_org, qt_idx = [], [], [], [], []
+    for s in range(S):
+        sq_cat.append(np.concatenate(sinkq_buckets[s], axis=1)
+                      if sinkq_buckets[s] else np.zeros((L, 0), U32))
+        sinkq_buckets[s] = None
+        rt_cat.append(np.concatenate(reftk_buckets[s], axis=1)
+                      if reftk_buckets[s] else np.zeros((L, 0), U32))
+        reftk_buckets[s] = None
+        qt_cat.append(np.concatenate([p for p, _, _ in srcq_buckets[s]],
+                                     axis=1)
+                      if srcq_buckets[s] else np.zeros((L, 0), U32))
+        qt_org.append(np.concatenate([o for _, o, _ in srcq_buckets[s]])
+                      if srcq_buckets[s] else np.zeros(0, np.int32))
+        qt_idx.append(np.concatenate([i for _, _, i in srcq_buckets[s]])
+                      if srcq_buckets[s] else np.zeros(0, np.int64))
+        srcq_buckets[s] = None
     kcap = bc._bucket(max(max(x.shape[1] for x in shard_lanes), 1))
     sq_cap = bc._bucket(max(max(x.shape[1] for x in sq_cat), 1))
     rcap = bc._bucket(max(max(x.shape[1] for x in rt_cat), 1))
