@@ -470,6 +470,9 @@ def cmd_annotate(args):
                 # --header-delimiter splits the header into several
                 # labels (annotate.cpp:100-112)
                 name = rec.name.decode()
+                if args.header_comment_delim and rec.comment:
+                    name = (name + args.header_comment_delim
+                            + rec.comment.decode())
                 if args.header_delimiter:
                     labels.extend(
                         x for x in name.split(args.header_delimiter) if x)
@@ -879,21 +882,24 @@ def cmd_clean(args):
             slice_g = MaskedDbg(base=g, mask=m2)
             sseqs = contig_sequences(slice_g)
             fb = f"{out}.{qa:g}.{qb:g}"
-            with FastaWriter(fb + ".fasta.gz") as w:
+            with FastaWriter(fb + ".fasta.gz",
+                             header=getattr(args, "header", "")) as w:
                 for s in sseqs:
                     w.write(s)
             log(f"Slice [{qa:g}, {qb:g}): {len(sseqs)} sequences "
                 f"-> {fb}.fasta.gz")
         return
     if has_weights:
-        with ExtendedFastaWriter(out, g.k) as w:
+        with ExtendedFastaWriter(out, g.k,
+                                 header=getattr(args, "header", "")) as w:
             for s, p in zip(seqs, paths):
                 counts = node_w[p]
                 if args.smoothing_window > 1:
                     counts = _smooth_counts(counts, args.smoothing_window)
                 w.write(s, counts)
     else:
-        with FastaWriter(out + ".fasta.gz") as w:
+        with FastaWriter(out + ".fasta.gz",
+                         header=getattr(args, "header", "")) as w:
             for s in seqs:
                 w.write(s)
     kept = (int(mask[1:].sum()) if mask is not None else g.num_nodes())
@@ -1570,6 +1576,10 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--anno-header", action="store_true")
     sp.add_argument("--header-delimiter", default="",
                     help="split sequence headers into multiple labels")
+    sp.add_argument("--header-comment-delim", default="",
+                    help="join fasta header with its comment using this "
+                         "delimiter before label extraction "
+                         "(reference --header-comment-delim)")
     sp.add_argument("--anno-label", action="append")
     sp.add_argument("--count-kmers", action="store_true")
     sp.add_argument("--coordinates", action="store_true")
@@ -1651,11 +1661,14 @@ def build_parser() -> argparse.ArgumentParser:
                     help="override the count-1 bin of the abundance "
                          "histogram for threshold estimation")
     sp.add_argument("--smoothing-window", type=int, default=1)
-    sp.add_argument("--count-slice-quantiles", default="0 1",
+    sp.add_argument("--count-slice-quantiles", "--count-bins-q",
+                    dest="count_slice_quantiles", default="0 1",
                     help="space-separated quantiles; one fasta per "
                          "adjacent pair, binned by k-mer count")
     sp.add_argument("--to-fasta", action="store_true")
     sp.add_argument("--unitigs", action="store_true")
+    sp.add_argument("--header", default="",
+                    help="prefix for the output sequence headers")
     sp.set_defaults(func=cmd_clean)
 
     sp = sub.add_parser("align")
@@ -1760,7 +1773,8 @@ def build_parser() -> argparse.ArgumentParser:
                              "row_diff_coord", "tuple_row_diff"])
     sp.add_argument("--max-path-length", type=int, default=64)
     sp.add_argument("--relax-arity", type=int, default=2)
-    sp.add_argument("--num-rows-subsampled", type=int, default=1000000)
+    sp.add_argument("--num-rows-subsampled", "--subsample",
+                    dest="num_rows_subsampled", type=int, default=1000000)
     sp.add_argument("--disk-swap", default="",
                     help="directory for the out-of-core staged row_diff "
                          "conversion (bounded RSS)")
