@@ -33,9 +33,14 @@ class AlignerConfig:
     gap_extension_penalty: int = 2
     xdrop: int = 27
     min_seed_length: int = 0
+    max_seed_length: int = 0           # 0 = unbounded (reference
+                                       # --align-max-seed-length)
     min_exact_match: float = 0.7
     beam_width: int = 32
     max_seeds_per_read: int = 4        # anchors extended per read/strand
+    max_seeds_per_locus: int = 16      # suffix-seed candidates per locus
+                                       # (reference --align-max-num-seeds-
+                                       # per-locus, seeder_methods)
 
     def score_matrix(self) -> np.ndarray:
         """(5, 5) substitution scores over codes $ACGT
@@ -194,7 +199,7 @@ class Aligner:
             ends = np.concatenate([ends, [present.size]])
         return list(zip(starts.tolist(), ends.tolist()))
 
-    def _suffix_seeds(self, codes: np.ndarray, max_seeds: int = 16
+    def _suffix_seeds(self, codes: np.ndarray, max_seeds: int = 0
                       ) -> Tuple[List[int], int]:
         """Seeds shorter than k (reference SuffixSeeder,
         aligner_seeder_methods.hpp:16-120): nodes whose k-mer *suffix*
@@ -204,6 +209,8 @@ class Aligner:
         batched binary search."""
         import jax.numpy as jnp
         from ..common import packed as pk
+        if not max_seeds:
+            max_seeds = self.config.max_seeds_per_locus
         g = self.graph
         K = g.k
         B = g.alphabet.bits_per_char
@@ -370,6 +377,10 @@ class Aligner:
         bwd_start = np.zeros(nb, np.int32)
         seed_info = []
         for bi, (i, nodes, (rs, re)) in enumerate(seeded):
+            if self.config.max_seed_length:
+                # reference --align-max-seed-length: clamp the anchor
+                re = min(re, rs + max(self.config.max_seed_length
+                                      - (k - 1), 1))
             seed_len = (re - rs) + k - 1
             qb, qe = rs, rs + seed_len
             fwd = codes_l[i][qe:]

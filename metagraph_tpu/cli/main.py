@@ -940,8 +940,14 @@ def cmd_align(args):
         gap_extension_penalty=args.gap_extension_penalty,
         xdrop=args.align_xdrop,
         min_seed_length=args.align_min_seed_length or g.k,
+        max_seed_length=args.align_max_seed_length,
         min_exact_match=args.align_min_exact_match,
+        max_seeds_per_locus=args.align_max_num_seeds_per_locus,
     )
+    if args.align_max_nodes_per_seq_char:
+        # the beam width IS the expanded-nodes-per-query-char bound in
+        # this engine (reference --align-max-nodes-per-seq-char role)
+        cfg.beam_width = max(int(args.align_max_nodes_per_seq_char), 1)
     if args.align_edit_distance:
         cfg.match_score = 1
         cfg.mm_transition_penalty = 1
@@ -1687,6 +1693,14 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--align-min-exact-match", type=float, default=0.7)
     sp.add_argument("--compacted", action="store_true")
     sp.add_argument("--align-min-seed-length", type=int, default=0)
+    sp.add_argument("--align-max-seed-length", type=int, default=0,
+                    help="clamp exact-match anchors to this length")
+    sp.add_argument("--align-max-num-seeds-per-locus", type=int,
+                    default=16)
+    sp.add_argument("--align-max-nodes-per-seq-char", type=float,
+                    default=0.0,
+                    help="bounds the beam width (expanded nodes per "
+                         "query char)")
     # scoring flags accept both the short and the reference's
     # --align-* spellings (config.cpp:1005-1030)
     sp.add_argument("--match-score", "--align-match-score",
