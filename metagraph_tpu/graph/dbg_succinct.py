@@ -16,6 +16,8 @@ chasing.
 
 from __future__ import annotations
 
+import functools
+
 from dataclasses import dataclass
 from typing import Optional, Sequence, Tuple
 
@@ -100,6 +102,99 @@ class DbgSuccinct:
         edges = self.boss.map_to_edges(lanes)
         nodes = self.edge_to_node(edges)
         return jnp.where(ok, nodes, 0)
+
+    @functools.partial(jax.jit, static_argnames=("rounds",))
+    def _map_reads_small_walk(self, chars2d, rounds: int = 3):
+        """Incremental small-state read mapping: anchor the first
+        unresolved window of each read with ONE k-step tightening
+        search, then follow the BOSS fwd edge per subsequent window —
+        O(1) rank/select per window instead of O(k) (the reference maps
+        consecutive k-mers by traversal the same way, boss.hpp fwd).
+        Absent windows are *known* zeros; windows right after an absent
+        one re-anchor on the next round. Returns (edges (R, nw),
+        known (R, nw), n_unknown) — the host resolves stragglers (only
+        miss-heavy reads) through the flat full search."""
+        boss = self.boss
+        K = self.k
+        R, Lr = chars2d.shape
+        nw = Lr - K + 1
+        alph = self.alphabet.size
+        chars2d = chars2d.astype(jnp.int32)
+        bad = ((chars2d < 1) | (chars2d >= alph)).astype(jnp.int32)
+        pref = jnp.concatenate(
+            [jnp.zeros((R, 1), jnp.int32), jnp.cumsum(bad, axis=1)], axis=1)
+        win_ok = (pref[:, K:] - pref[:, :-K]) == 0        # (R, nw)
+        edges = jnp.zeros((R, nw), jnp.int32)
+        known = ~win_ok                                   # invalid = known 0
+        rows = jnp.arange(R)
+        offs = jnp.arange(K)
+        # per-position next chars, scan-major: (nw-1, R)
+        nxt_chars = chars2d[:, K:].T
+        for _ in range(rounds):
+            unk = ~known
+            has = jnp.any(unk, axis=1)
+            a = jnp.argmax(unk, axis=1)
+            ach = chars2d[rows[:, None], jnp.minimum(a[:, None] + offs,
+                                                     Lr - 1)]
+            e_a = boss.index_edge_ranksel(ach)
+            e_a = jnp.where(has, e_a, 0)
+            edges = edges.at[rows, a].set(
+                jnp.where(has, e_a, edges[rows, a]))
+            known = known.at[rows, a].set(known[rows, a] | has)
+
+            def step(carry, x):
+                known_p, e_p = carry
+                ch, e0, k0, wok = x
+                cand = boss.follow_edge(e_p, ch)
+                use = (~k0) & known_p & (e_p > 0) & wok
+                e_new = jnp.where(use, cand, e0)
+                k_new = k0 | use
+                return (k_new, e_new), (k_new, e_new)
+
+            xs = (nxt_chars, edges[:, 1:].T, known[:, 1:].T, win_ok[:, 1:].T)
+            (_, _), (ks, es) = jax.lax.scan(
+                step, (known[:, 0], edges[:, 0]), xs)
+            edges = jnp.concatenate([edges[:, :1], es.T], axis=1)
+            known = jnp.concatenate([known[:, :1], ks.T], axis=1)
+        n_unknown = jnp.sum((~known).astype(jnp.int32))
+        nodes = jnp.where(win_ok & known & (edges > 0),
+                          self.edge_to_node(edges), 0)
+        return nodes, known, n_unknown
+
+    def map_read_batch(self, reads, pad_to: int = 0) -> list:
+        """Node ids per read for a batch of reads — the small-state
+        fast path (incremental walk); fast-state graphs take the flat
+        batched searchsorted. Returns a list of (len(read)-k+1,) arrays."""
+        k = self.k
+        if self.boss.edge_lanes is not None or not reads:
+            return [self.map_to_nodes(r) for r in reads]
+        Lmax = max(max(len(r) for r in reads), k)
+        Lmax = max(Lmax, pad_to)
+        tbl = self.alphabet.encode_table()
+        chars = np.zeros((len(reads), Lmax), np.uint8)   # 0 = invalid pad
+        for i, r in enumerate(reads):
+            cs = (r if isinstance(r, np.ndarray)
+                  else tbl[np.frombuffer(bytes(r), np.uint8)])
+            chars[i, :len(cs)] = np.where(cs == 255, 0, cs)
+        nodes, known, n_unk = self._map_reads_small_walk(jnp.asarray(chars))
+        nodes = np.array(nodes)          # writable host copy
+        if int(n_unk):
+            # miss-heavy stragglers: resolve through the flat search
+            # (0-pad encodes as the sentinel, which the flat map treats
+            # as an invalid window char — same verdict as the walk)
+            known_np = np.asarray(known)
+            for i, r in enumerate(reads):
+                if not known_np[i].all():
+                    cap = max(64, 1 << (Lmax - 1).bit_length())
+                    cs = np.full(cap, 255, np.uint8)
+                    cs[:Lmax] = np.where(chars[i] == 0, 255, chars[i])
+                    full = np.asarray(self.map_codes_to_nodes(
+                        jnp.asarray(cs)))[:max(0, len(r) - k + 1)]
+                    nw_i = len(full)
+                    sel = ~known_np[i][:nw_i]
+                    nodes[i, :nw_i][sel] = full[sel]
+        return [nodes[i, :max(0, len(r) - k + 1)]
+                for i, r in enumerate(reads)]
 
     def map_to_nodes(self, seq: bytes | str) -> np.ndarray:
         codes = encode_sequences([seq], self.alphabet)[:-1]  # drop separator

@@ -79,25 +79,15 @@ def main():
         else:
             p = rng.integers(0, len(src) - 100)
             reads.append(src[p:p + 100])
-    import jax.numpy as jnp
-    from metagraph_tpu.kmer.alphabets import INVALID_CODE
-    cat = np.full(sum(len(r) + 1 for r in reads), INVALID_CODE, np.uint8)
-    off = 0
-    for r in reads:
-        cat[off:off + len(r)] = r
-        off += len(r) + 1
-    target = 1 << (len(cat) - 1).bit_length()
-    cat = np.concatenate([cat, np.full(target - len(cat), INVALID_CODE,
-                                       np.uint8)])
-    codes_d = jnp.asarray(cat)
-    nodes = np.asarray(g.map_codes_to_nodes(codes_d))   # compile + warm
+    res = g.map_read_batch(reads)            # compile + warm
     t0 = time.time()
-    nodes = np.asarray(g.map_codes_to_nodes(codes_d))
+    res = g.map_read_batch(reads)
     q_s = time.time() - t0
-    hit_windows = int((nodes > 0).sum())
-    log(f"QUERY: {len(reads)} reads ({len(cat) / 1e6:.1f}M windows) in "
+    hit_windows = int(sum((r > 0).sum() for r in res))
+    n_windows = sum(len(r) for r in res)
+    log(f"QUERY: {len(reads)} reads ({n_windows / 1e6:.2f}M windows) in "
         f"{q_s:.3f}s -> {len(reads) / q_s:.0f} reads/s small-state "
-        f"({hit_windows} present windows)")
+        f"incremental walk ({hit_windows} present windows)")
     print(
         '{"edges": %d, "build_s": %.1f, "mkmers_per_s": %.2f, '
         '"peak_rss_gb": %.1f, "bytes_per_edge": %.2f, '

@@ -105,3 +105,28 @@ def test_streaming_merge_matches_rebuild(rng, tmp_path):
     gref = DbgSuccinct.from_boss(ref, DNA, "basic")
     np.testing.assert_array_equal(
         np.asarray(gref.valid_rank.bits_host()), valid)
+
+
+def test_small_state_walk_mapping_matches_flat(rng):
+    """map_read_batch (incremental small-state walk) must agree with the
+    flat k-step search on hits, misses, SNP reads and short reads."""
+    from metagraph_tpu.graph.dbg_succinct import DbgSuccinct
+    k = 9
+    seqs = [random_dna(rng, 600) for _ in range(3)]
+    boss, valid = build_boss_out_of_core(seqs, k, n_shards=2,
+                                         chunk_codes=1 << 10,
+                                         return_valid=True)
+    g = DbgSuccinct.from_boss(boss, DNA, "basic", valid=valid)
+    assert g.boss.edge_lanes is None
+    sub = {65: 67, 67: 71, 71: 84, 84: 65}
+    reads = [seqs[0][10:110], b"T" * 80, seqs[1][5:60], b"ACGTACG"]
+    for snps in (1, 2, 3):
+        r = bytearray(seqs[2][100:200])
+        for j in range(snps):
+            p = 10 + j * 30
+            r[p] = sub[r[p]]
+        reads.append(bytes(r))
+    got = g.map_read_batch(reads)
+    want = [g.map_to_nodes(r) for r in reads]
+    for gg, ww, r in zip(got, want, reads):
+        np.testing.assert_array_equal(gg, ww), r
