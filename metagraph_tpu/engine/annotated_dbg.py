@@ -290,6 +290,27 @@ class BatchQuery:
         from ..kmer.extractor import encode_sequences
         g = self.adbg.graph
         k = g.k
+        if (getattr(g, "boss", None) is not None
+                and g.boss.edge_lanes is None
+                and hasattr(g, "map_read_batch")):
+            # small state: incremental walk (O(1) rank/select per
+            # window) instead of the flat k-step search per window
+            per = g.map_read_batch(list(seqs))
+            rows_l, rid_l, wpr = [], [], []
+            for r, nodes in enumerate(per):
+                if hasattr(g, "node_to_anno_row"):
+                    rr = np.where(nodes > 0,
+                                  g.node_to_anno_row(nodes), -1)
+                else:
+                    rr = nodes.astype(np.int64) - 1
+                rows_l.append(rr)
+                rid_l.append(np.full(len(nodes), r, np.int64))
+                wpr.append(len(nodes))
+            return (np.concatenate(rows_l) if rows_l
+                    else np.zeros(0, np.int64),
+                    np.concatenate(rid_l) if rid_l
+                    else np.zeros(0, np.int64),
+                    np.array(wpr, np.int64))
         codes_np = encode_sequences(seqs, g.alphabet)
         # pad to power-of-two bucket to bound recompiles
         target = max(1024, 1 << (max(len(codes_np), k) - 1).bit_length())

@@ -130,3 +130,28 @@ def test_small_state_walk_mapping_matches_flat(rng):
     want = [g.map_to_nodes(r) for r in reads]
     for gg, ww, r in zip(got, want, reads):
         np.testing.assert_array_equal(gg, ww), r
+
+
+def test_small_state_batch_query(rng):
+    """BatchQuery over a small-state graph routes through the walk and
+    matches the fast-state answers."""
+    from metagraph_tpu.engine.annotated_dbg import (AnnotatedDbg,
+                                                    BatchQuery,
+                                                    annotate_sequences)
+    from metagraph_tpu.graph.dbg_succinct import DbgSuccinct
+    k = 9
+    seqs = [random_dna(rng, 400) for _ in range(3)]
+    fast = DbgSuccinct.from_boss(build_boss(seqs, k), DNA, "basic")
+    boss, valid = build_boss_out_of_core(seqs, k, n_shards=2,
+                                         chunk_codes=1 << 10,
+                                         return_valid=True)
+    small = DbgSuccinct.from_boss(boss, DNA, "basic", valid=valid)
+    reads = [seqs[0][5:105], b"G" * 60, seqs[2][40:120]]
+    for ratio in (0.0, 0.6):
+        outs = []
+        for g in (fast, small):
+            ann = annotate_sequences(
+                g, [(s, [f"l{i}"]) for i, s in enumerate(seqs)]).finalize()
+            bq = BatchQuery(AnnotatedDbg(graph=g, annotation=ann))
+            outs.append(bq.get_labels_batch(reads, ratio))
+        assert outs[0] == outs[1], ratio
