@@ -170,11 +170,24 @@ def _rec(x: np.ndarray):
 
 
 def h_owner(x: np.ndarray, splitters: np.ndarray, B: int) -> np.ndarray:
-    """Shard owner per column: #splitters <= group_key(x)."""
+    """Shard owner per column: #splitters <= group_key(x).
+
+    Vectorized lane compares per splitter — NOT a structured-array
+    searchsorted, whose per-element tuple comparisons run ~50x slower
+    at the 10^8-entry scale this is used at."""
     if splitters.shape[1] == 0:
         return np.zeros(x.shape[1], np.int64)
-    return np.searchsorted(_rec(splitters), _rec(h_group_key(x, B)),
-                           side="right")
+    gk = h_group_key(x, B)
+    L = gk.shape[0]
+    owner = np.zeros(gk.shape[1], np.int64)
+    for j in range(splitters.shape[1]):
+        sp = splitters[:, j]
+        # lexicographic gk >= sp (lane 0 most significant)
+        lt = gk[L - 1] < sp[L - 1]
+        for l in range(L - 2, -1, -1):
+            lt = np.where(gk[l] == sp[l], lt, gk[l] < sp[l])
+        owner += ~lt
+    return owner
 
 
 def _bucket_by_owner(x: np.ndarray, owners: np.ndarray, S: int,
