@@ -37,11 +37,21 @@ def _cap(n: int, lo: int) -> int:
     return max(lo, 1 << (max(int(n), 1) - 1).bit_length())
 
 
+def _cap_lin(n: int, step: int, lo: int) -> int:
+    """Multiple-of-`step` size class. Power-of-two classes waste up to 2x
+    work on the scan-length-dominated beam DP (a 69-char tail padded to
+    128 columns runs 128/69 the columns AND 160/86 the steps); linear
+    classes cost a few more compiles (bounded: reads are <= a few hundred
+    bp) and cut the padded volume to <= (1 + step/n)."""
+    n = max(int(n), lo)
+    return ((n + step - 1) // step) * step
+
+
 def _pad_pairs(q, r, qlens, rlens):
-    """Pad (B, LQ)/(B, LR) pair arrays to power-of-two shape classes."""
+    """Pad (B, LQ)/(B, LR) pair arrays to bounded shape classes."""
     B, LQ = q.shape
     LR = r.shape[1]
-    Bp, LQp, LRp = _cap(B, 8), _cap(LQ, 16), _cap(LR, 16)
+    Bp, LQp, LRp = _cap(B, 8), _cap_lin(LQ, 16, 16), _cap_lin(LR, 16, 16)
     qp = np.zeros((Bp, LQp), np.int32)
     qp[:B, :LQ] = q
     rp = np.zeros((Bp, LRp), np.int32)
@@ -231,8 +241,9 @@ def _beam_extend_group(graph, start_nodes, tails, tlens, cfg, beam,
     # shape compiles once (persistent cache), not once per batch size;
     # the query dim follows the longest real tail, not the array width
     true_max = int(tlens.max()) if B else 1
-    Bp, LQp = _cap(B, 8), _cap(max(true_max, 1), 16)
-    LQp = min(LQp, _cap(LQ, 16))
+    Bp = _cap(B, 8) if B < 128 else _cap_lin(B, 128, 128)
+    LQp = _cap_lin(max(true_max, 1), 16, 16)
+    LQp = min(LQp, _cap_lin(LQ, 16, 16))
     tails = tails[:, :LQp] if LQp < LQ else tails
     LQ = tails.shape[1]
     tails_p = np.zeros((Bp, LQp), tails.dtype)
@@ -241,7 +252,10 @@ def _beam_extend_group(graph, start_nodes, tails, tlens, cfg, beam,
     tlens_p[:B] = tlens
     starts_p = np.ones(Bp, np.int32)           # node 1: any valid id
     starts_p[:B] = start_nodes
-    steps = int(LQp + max(4, LQp // 4))
+    # walk length: the true longest tail plus indel slack, rounded to a
+    # compile class — NOT the padded column width (that alone ran 160
+    # steps x 129 columns for a 69-char tail; this runs 96 x 80)
+    steps = _cap_lin(true_max + max(4, true_max // 4), 16, 16)
     best, best_step, best_beam, parents, chars, nodes_hist = _beam_scan(
         graph, jnp.asarray(starts_p.astype(np.int32)),
         jnp.asarray(tails_p.astype(np.int32)),
