@@ -36,6 +36,11 @@ class AlignerConfig:
     max_seed_length: int = 0           # 0 = unbounded (reference
                                        # --align-max-seed-length)
     min_exact_match: float = 0.7
+    min_cell_score: Optional[int] = None  # prune beam entries whose best
+                                          # cell drops below this
+                                          # (reference config.cpp:237)
+    max_ram_mb: Optional[float] = None    # DP memory budget -> extension
+                                          # sub-batch cap (config.cpp:255)
     beam_width: int = 32
     max_seeds_per_read: int = 4        # anchors extended per read/strand
     max_seeds_per_locus: int = 16      # suffix-seed candidates per locus

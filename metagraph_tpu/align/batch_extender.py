@@ -111,10 +111,10 @@ def _column_update(H, D, q, c, jj, match, tpen, tvpen, open_p, ext_p,
 
 @functools.partial(jax.jit, static_argnames=(
     "steps", "beam", "match", "tpen", "tvpen", "open_p", "ext_p", "xdrop",
-    "backward"))
+    "backward", "min_cell"))
 def _beam_scan(graph, start_nodes, tails, tlens, steps, beam,
                match, tpen, tvpen, open_p, ext_p, xdrop, backward,
-               adj_tab=None):
+               adj_tab=None, min_cell=NEG):
     """Run the batched beam extension.
 
     Returns (best (B,), best_step (B,), best_beam (B,),
@@ -182,6 +182,8 @@ def _beam_scan(graph, start_nodes, tails, tlens, steps, beam,
         best_beam = jnp.where(improved, 0, best_beam)
         alive2 = (top_score > NEG // 2) & (top_score >= (best[:, None]
                                                          - xdrop))
+        if min_cell > NEG:        # reference --align-min-cell-score
+            alive2 &= top_score >= min_cell
         return ((Hn2, Dn2, node2, alive2, best, best_step, best_beam),
                 (pw.astype(jnp.int32), pc.astype(jnp.int32),
                  node2.astype(jnp.int32)))
@@ -211,6 +213,28 @@ def beam_extend_batch(graph, start_nodes: np.ndarray, tails: np.ndarray,
     B = tails.shape[0]
     if B == 0:
         return np.zeros(0, np.int64), [], []
+    max_ram = getattr(cfg, "max_ram_mb", None)
+    if max_ram:
+        # reference --align-max-ram: bound the live DP footprint. The
+        # scan's big tensors are the (B, W, S, LQ+1) candidate columns
+        # (x3 for H/D/I) in int32.
+        LQ1 = tails.shape[1] + 1
+        per_row = beam * 4 * LQ1 * 4 * 3
+        cap = max(int(max_ram * 1e6 / per_row), 8)
+        if B > cap:
+            scores = np.zeros(B, np.int64)
+            chars = [None] * B
+            nodes = [None] * B
+            for lo in range(0, B, cap):
+                hi = min(lo + cap, B)
+                s, c, n = beam_extend_batch(
+                    graph, start_nodes[lo:hi], tails[lo:hi], tlens[lo:hi],
+                    cfg, beam, backward, adj_tab)
+                scores[lo:hi] = s
+                for o in range(hi - lo):
+                    chars[lo + o] = c[o]
+                    nodes[lo + o] = n[o]
+            return scores, chars, nodes
     SHORT = 32
     long_mask = np.asarray(tlens) > SHORT
     if B >= 32 and long_mask.any() and (~long_mask).sum() >= B // 4:
@@ -264,7 +288,10 @@ def _beam_extend_group(graph, start_nodes, tails, tlens, cfg, beam,
         match=cfg.match_score, tpen=cfg.mm_transition_penalty,
         tvpen=cfg.mm_transversion_penalty,
         open_p=cfg.gap_opening_penalty, ext_p=cfg.gap_extension_penalty,
-        xdrop=cfg.xdrop, backward=backward, adj_tab=adj_tab)
+        xdrop=cfg.xdrop, backward=backward, adj_tab=adj_tab,
+        min_cell=(cfg.min_cell_score
+                  if getattr(cfg, "min_cell_score", None) is not None
+                  else NEG))
     best = np.asarray(best)[:B]
     best_step = np.asarray(best_step)[:B]
     best_beam = np.asarray(best_beam)[:B]

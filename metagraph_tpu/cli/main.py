@@ -943,6 +943,8 @@ def cmd_align(args):
         max_seed_length=args.align_max_seed_length,
         min_exact_match=args.align_min_exact_match,
         max_seeds_per_locus=args.align_max_num_seeds_per_locus,
+        min_cell_score=args.align_min_cell_score,
+        max_ram_mb=args.align_max_ram,
     )
     if args.align_max_nodes_per_seq_char:
         # the beam width IS the expanded-nodes-per-query-char bound in
@@ -1379,7 +1381,8 @@ def cmd_transform_anno(args):
                 if len(ps) == 4:
                     linkage.append((int(ps[0]), int(ps[1]), float(ps[2]),
                                     int(ps[3])))
-        out_mat = build_brwt(mat, subsample=args.num_rows_subsampled,
+        out_mat = build_brwt(mat, arity=args.arity,
+                             subsample=args.num_rows_subsampled,
                              linkage=linkage)
         if args.relax_arity > 2:
             from ..anno.brwt import relax_brwt
@@ -1544,6 +1547,15 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--count-kmers", action="store_true")
     sp.add_argument("--count-width", type=int, default=8)
     sp.add_argument("--mask-dummy", action="store_true")  # always on
+    # reference --clear-dummy / --no-postprocessing (config.cpp:333-338):
+    # dummy-edge erasure is always on here (the valid mask is built at
+    # finalize), so both are accepted for workflow parity
+    sp.add_argument("--clear-dummy", action="store_true")
+    sp.add_argument("--no-postprocessing", action="store_true")
+    # reference --index-ranges N (boss.cpp:index_suffix_ranges): the
+    # always-on top-16-bit search LUT plays this role (stats reports the
+    # equivalent indexed suffix length); accepted for workflow parity
+    sp.add_argument("--index-ranges", type=int, default=None)
     sp.add_argument("--suffix-len", type=int, default=0)
     sp.add_argument("--suffix", default=None)
     sp.add_argument("--num-shards", type=int, default=1)
@@ -1627,6 +1639,13 @@ def build_parser() -> argparse.ArgumentParser:
                     default=":")
     sp.add_argument("--align", action="store_true")
     sp.add_argument("--batch-align", action="store_true")
+    # reference --max-hull-depth/--max-hull-forks bound the query-graph
+    # hull expansion around suffix matches (query.cpp:735-765); the
+    # batch path here aligns against the full graph directly, so the
+    # hull approximation (and its knobs) is subsumed — accepted so
+    # reference command lines run unchanged
+    sp.add_argument("--max-hull-depth", type=int, default=None)
+    sp.add_argument("--max-hull-forks", type=int, default=None)
     sp.add_argument("--align-min-exact-match", type=float, default=0.7)
     sp.add_argument("--fast", action="store_true")  # batch mode (default path)
     sp.add_argument("--batch-size", type=int, default=100 << 20)
@@ -1717,6 +1736,13 @@ def build_parser() -> argparse.ArgumentParser:
                     "--align-gap-extension-penalty",
                     dest="gap_extension_penalty", type=int, default=2)
     sp.add_argument("--align-xdrop", type=int, default=27)
+    sp.add_argument("--align-min-cell-score", type=int, default=None,
+                    help="prune beam entries whose best DP cell falls "
+                         "below this (reference config.cpp:237)")
+    sp.add_argument("--align-max-ram", type=float, default=None,
+                    help="approximate per-batch DP memory budget in MB "
+                         "(reference config.cpp:255); caps the extension "
+                         "sub-batch size")
     sp.add_argument("--align-min-path-score", type=int, default=0,
                     help="drop alignments scoring below this")
     sp.add_argument("--num-alternative-paths",
@@ -1786,6 +1812,9 @@ def build_parser() -> argparse.ArgumentParser:
                              "rbfish", "rb_brwt", "row_diff_brwt",
                              "row_diff_coord", "tuple_row_diff"])
     sp.add_argument("--max-path-length", type=int, default=64)
+    sp.add_argument("--arity", type=int, default=2,
+                    help="BRWT tree arity for the bottom-up build "
+                         "(reference --arity)")
     sp.add_argument("--relax-arity", type=int, default=2)
     sp.add_argument("--num-rows-subsampled", "--subsample",
                     dest="num_rows_subsampled", type=int, default=1000000)

@@ -18,7 +18,16 @@ import time
 os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
                            + " --xla_force_host_platform_device_count=8")
 os.environ["JAX_PLATFORMS"] = "cpu"   # force: the profile exports axon
+os.environ.setdefault("METAGRAPH_TPU_XLA_CACHE",
+                      "/tmp/metagraph_xla_cache_cpu")
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# sitecustomize pre-imports jax with the axon TPU backend; env vars set
+# above are too late for that import — force the platform directly or
+# every dispatch here contends for the one real TPU chip.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 
