@@ -23,6 +23,66 @@ import numpy as np
 
 NEG = -(10 ** 9)
 
+# BLOSUM62 substitution scores (standard public matrix; the reference
+# embeds the same table, aligner_config.cpp:174-219). Row/col order:
+_BLOSUM62_ORDER = "ARNDCQEGHILKMFPSTWYVBZX"
+_BLOSUM62 = """
+ 4 -1 -2 -2  0 -1 -1  0 -2 -1 -1 -1 -1 -2 -1  1  0 -3 -2  0 -2 -1  0
+-1  5  0 -2 -3  1  0 -2  0 -3 -2  2 -1 -3 -2 -1 -1 -3 -2 -3 -1  0 -1
+-2  0  6  1 -3  0  0  0  1 -3 -3  0 -2 -3 -2  1  0 -4 -2 -3  3  0 -1
+-2 -2  1  6 -3  0  2 -1 -1 -3 -4 -1 -3 -3 -1  0 -1 -4 -3 -3  4  1 -1
+ 0 -3 -3 -3  9 -3 -4 -3 -3 -1 -1 -3 -1 -2 -3 -1 -1 -2 -2 -1 -3 -3 -2
+-1  1  0  0 -3  5  2 -2  0 -3 -2  1  0 -3 -1  0 -1 -2 -1 -2  0  3 -1
+-1  0  0  2 -4  2  5 -2  0 -3 -3  1 -2 -3 -1  0 -1 -3 -2 -2  1  4 -1
+ 0 -2  0 -1 -3 -2 -2  6 -2 -4 -4 -2 -3 -3 -2  0 -2 -2 -3 -3 -1 -2 -1
+-2  0  1 -1 -3  0  0 -2  8 -3 -3 -1 -2 -1 -2 -1 -2 -2  2 -3  0  0 -1
+-1 -3 -3 -3 -1 -3 -3 -4 -3  4  2 -3  1  0 -3 -2 -1 -3 -1  3 -3 -3 -1
+-1 -2 -3 -4 -1 -2 -3 -4 -3  2  4 -2  2  0 -3 -2 -1 -2 -1  1 -4 -3 -1
+-1  2  0 -1 -3  1  1 -2 -1 -3 -2  5 -1 -3 -1  0 -1 -3 -2 -2  0  1 -1
+-1 -1 -2 -3 -1  0 -2 -3 -2  1  2 -1  5  0 -2 -1 -1 -1 -1  1 -3 -1 -1
+-2 -3 -3 -3 -2 -3 -3 -3 -1  0  0 -3  0  6 -4 -2 -2  1  3 -1 -3 -3 -1
+-1 -2 -2 -1 -3 -1 -1 -2 -2 -3 -3 -1 -2 -4  7 -1 -1 -4 -3 -2 -2 -1 -2
+ 1 -1  1  0 -1  0  0  0 -1 -2 -2  0 -1 -2 -1  4  1 -3 -2 -2  0  0  0
+ 0 -1  0 -1 -1 -1 -1 -2 -2 -1 -1 -1 -1 -2 -1  1  5 -2 -2  0 -1 -1  0
+-3 -3 -4 -4 -2 -2 -3 -2 -2 -3 -2 -3 -1  1 -4 -3 -2 11  2 -3 -4 -3 -2
+-2 -2 -2 -3 -2 -1 -2 -3  2 -1 -1 -2 -1  3 -3 -2 -2  2  7 -1 -3 -2 -1
+ 0 -3 -3 -3 -1 -2 -2 -3 -3  3  1 -2  1 -1 -2 -2  0 -3 -1  4 -3 -2 -1
+-2 -1  3  4 -3  0  1 -1  0 -3 -4  0 -3 -3 -2  0 -1 -4 -3 -3  4  1 -1
+-1  0  0  1 -3  3  4 -2  0 -3 -3  1 -1 -3 -1  0 -1 -3 -2 -2  1  4 -1
+ 0 -1 -1 -1 -2 -1 -1 -1 -1 -1 -1 -1 -1 -1 -2  0  0 -2 -1 -1 -1 -1 -1
+"""
+
+
+def blosum62_matrix(alphabet) -> np.ndarray:
+    """(size, size) BLOSUM62 scores over an alphabet's code space
+    (reference: DBGAlignerConfig::score_matrix_blosum62,
+    aligner_config.cpp:174-222). Letters outside the 23-symbol BLOSUM
+    set (J, O, U and the sentinel) score -4 vs everything and +1 vs
+    themselves, matching the reference's fill rule."""
+    vals = np.array(_BLOSUM62.split(), np.int32).reshape(23, 23)
+    pos = {ch: i for i, ch in enumerate(_BLOSUM62_ORDER)}
+    size = alphabet.size
+    s = np.full((size, size), -4, np.int32)
+    np.fill_diagonal(s, 1)
+    for a, ca in enumerate(alphabet.letters):
+        for b, cb in enumerate(alphabet.letters):
+            ia, ib = pos.get(ca.upper()), pos.get(cb.upper())
+            if ia is not None and ib is not None:
+                s[a, b] = vals[ia, ib]
+    s[0, :] = -4
+    s[:, 0] = -4
+    return s
+
+
+def unit_matrix(alphabet, match_score: int = 1) -> np.ndarray:
+    """Edit-distance scoring: +match on identical real letters, -match
+    otherwise (reference: unit_scoring_matrix, aligner_config.cpp:153)."""
+    size = alphabet.size
+    s = np.full((size, size), -match_score, np.int32)
+    for c in range(1, size):
+        s[c, c] = match_score
+    return s
+
 
 @dataclass
 class AlignerConfig:
@@ -46,18 +106,47 @@ class AlignerConfig:
     max_seeds_per_locus: int = 16      # suffix-seed candidates per locus
                                        # (reference --align-max-num-seeds-
                                        # per-locus, seeder_methods)
+    # scoring matrix selection (reference set_scoring_matrix,
+    # aligner_config.cpp:97-129): "auto" = dna matrix for DNA alphabets /
+    # BLOSUM62 for Protein; "unit" = edit distance (--align-edit-distance)
+    score_matrix_type: str = "auto"
 
-    def score_matrix(self) -> np.ndarray:
-        """(5, 5) substitution scores over codes $ACGT
-        (reference dna scoring: transitions A<->G, C<->T)."""
-        s = np.full((5, 5), -self.mm_transversion_penalty, np.int32)
+    def score_matrix(self, alphabet=None) -> np.ndarray:
+        """(size, size) substitution scores over alphabet codes.
+
+        DNA default: transition/transversion matrix (A<->G, C<->T
+        transitions); Protein default: BLOSUM62; "unit": edit distance.
+        With no alphabet, the historical (5, 5) DNA matrix is returned."""
+        kind = self.score_matrix_type
+        if kind == "auto":
+            kind = ("blosum62" if alphabet is not None
+                    and alphabet.name == "Protein" else "dna")
+        if kind == "unit":
+            from ..kmer.alphabets import DNA
+            return unit_matrix(alphabet or DNA, 1)
+        if kind == "blosum62":
+            if alphabet is None:
+                from ..kmer.alphabets import PROTEIN
+                alphabet = PROTEIN
+            return blosum62_matrix(alphabet)
+        size = alphabet.size if alphabet is not None else 5
+        s = np.full((size, size), -self.mm_transversion_penalty, np.int32)
         for a, b in [(1, 3), (3, 1), (2, 4), (4, 2)]:  # A<->G, C<->T
-            s[a, b] = -self.mm_transition_penalty
-        for c in range(1, 5):
+            if a < size and b < size:
+                s[a, b] = -self.mm_transition_penalty
+        for c in range(1, min(5, size)):
             s[c, c] = self.match_score
         s[0, :] = -self.mm_transversion_penalty
         s[:, 0] = -self.mm_transversion_penalty
         return s
+
+    def uses_table_scoring(self, alphabet) -> bool:
+        """True when the extension DP must gather from the matrix instead
+        of using the arithmetic DNA transition/transversion formula."""
+        kind = self.score_matrix_type
+        if kind == "auto":
+            kind = "blosum62" if alphabet.name == "Protein" else "dna"
+        return kind != "dna"
 
 
 @dataclass
@@ -157,8 +246,17 @@ class Aligner:
     def __init__(self, graph, config: Optional[AlignerConfig] = None):
         self.graph = graph
         self.config = config or AlignerConfig()
-        self.sub = self.config.score_matrix()
+        self.sub = self.config.score_matrix(graph.alphabet)
+        # non-DNA scoring (BLOSUM62 / unit): the device DP gathers from
+        # the matrix, passed as a static tuple-of-tuples so each distinct
+        # matrix compiles once (aligner_config.cpp:97-129 parity)
+        self._sub_tt = (tuple(tuple(int(v) for v in row) for row in self.sub)
+                        if self.config.uses_table_scoring(graph.alphabet)
+                        else None)
         self.max_seeds_per_read = self.config.max_seeds_per_read
+        # per-code exact-match scores (BLOSUM62's diagonal varies by
+        # letter; for DNA this is just match_score everywhere)
+        self._diag = np.diagonal(self.sub).astype(np.int64)
         self._tbl = graph.alphabet.encode_table()
         self._adj = {}          # lazy per-direction adjacency cache
 
@@ -399,10 +497,10 @@ class Aligner:
             seed_info.append((i, nodes, rs, re, seed_len, qb, qe))
         f_scores, f_chars, f_nodes = beam_extend_batch(
             g, fwd_start, fwd_tails, fwd_lens, cfg, backward=False,
-            adj_tab=self._adjacency_table(False))
+            adj_tab=self._adjacency_table(False), sub_tt=self._sub_tt)
         b_scores, b_chars, b_nodes = beam_extend_batch(
             g, bwd_start, bwd_tails, bwd_lens, cfg, backward=True,
-            adj_tab=self._adjacency_table(True))
+            adj_tab=self._adjacency_table(True), sub_tt=self._sub_tt)
         # 3) batched CIGAR recovery over the winning paths
         def pack(tails, lens, chars):
             LQ = tails.shape[1]
@@ -421,30 +519,34 @@ class Aligner:
                                    cfg.gap_extension_penalty,
                                    cfg.match_score,
                                    cfg.mm_transition_penalty,
-                                   cfg.mm_transversion_penalty)
+                                   cfg.mm_transversion_penalty,
+                                   sub_tt=self._sub_tt)
             b_cig = batched_cigars(bq, br, bql, brl, self.sub,
                                    cfg.gap_opening_penalty,
                                    cfg.gap_extension_penalty,
                                    cfg.match_score,
                                    cfg.mm_transition_penalty,
-                                   cfg.mm_transversion_penalty)
+                                   cfg.mm_transversion_penalty,
+                                   sub_tt=self._sub_tt)
         else:
             # score-only: Pallas ends kernel, no matrices, no traceback
             from .batch_extender import batched_ends
             fe = batched_ends(fq, fr, fql, frl, cfg.gap_opening_penalty,
                               cfg.gap_extension_penalty, cfg.match_score,
                               cfg.mm_transition_penalty,
-                              cfg.mm_transversion_penalty)
+                              cfg.mm_transversion_penalty,
+                              sub_tt=self._sub_tt)
             be = batched_ends(bq, br, bql, brl, cfg.gap_opening_penalty,
                               cfg.gap_extension_penalty, cfg.match_score,
                               cfg.mm_transition_penalty,
-                              cfg.mm_transversion_penalty)
+                              cfg.mm_transversion_penalty,
+                              sub_tt=self._sub_tt)
             f_cig = [(int(s), int(j), int(t), None) for s, t, j in fe]
             b_cig = [(int(s), int(j), int(t), None) for s, t, j in be]
         finals = []
         for bi, (i, nodes, rs, re, seed_len, qb, qe) in enumerate(seed_info):
             seq = seqs[i]
-            score = cfg.match_score * seed_len
+            score = int(self._diag[codes_l[i][qb:qe]].sum())
             ops = ["="] * seed_len
             parts = [np.asarray(nodes[rs:re], np.int64)]
             if fwd_lens[bi] and f_scores[bi] > 0:
@@ -502,7 +604,7 @@ class Aligner:
             starts[bi] = node
         scores, chars_l, nodes_l = beam_extend_batch(
             self.graph, starts, tails, lens, cfg, backward=False,
-            adj_tab=self._adjacency_table(False))
+            adj_tab=self._adjacency_table(False), sub_tt=self._sub_tt)
         LR = max([len(c) for c in chars_l] + [1])
         r = np.zeros((nb, LR), np.int32)
         rl = np.zeros(nb, np.int32)
@@ -513,15 +615,17 @@ class Aligner:
                    cfg.match_score, cfg.mm_transition_penalty,
                    cfg.mm_transversion_penalty)
         if with_cigar:
-            cig = batched_cigars(tails, r, lens, rl, self.sub, *dp_args)
+            cig = batched_cigars(tails, r, lens, rl, self.sub, *dp_args,
+                                 sub_tt=self._sub_tt)
         else:
             from .batch_extender import batched_ends
-            e = batched_ends(tails, r, lens, rl, *dp_args)
+            e = batched_ends(tails, r, lens, rl, *dp_args,
+                             sub_tt=self._sub_tt)
             cig = [(int(s), int(j), int(t), None) for s, t, j in e]
         finals = []
         for bi, (i, node, s_len) in enumerate(entries):
             seq = seqs[i]
-            score = cfg.match_score * s_len
+            score = int(self._diag[codes_l[i][:s_len]].sum())
             ops = ["="] * s_len
             path = np.asarray([node], np.int64)
             qe = s_len

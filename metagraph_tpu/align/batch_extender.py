@@ -63,7 +63,15 @@ def _pad_pairs(q, r, qlens, rlens):
     return qp, rp, qlp, rlp
 
 
-def _subst(q, c, match, tpen, tvpen, dtype=jnp.int32):
+def _subst(q, c, match, tpen, tvpen, dtype=jnp.int32, sub_tt=None):
+    """Substitution scores. DNA default: arithmetic transition/
+    transversion formula (codes 1-4; |q-c|==2 <=> A<->G / C<->T).
+    ``sub_tt`` (static tuple-of-tuples) switches to table scoring for
+    BLOSUM62 / unit matrices (reference aligner_config.cpp:97-129)."""
+    if sub_tt is not None:
+        tab = jnp.asarray(np.asarray(sub_tt, np.int32), dtype)
+        return tab[q, jnp.broadcast_to(c, jnp.broadcast_shapes(
+            q.shape, c.shape))]
     diff = jnp.abs(q - c)
     s = jnp.where(diff == 0, jnp.asarray(match, dtype),
                   jnp.where(diff == 2, jnp.asarray(-tpen, dtype),
@@ -88,12 +96,12 @@ def _prefix_max(x):
 
 
 def _column_update(H, D, q, c, jj, match, tpen, tvpen, open_p, ext_p,
-                   with_insertions: bool = True):
+                   with_insertions: bool = True, sub_tt=None):
     """One DP column step. H, D: (..., LQ+1); q: (..., LQ); c: (..., 1).
     Returns (Hn, Dn, I). Runs in H's dtype (int16 for short tails in the
     beam scan: the candidate-column updates are memory-bound)."""
     dtype = H.dtype
-    subs = _subst(q, c, match, tpen, tvpen, dtype)
+    subs = _subst(q, c, match, tpen, tvpen, dtype, sub_tt)
     Dn = jnp.maximum(H - jnp.asarray(open_p, dtype),
                      D - jnp.asarray(ext_p, dtype))
     diag = H[..., :-1] + subs
@@ -111,10 +119,10 @@ def _column_update(H, D, q, c, jj, match, tpen, tvpen, open_p, ext_p,
 
 @functools.partial(jax.jit, static_argnames=(
     "steps", "beam", "match", "tpen", "tvpen", "open_p", "ext_p", "xdrop",
-    "backward", "min_cell"))
+    "backward", "min_cell", "sub_tt", "sigma"))
 def _beam_scan(graph, start_nodes, tails, tlens, steps, beam,
                match, tpen, tvpen, open_p, ext_p, xdrop, backward,
-               adj_tab=None, min_cell=NEG):
+               adj_tab=None, min_cell=NEG, sub_tt=None, sigma=5):
     """Run the batched beam extension.
 
     Returns (best (B,), best_step (B,), best_beam (B,),
@@ -123,7 +131,7 @@ def _beam_scan(graph, start_nodes, tails, tlens, steps, beam,
     """
     B, LQ = tails.shape
     W = beam
-    S = 4  # DNA successors per node
+    S = sigma - 1  # successors per node (4 for DNA, 26 for Protein)
     # int32 DP columns: int16 was measured 1.7x SLOWER on TPU (the VPU
     # is 32-bit-lane native; sub-word elements pay pack/unpack on every
     # op), so narrower types are not a win here despite the traffic cut
@@ -160,7 +168,8 @@ def _beam_scan(graph, start_nodes, tails, tlens, steps, beam,
         c = jnp.arange(1, S + 1, dtype=jnp.int32)[None, None, :, None]
         qb = q_codes[:, None, None, :]
         Hn, Dn, _ = _column_update(He, De, qb, c, jj[None, None, None, :],
-                                   match, tpen, tvpen, open_p, ext_p)
+                                   match, tpen, tvpen, open_p, ext_p,
+                                   sub_tt=sub_tt)
         Hn = jnp.where(j_valid[:, None, None, :], Hn, negd)
         valid = alive[:, :, None] & (succ > 0)
         colmax = jnp.max(Hn, axis=-1).astype(jnp.int32)
@@ -198,7 +207,7 @@ def _beam_scan(graph, start_nodes, tails, tlens, steps, beam,
 
 def beam_extend_batch(graph, start_nodes: np.ndarray, tails: np.ndarray,
                       tlens: np.ndarray, cfg, beam: int = 8,
-                      backward: bool = False, adj_tab=None
+                      backward: bool = False, adj_tab=None, sub_tt=None
                       ) -> Tuple[np.ndarray, List[np.ndarray],
                                  List[np.ndarray]]:
     """Extend every read's seed through the graph at once.
@@ -229,7 +238,7 @@ def beam_extend_batch(graph, start_nodes: np.ndarray, tails: np.ndarray,
                 hi = min(lo + cap, B)
                 s, c, n = beam_extend_batch(
                     graph, start_nodes[lo:hi], tails[lo:hi], tlens[lo:hi],
-                    cfg, beam, backward, adj_tab)
+                    cfg, beam, backward, adj_tab, sub_tt)
                 scores[lo:hi] = s
                 for o in range(hi - lo):
                     chars[lo + o] = c[o]
@@ -248,18 +257,18 @@ def beam_extend_batch(graph, start_nodes: np.ndarray, tails: np.ndarray,
                     tails.shape[1])
             s, c, n = _beam_extend_group(
                 graph, start_nodes[idx], tails[idx, :max(w, 1)],
-                tlens[idx], cfg, beam, backward, adj_tab)
+                tlens[idx], cfg, beam, backward, adj_tab, sub_tt)
             for o, i in enumerate(idx):
                 scores[i] = s[o]
                 chars[i] = c[o]
                 nodes[i] = n[o]
         return scores, chars, nodes
     return _beam_extend_group(graph, start_nodes, tails, tlens, cfg,
-                              beam, backward, adj_tab)
+                              beam, backward, adj_tab, sub_tt)
 
 
 def _beam_extend_group(graph, start_nodes, tails, tlens, cfg, beam,
-                       backward, adj_tab=None):
+                       backward, adj_tab=None, sub_tt=None):
     B, LQ = tails.shape
     # pad batch and query dims to power-of-two classes: every distinct
     # shape compiles once (persistent cache), not once per batch size;
@@ -291,7 +300,8 @@ def _beam_extend_group(graph, start_nodes, tails, tlens, cfg, beam,
         xdrop=cfg.xdrop, backward=backward, adj_tab=adj_tab,
         min_cell=(cfg.min_cell_score
                   if getattr(cfg, "min_cell_score", None) is not None
-                  else NEG))
+                  else NEG),
+        sub_tt=sub_tt, sigma=graph.alphabet.size)
     best = np.asarray(best)[:B]
     best_step = np.asarray(best_step)[:B]
     best_beam = np.asarray(best_beam)[:B]
@@ -319,8 +329,9 @@ def _beam_extend_group(graph, start_nodes, tails, tlens, cfg, beam,
 # ---------------------------------------------------------------------------
 
 @functools.partial(jax.jit, static_argnames=(
-    "match", "tpen", "tvpen", "open_p", "ext_p"))
-def _full_dp(q, r, qlens, rlens, match, tpen, tvpen, open_p, ext_p):
+    "match", "tpen", "tvpen", "open_p", "ext_p", "sub_tt"))
+def _full_dp(q, r, qlens, rlens, match, tpen, tvpen, open_p, ext_p,
+             sub_tt=None):
     """(B, LR+1, LQ+1) H/D/I matrices of the affine semi-global DP —
     same semantics as aligner.affine_semiglobal, batched on device."""
     B, LQ = q.shape
@@ -338,7 +349,7 @@ def _full_dp(q, r, qlens, rlens, match, tpen, tvpen, open_p, ext_p):
         c = jax.lax.dynamic_slice_in_dim(r, t, 1, axis=1).astype(jnp.int32)
         Hn, Dn, In = _column_update(H, D, q.astype(jnp.int32), c,
                                     jj[None, :], match, tpen, tvpen,
-                                    open_p, ext_p)
+                                    open_p, ext_p, sub_tt=sub_tt)
         Hn = jnp.where(j_valid, Hn, NEG)
         t_ok = (t < rlens)[:, None]
         Hn = jnp.where(t_ok, Hn, H)
@@ -356,12 +367,13 @@ def _full_dp(q, r, qlens, rlens, match, tpen, tvpen, open_p, ext_p):
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "match", "tpen", "tvpen", "open_p", "ext_p"))
-def _full_dp_ends(q, r, qlens, rlens, match, tpen, tvpen, open_p, ext_p):
+    "match", "tpen", "tvpen", "open_p", "ext_p", "sub_tt"))
+def _full_dp_ends(q, r, qlens, rlens, match, tpen, tvpen, open_p, ext_p,
+                  sub_tt=None):
     """(B, 3) [score, r_end, q_end] via the XLA full DP + device argmax
     (row-major first-max, same tie rule as np.argmax)."""
     H, _, _ = _full_dp(q, r, qlens, rlens, match, tpen, tvpen,
-                       open_p, ext_p)
+                       open_p, ext_p, sub_tt)
     B, LRp, LQp = H.shape
     tt = jnp.arange(LRp, dtype=jnp.int32)[None, :, None]
     jjj = jnp.arange(LQp, dtype=jnp.int32)[None, None, :]
@@ -374,8 +386,9 @@ def _full_dp_ends(q, r, qlens, rlens, match, tpen, tvpen, open_p, ext_p):
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "match", "tpen", "tvpen", "open_p", "ext_p"))
-def _dp_traceback(q, r, qlens, rlens, match, tpen, tvpen, open_p, ext_p):
+    "match", "tpen", "tvpen", "open_p", "ext_p", "sub_tt"))
+def _dp_traceback(q, r, qlens, rlens, match, tpen, tvpen, open_p, ext_p,
+                  sub_tt=None):
     """Device traceback: (B, 3) ends + (steps, B) op codes.
 
     Replays aligner.affine_semiglobal's host traceback as a per-read
@@ -386,7 +399,7 @@ def _dp_traceback(q, r, qlens, rlens, match, tpen, tvpen, open_p, ext_p):
     alignment hot path. Bit-identical to the host walk (same branch
     order, same run semantics)."""
     H, D, I = _full_dp(q, r, qlens, rlens, match, tpen, tvpen,
-                       open_p, ext_p)
+                       open_p, ext_p, sub_tt)
     B, LRp1, LQp1 = H.shape
     tt = jnp.arange(LRp1, dtype=jnp.int32)[None, :, None]
     jjj = jnp.arange(LQp1, dtype=jnp.int32)[None, None, :]
@@ -416,11 +429,7 @@ def _dp_traceback(q, r, qlens, rlens, match, tpen, tvpen, open_p, ext_p):
             r, jnp.clip(t - 1, 0, r.shape[1] - 1)[:, None], axis=1)[:, 0]
 
     def subst(qc, rc):
-        diff = jnp.abs(qc - rc)
-        s = jnp.where(diff == 0, jnp.int32(match),
-                      jnp.where(diff == 2, jnp.int32(-tpen),
-                                jnp.int32(-tvpen)))
-        return jnp.where((qc == 0) | (rc == 0), jnp.int32(-tvpen), s)
+        return _subst(qc, rc, match, tpen, tvpen, jnp.int32, sub_tt)
 
     def step(carry, _):
         t, j, phase = carry
@@ -460,7 +469,7 @@ def _dp_traceback(q, r, qlens, rlens, match, tpen, tvpen, open_p, ext_p):
 
 def batched_ends(q: np.ndarray, r: np.ndarray, qlens: np.ndarray,
                  rlens: np.ndarray, open_p: int, ext_p: int, match: int,
-                 tpen: int, tvpen: int) -> np.ndarray:
+                 tpen: int, tvpen: int, sub_tt=None) -> np.ndarray:
     """(B, 3) [score, r_end, q_end] — the score-only alignment engine.
 
     Runs the XLA full DP + device argmax: at production batch sizes it
@@ -475,14 +484,15 @@ def batched_ends(q: np.ndarray, r: np.ndarray, qlens: np.ndarray,
     qp, rp, qlp, rlp = _pad_pairs(q, r, qlens, rlens)
     out = _full_dp_ends(jnp.asarray(qp), jnp.asarray(rp), jnp.asarray(qlp),
                         jnp.asarray(rlp), match=match, tpen=tpen,
-                        tvpen=tvpen, open_p=open_p, ext_p=ext_p)
+                        tvpen=tvpen, open_p=open_p, ext_p=ext_p,
+                        sub_tt=sub_tt)
     return np.asarray(out)[:B]
 
 
 def batched_cigars(q: np.ndarray, r: np.ndarray, qlens: np.ndarray,
                    rlens: np.ndarray, sub: np.ndarray, open_p: int,
-                   ext_p: int, match: int, tpen: int, tvpen: int
-                   ) -> List[Tuple[int, int, int, List[str]]]:
+                   ext_p: int, match: int, tpen: int, tvpen: int,
+                   sub_tt=None) -> List[Tuple[int, int, int, List[str]]]:
     """Batched (score, q_end, r_end, ops): the whole DP AND the traceback
     run on the device (_dp_traceback); only (steps, B) op codes and (B, 3)
     ends cross the wire — no (B, LR, LQ) matrix transfer. ``sub`` is kept
@@ -495,7 +505,7 @@ def batched_cigars(q: np.ndarray, r: np.ndarray, qlens: np.ndarray,
     ends_d, ops_d = _dp_traceback(jnp.asarray(qp), jnp.asarray(rp),
                                   jnp.asarray(qlp), jnp.asarray(rlp),
                                   match=match, tpen=tpen, tvpen=tvpen,
-                                  open_p=open_p, ext_p=ext_p)
+                                  open_p=open_p, ext_p=ext_p, sub_tt=sub_tt)
     ends = np.asarray(ends_d)
     ops_arr = np.asarray(ops_d)                       # (steps, B)
     OPS = np.array(["", "=", "X", "D", "I"])

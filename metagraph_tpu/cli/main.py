@@ -951,6 +951,9 @@ def cmd_align(args):
         # this engine (reference --align-max-nodes-per-seq-char role)
         cfg.beam_width = max(int(args.align_max_nodes_per_seq_char), 1)
     if args.align_edit_distance:
+        # unit scoring matrix (reference set_scoring_matrix,
+        # aligner_config.cpp:98-113) + unit gap costs
+        cfg.score_matrix_type = "unit"
         cfg.match_score = 1
         cfg.mm_transition_penalty = 1
         cfg.mm_transversion_penalty = 1

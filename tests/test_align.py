@@ -293,3 +293,91 @@ def test_small_state_suffix_range_matches_lanes(ref_graph):
             assert (int(rl), int(ru)) == (lo_i, hi_i), (trial, s)
         else:
             assert not bool(ok) or int(rl) > int(ru)
+
+
+# ---------------------------------------------------------------------------
+# protein / BLOSUM62 / unit scoring (reference aligner_config.cpp:97-222)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def protein_graph():
+    from metagraph_tpu.kmer.alphabets import PROTEIN
+    rng = np.random.default_rng(11)
+    letters = np.frombuffer(PROTEIN.letters[1:].encode(), np.uint8)
+    ref = bytes(rng.choice(letters, size=300))
+    g = DbgSuccinct.from_boss(build_boss([ref], 9, PROTEIN), PROTEIN,
+                              "basic")
+    return g, ref
+
+
+def test_blosum62_matrix_values():
+    """Spot-check the table against textbook BLOSUM62 entries."""
+    from metagraph_tpu.align.aligner import blosum62_matrix
+    from metagraph_tpu.kmer.alphabets import PROTEIN
+    s = blosum62_matrix(PROTEIN)
+    enc = {ch: i for i, ch in enumerate(PROTEIN.letters)}
+    assert s[enc["W"], enc["W"]] == 11
+    assert s[enc["A"], enc["A"]] == 4
+    assert s[enc["A"], enc["R"]] == -1
+    assert s[enc["C"], enc["C"]] == 9
+    assert s[enc["E"], enc["Q"]] == 2
+    assert s[enc["W"], enc["G"]] == -2
+    # letters outside the BLOSUM set: -4 off-diagonal, +1 self
+    assert s[enc["J"], enc["J"]] == 1
+    assert s[enc["J"], enc["A"]] == -4
+    # symmetric
+    assert (s == s.T).all()
+
+
+def test_protein_exact_read(protein_graph):
+    g, ref = protein_graph
+    from metagraph_tpu.align.aligner import blosum62_matrix
+    read = ref[50:110]
+    al = Aligner(g)
+    assert al._sub_tt is not None       # table scoring engaged
+    aln = al.align(read)[0]
+    sub = blosum62_matrix(g.alphabet)
+    enc = g.alphabet.encode_table()
+    codes = enc[np.frombuffer(read, np.uint8)].astype(int)
+    expect = int(sub[codes, codes].sum())
+    assert aln.cigar == f"{len(read)}="
+    assert aln.score == expect
+    assert aln.sequence == read
+
+
+def test_protein_substitution_scored_by_blosum(protein_graph):
+    g, ref = protein_graph
+    from metagraph_tpu.align.aligner import blosum62_matrix
+    sub = blosum62_matrix(g.alphabet)
+    enc = g.alphabet.encode_table()
+    read = bytearray(ref[50:110])
+    old = read[30]
+    # pick a substitution with a known BLOSUM62 penalty
+    new = ord("W") if old != ord("W") else ord("A")
+    read[30] = new
+    cfg = AlignerConfig(min_exact_match=0.5)
+    aln = Aligner(g, cfg).align(bytes(read))[0]
+    codes = enc[np.frombuffer(ref[50:110], np.uint8)].astype(int)
+    expect = int(sub[codes, codes].sum()) - int(sub[codes[30], codes[30]]) \
+        + int(sub[enc[new], codes[30]])
+    assert aln.cigar.count("X") == 1
+    assert aln.score == expect
+    assert aln.sequence == ref[50:110]
+
+
+def test_unit_matrix_edit_distance(ref_graph):
+    """score_matrix_type='unit': +1 match / -1 mismatch via the table
+    path (reference unit_scoring_matrix)."""
+    g, ref = ref_graph
+    read = bytearray(ref[100:200])
+    sub = {65: 67, 67: 65, 71: 84, 84: 71}
+    read[50] = sub[read[50]]
+    cfg = AlignerConfig(score_matrix_type="unit", match_score=1,
+                        mm_transition_penalty=1, mm_transversion_penalty=1,
+                        gap_opening_penalty=1, gap_extension_penalty=1,
+                        min_exact_match=0.5)
+    al = Aligner(g, cfg)
+    assert al._sub_tt is not None
+    aln = al.align(bytes(read))[0]
+    assert aln.score == 99 - 1
+    assert aln.cigar.count("X") == 1
