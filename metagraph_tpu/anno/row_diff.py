@@ -386,16 +386,9 @@ def build_row_diff_brwt(matrix: RowSparse, graph,
                        max_length=rd.max_length)
 
 
-def build_int_row_diff(matrix: RowSparse, graph,
-                       max_length: int = DEFAULT_MAX_LENGTH) -> IntRowDiff:
-    """Delta-compress integer annotation values along successor paths."""
-    assert matrix.values is not None, "needs a count annotation"
-    succ, anchor = assign_successors_and_anchors(graph, max_length)
-    rows = np.asarray(matrix.rows).astype(np.int64)
-    cols = np.asarray(matrix.cols).astype(np.int64)
-    vals = np.asarray(matrix.values).astype(np.int64)
-    C = matrix.num_cols
-    # non-anchor rows subtract their successor's values
+def _int_delta_pairs(rows, cols, vals, C, succ, anchor):
+    """(keys, sums): surviving ``row*C+col`` keys and their summed value
+    deltas (anchor rows keep raw values; others subtract the successor)."""
     non_anchor = ~anchor
     v_ids = np.nonzero(non_anchor)[0]
     sv = succ[v_ids]
@@ -410,13 +403,41 @@ def build_int_row_diff(matrix: RowSparse, graph,
     all_vals = np.concatenate([vals, -vals[flat]])
     order = np.argsort(all_keys, kind="stable")
     k_s, v_s = all_keys[order], all_vals[order]
-    first = np.concatenate([[True], k_s[1:] != k_s[:-1]])
+    first = np.concatenate([[True], k_s[1:] != k_s[:-1]]) \
+        if len(k_s) else np.zeros(0, bool)
     group = np.cumsum(first) - 1
     sums = np.zeros(int(group[-1]) + 1 if len(group) else 0, np.int64)
     np.add.at(sums, group, v_s)
     keys_u = k_s[np.nonzero(first)[0]]
     keep = sums != 0
-    keys_u, sums = keys_u[keep], sums[keep]
+    return keys_u[keep], sums[keep]
+
+
+def build_int_row_diff(matrix: RowSparse, graph,
+                       max_length: int = DEFAULT_MAX_LENGTH,
+                       row_counts: Optional[np.ndarray] = None,
+                       row_reduction: Optional[np.ndarray] = None
+                       ) -> IntRowDiff:
+    """Delta-compress integer annotation values along successor paths,
+    with the same count-routed forks + negative-reduction anchors as the
+    boolean builder (the reference's count variant of
+    convert_batch_to_row_diff, row_diff_builder.cpp:688+)."""
+    assert matrix.values is not None, "needs a count annotation"
+    rows = np.asarray(matrix.rows).astype(np.int64)
+    cols = np.asarray(matrix.cols).astype(np.int64)
+    vals = np.asarray(matrix.values).astype(np.int64)
+    C = matrix.num_cols
+    if row_counts is None:
+        row_counts = np.bincount(rows, minlength=matrix.num_rows)
+    succ, anchor = assign_successors_and_anchors(graph, max_length,
+                                                 row_counts)
+    if row_reduction is None:
+        keys0, _ = _int_delta_pairs(rows, cols, vals, C, succ, anchor)
+        orig_nnz = np.bincount(rows, minlength=matrix.num_rows)
+        diff_nnz = np.bincount(keys0 // C, minlength=matrix.num_rows)
+        row_reduction = (orig_nnz - diff_nnz).astype(np.int64)
+    anchor = anchor | (np.asarray(row_reduction)[:matrix.num_rows] < 0)
+    keys_u, sums = _int_delta_pairs(rows, cols, vals, C, succ, anchor)
     return IntRowDiff(rows=(keys_u // C), cols=(keys_u % C).astype(np.int32),
                       vals=sums, anchor=anchor, succ=succ,
                       max_length=max_length,
@@ -427,22 +448,35 @@ def build_int_row_diff(matrix: RowSparse, graph,
 # construction
 # ---------------------------------------------------------------------------
 
-def assign_successors_and_anchors(graph, max_length: int = DEFAULT_MAX_LENGTH
+def assign_successors_and_anchors(graph, max_length: int = DEFAULT_MAX_LENGTH,
+                                  row_counts: Optional[np.ndarray] = None
                                   ) -> Tuple[np.ndarray, np.ndarray]:
     """(succ (num_rows,) int64 row-space successor (-1 = none),
     anchor (num_rows,) bool).
 
-    Successor of node v = its first outgoing neighbor (the reference's
-    rd-succ is one designated outgoing edge, row_diff_builder.cpp:322).
+    Successor of node v = one designated outgoing neighbor (the
+    reference's rd-succ, row_diff_builder.cpp:322). With ``row_counts``
+    (per-row label counts, the stage-0 artifact), forks route to the
+    outgoing neighbor with the most labels (route_at_forks,
+    row_diff_builder.cpp:280-298) — denser successors cancel more bits;
+    without counts, the first outgoing neighbor is used.
     Anchors: terminals, every max_length-th position of each chain, and
     cycle leaders (assign_anchors, row_diff_builder.cpp:422)."""
     N = graph.num_nodes()
     nodes = jnp.arange(1, N + 1, dtype=jnp.int32)
     succs = np.asarray(graph.successors(nodes))          # (N, sigma-1)
     first = np.zeros(N + 1, np.int64)
-    for ci in range(succs.shape[1] - 1, -1, -1):
-        col = succs[:, ci]
-        first[1:] = np.where(col > 0, col, first[1:])
+    if row_counts is not None and len(row_counts) >= N:
+        cnt = np.where(succs > 0,
+                       np.asarray(row_counts)[np.clip(succs - 1, 0, N - 1)],
+                       -1)
+        choice = np.argmax(cnt, axis=1)                  # ties: first max
+        picked = succs[np.arange(N), choice]
+        first[1:] = np.where(picked > 0, picked, 0)
+    else:
+        for ci in range(succs.shape[1] - 1, -1, -1):
+            col = succs[:, ci]
+            first[1:] = np.where(col > 0, col, first[1:])
     # self-successors would loop forever
     first[1:] = np.where(first[1:] == np.arange(1, N + 1), 0, first[1:])
 
@@ -474,19 +508,12 @@ def assign_successors_and_anchors(graph, max_length: int = DEFAULT_MAX_LENGTH
     return succ_rows, anchor_nodes[1:]
 
 
-def build_row_diff(matrix: RowSparse, graph,
-                   max_length: int = DEFAULT_MAX_LENGTH) -> RowDiff:
-    """Convert a RowSparse annotation into RowDiff form against the given
-    graph (the reference's 3-stage convert_to_row_diff collapsed into one
-    in-memory pass: stage counts are not needed when deltas are computed
-    by sorted-pair cancellation)."""
-    succ, anchor = assign_successors_and_anchors(graph, max_length)
-    rows = np.asarray(matrix.rows).astype(np.int64)
-    cols = np.asarray(matrix.cols).astype(np.int64)
-    num_rows, num_cols = matrix.num_rows, matrix.num_cols
-    # pairs of M
+def _diff_pair_keys(rows: np.ndarray, cols: np.ndarray, num_cols: int,
+                    succ: np.ndarray, anchor: np.ndarray) -> np.ndarray:
+    """Sorted int64 ``row*C+col`` keys of the XOR-diff matrix: original
+    pairs concatenated with each non-anchor row's successor pairs; keys
+    appearing an odd number of times survive the cancellation."""
     base_key = rows * num_cols + cols
-    # pairs of M[succ[v]] for non-anchor v: join via interval expand
     non_anchor = ~anchor
     v_ids = np.nonzero(non_anchor)[0]
     sv = succ[v_ids]
@@ -498,18 +525,87 @@ def build_row_diff(matrix: RowSparse, graph,
     vv = np.repeat(v_ids, sizes)
     flat = _interval_expand(lo, sizes)
     succ_key = vv * num_cols + cols[flat]
-    # anchors keep their rows; non-anchors get M XOR M_succ
-    keep_orig = base_key  # all original pairs participate
-    allk = np.concatenate([keep_orig, succ_key])
+    allk = np.concatenate([base_key, succ_key])
     allk.sort(kind="stable")
-    # pairs appearing an odd number of times survive (XOR); original pairs
-    # at anchors appear once (no succ contribution) -> kept
-    boundaries = np.concatenate([[True], allk[1:] != allk[:-1]])
+    boundaries = np.concatenate([[True], allk[1:] != allk[:-1]]) \
+        if len(allk) else np.zeros(0, bool)
     group = np.cumsum(boundaries) - 1
-    counts = np.bincount(group)
+    counts = np.bincount(group) if len(allk) else np.zeros(0, np.int64)
     first_idx = np.nonzero(boundaries)[0]
     odd = (counts % 2) == 1
-    kept = allk[first_idx[odd]]
+    return allk[first_idx[odd]]
+
+
+def compute_row_counts(matrix: RowSparse) -> np.ndarray:
+    """Stage-0 artifact: labels per row (row_diff_builder.cpp:100-190)."""
+    rows = np.asarray(matrix.rows).astype(np.int64)
+    return np.bincount(rows, minlength=matrix.num_rows).astype(np.int64)
+
+
+def compute_row_reduction(matrix: RowSparse, graph,
+                          max_length: int = DEFAULT_MAX_LENGTH,
+                          row_counts: Optional[np.ndarray] = None
+                          ) -> np.ndarray:
+    """Stage-1 artifact: per-row ``nnz(row) - nnz(diff row)`` under the
+    preliminary (path-position) anchor assignment
+    (row_diff_builder.cpp COMPUTE_REDUCTION). Negative entries mark rows
+    where diffing against the successor *grows* the annotation — stage 2
+    turns those into anchors."""
+    succ, anchor = assign_successors_and_anchors(graph, max_length,
+                                                 row_counts)
+    rows = np.asarray(matrix.rows).astype(np.int64)
+    cols = np.asarray(matrix.cols).astype(np.int64)
+    num_rows, num_cols = matrix.num_rows, matrix.num_cols
+    kept = _diff_pair_keys(rows, cols, num_cols, succ, anchor)
+    orig_nnz = np.bincount(rows, minlength=num_rows)
+    diff_nnz = np.bincount(kept // num_cols, minlength=num_rows)
+    return (orig_nnz - diff_nnz).astype(np.int64)
+
+
+def compute_row_reduction_int(matrix: RowSparse, graph,
+                              max_length: int = DEFAULT_MAX_LENGTH,
+                              row_counts: Optional[np.ndarray] = None
+                              ) -> np.ndarray:
+    """Stage-1 artifact for integer (count) annotations: nnz reduction of
+    the value-delta matrix under the preliminary anchors."""
+    rows = np.asarray(matrix.rows).astype(np.int64)
+    cols = np.asarray(matrix.cols).astype(np.int64)
+    vals = np.asarray(matrix.values).astype(np.int64)
+    C = matrix.num_cols
+    if row_counts is None:
+        row_counts = np.bincount(rows, minlength=matrix.num_rows)
+    succ, anchor = assign_successors_and_anchors(graph, max_length,
+                                                 row_counts)
+    keys0, _ = _int_delta_pairs(rows, cols, vals, C, succ, anchor)
+    orig_nnz = np.bincount(rows, minlength=matrix.num_rows)
+    diff_nnz = np.bincount(keys0 // C, minlength=matrix.num_rows)
+    return (orig_nnz - diff_nnz).astype(np.int64)
+
+
+def build_row_diff(matrix: RowSparse, graph,
+                   max_length: int = DEFAULT_MAX_LENGTH,
+                   row_counts: Optional[np.ndarray] = None,
+                   row_reduction: Optional[np.ndarray] = None) -> RowDiff:
+    """Convert a RowSparse annotation into RowDiff form against the given
+    graph — the reference's 3 stages (row_diff_builder.cpp:100-688) in
+    one in-memory pass: per-row label counts route rd-successors at
+    forks, a reduction pass marks rows where diffing hurts, those become
+    extra anchors, then the final diffs are computed by sorted-pair XOR
+    cancellation. ``row_counts``/``row_reduction`` accept the staged CLI
+    artifacts (stages 0/1) so multi-invocation pipelines produce the
+    identical annotation."""
+    rows = np.asarray(matrix.rows).astype(np.int64)
+    cols = np.asarray(matrix.cols).astype(np.int64)
+    num_rows, num_cols = matrix.num_rows, matrix.num_cols
+    if row_counts is None:
+        row_counts = compute_row_counts(matrix)
+    if row_reduction is None:
+        row_reduction = compute_row_reduction(matrix, graph, max_length,
+                                              row_counts)
+    succ, anchor = assign_successors_and_anchors(graph, max_length,
+                                                 row_counts)
+    anchor = anchor | (np.asarray(row_reduction)[:num_rows] < 0)
+    kept = _diff_pair_keys(rows, cols, num_cols, succ, anchor)
     d_rows = (kept // num_cols).astype(np.int32)
     d_cols = (kept % num_cols).astype(np.int32)
     diffs = RowSparse.from_coo(d_rows, d_cols, num_rows, num_cols,

@@ -277,20 +277,14 @@ def _staged_convert(paths, graph, swap_dir, mem_cap_mb, max_length,
         file_codes.append(np.array([enc.insert(l) for l in labels],
                                    np.int64))
     num_cols = max(len(enc), 1)
-
-    # Stage 1: graph side (+ inverted successor index)
-    succ, anchor = assign_successors_and_anchors(graph, max_length)
-    num_rows = succ.shape[0]
-    succ_order = np.argsort(succ, kind="stable").astype(np.int64)
-    succ_sorted = succ[succ_order]
-    # drop the succ<0 prefix so pred lookups never match -1
-    nneg = int(np.searchsorted(succ_sorted, 0, side="left"))
-    succ_sorted = succ_sorted[nneg:]
-    succ_order = succ_order[nneg:]
+    num_rows = int(graph.num_nodes())
 
     cap_keys = (mem_cap_mb << 20) // (16 if with_vals else 8)
 
-    # Stage 2a: spill every file's entries as column-major keys
+    # Stage 2a: spill every file's entries as column-major keys, while
+    # accumulating the stage-0 per-row label counts (row_count artifact,
+    # row_diff_builder.cpp:100-190) — O(num_rows) ints resident
+    row_counts = np.zeros(num_rows, np.int64)
     raw = _RunSpiller(swap_dir, cap_keys, prefix="raw",
                       with_vals=with_vals)
     for p, codes in zip(paths, file_codes):
@@ -305,37 +299,71 @@ def _staged_convert(paths, graph, swap_dir, mem_cap_mb, max_length,
                              f"{num_rows}")
         rows = np.asarray(mat.rows).astype(np.int64)
         gcols = codes[np.asarray(mat.cols).astype(np.int64)]
+        row_counts += np.bincount(rows, minlength=num_rows)
         keys = gcols * num_rows + rows
         raw.add(keys, np.asarray(mat.values).astype(np.int64)
                 if with_vals else None)
         del ann, mat, rows, gcols
     raw.flush()
 
-    # Stage 2b: union the columns on disk, then diff each column
+    # Stage 1: graph side (+ inverted successor index); forks route to
+    # the most-labeled successor (route_at_forks), matching the
+    # in-memory builder bit for bit
+    succ, base_anchor = assign_successors_and_anchors(graph, max_length,
+                                                      row_counts)
+    succ_order = np.argsort(succ, kind="stable").astype(np.int64)
+    succ_sorted = succ[succ_order]
+    # drop the succ<0 prefix so pred lookups never match -1
+    nneg = int(np.searchsorted(succ_sorted, 0, side="left"))
+    succ_sorted = succ_sorted[nneg:]
+    succ_order = succ_order[nneg:]
+
+    # Stage 2b: union the columns on disk, then two passes per column:
+    # pass A accumulates the stage-1 row-reduction artifact under the
+    # preliminary anchors (COMPUTE_REDUCTION), pass B diffs with the
+    # final anchors (negative-reduction rows promoted) and spills
     merged = _merge_runs(raw.runs, swap_dir, with_vals=with_vals)
     raw_keys, raw_vals = merged if with_vals else (merged, None)
+
+    def columns():
+        lo = 0
+        for gcol in range(num_cols):
+            hi = int(np.searchsorted(raw_keys, (gcol + 1) * num_rows,
+                                     side="left"))
+            if hi > lo:
+                kk = np.asarray(raw_keys[lo:hi]) - gcol * num_rows
+                if with_vals:
+                    # files may repeat a (label, row) pair: sum values
+                    R, inv = np.unique(kk, return_inverse=True)
+                    V = np.zeros(R.size, np.int64)
+                    np.add.at(V, inv, np.asarray(raw_vals[lo:hi]))
+                    yield gcol, R, V
+                else:
+                    yield gcol, np.unique(kk), None
+            lo = hi
+
+    reduction = np.zeros(num_rows, np.int64)
+    for gcol, R, V in columns():
+        if with_vals:
+            D, _ = _diff_column_int(R, V, base_anchor, succ,
+                                    succ_sorted, succ_order)
+        else:
+            D = _diff_column(R, base_anchor, succ, succ_sorted,
+                             succ_order)
+        reduction += np.bincount(R, minlength=num_rows)
+        reduction -= np.bincount(D, minlength=num_rows)
+    anchor = base_anchor | (reduction < 0)
+
     spiller = _RunSpiller(swap_dir, cap_keys, prefix="diff",
                           with_vals=with_vals)
-    lo = 0
-    for gcol in range(num_cols):
-        hi = int(np.searchsorted(raw_keys, (gcol + 1) * num_rows,
-                                 side="left"))
-        if hi > lo:
-            kk = np.asarray(raw_keys[lo:hi]) - gcol * num_rows
-            if with_vals:
-                # files may repeat a (label, row) pair: sum values
-                R, inv = np.unique(kk, return_inverse=True)
-                V = np.zeros(R.size, np.int64)
-                np.add.at(V, inv, np.asarray(raw_vals[lo:hi]))
-                D, DV = _diff_column_int(R, V, anchor, succ,
-                                         succ_sorted, succ_order)
-                spiller.add(D * num_cols + gcol, DV)
-            else:
-                R = np.unique(kk)           # dedupe repeated pairs
-                D = _diff_column(R, anchor, succ, succ_sorted,
-                                 succ_order)
-                spiller.add(D * num_cols + gcol)
-        lo = hi
+    for gcol, R, V in columns():
+        if with_vals:
+            D, DV = _diff_column_int(R, V, anchor, succ,
+                                     succ_sorted, succ_order)
+            spiller.add(D * num_cols + gcol, DV)
+        else:
+            D = _diff_column(R, anchor, succ, succ_sorted, succ_order)
+            spiller.add(D * num_cols + gcol)
     spiller.flush()
     files = [arr.filename for arr in (raw_keys, raw_vals)
              if isinstance(arr, np.memmap)]

@@ -1288,6 +1288,19 @@ def cmd_merge_anno(args):
         f"({merged.num_labels} labels)")
 
 
+def _load_rd_artifacts(outfile_base):
+    """Stage-0/1 artifacts (.row_count/.row_reduction) if present next to
+    the output base — the staged-pipeline inputs to the final convert."""
+    rc = rr = None
+    p = outfile_base + ".row_count.npz"
+    if os.path.exists(p):
+        rc = np.load(p)["row_count"]
+    p = outfile_base + ".row_reduction.npz"
+    if os.path.exists(p):
+        rr = np.load(p)["row_reduction"]
+    return rc, rr
+
+
 def cmd_transform_anno(args):
     from ..anno.annotator import Annotation, LabelEncoder
     from ..anno.matrix import RowSparse
@@ -1363,14 +1376,51 @@ def cmd_transform_anno(args):
     target = args.anno_type
     if target.startswith(("row_diff", "int_row_diff", "tuple_row_diff")) \
             and args.row_diff_stage < 2:
-        # the reference's conversion runs as 3 explicit CLI stages
-        # (row_diff_builder.cpp: 0 = count labels, 1 = compute diffs,
-        # 2 = optimize anchors + serialize); here the whole transform
-        # happens in one pass at stage 2, so stages 0/1 are accepted
-        # no-ops to keep reference pipelines working unchanged
-        log(f"row_diff stage {args.row_diff_stage}: staging is collapsed "
-            "in this implementation; the full conversion runs at "
-            "--row-diff-stage 2")
+        # the reference's 3-stage out-of-core pipeline
+        # (row_diff_builder.cpp): stage 0 accumulates per-row label
+        # counts (.row_count), stage 1 per-row reduction stats
+        # (.row_reduction); stage 2 consumes both. Repeat invocations
+        # SUM into the artifacts (the reference processes column batches
+        # the same way, row_diff_builder.cpp:125-190).
+        from ..anno import row_diff as rd
+        rs = mat if isinstance(mat, RowSparse) else mat.to_row_sparse()
+        if args.row_diff_stage == 0:
+            path = args.outfile_base + ".row_count.npz"
+            counts = rd.compute_row_counts(rs)
+            if os.path.exists(path):
+                old = np.load(path)["row_count"]
+                n = max(len(old), len(counts))
+                acc = np.zeros(n, np.int64)
+                acc[:len(old)] += old
+                acc[:len(counts)] += counts
+                counts = acc
+            np.savez_compressed(path, row_count=counts)
+            log(f"row_diff stage 0: accumulated label counts for "
+                f"{rs.num_cols} columns -> {path}")
+        else:
+            assert args.infile_base, "row_diff stage 1 requires the graph (-i)"
+            g = _load_graph(args.infile_base)
+            cpath = args.outfile_base + ".row_count.npz"
+            row_counts = (np.load(cpath)["row_count"]
+                          if os.path.exists(cpath) else None)
+            if target.startswith("int_row_diff") and rs.values is not None:
+                red = rd.compute_row_reduction_int(
+                    rs, g, max_length=args.max_path_length,
+                    row_counts=row_counts)
+            else:
+                red = rd.compute_row_reduction(
+                    rs, g, max_length=args.max_path_length,
+                    row_counts=row_counts)
+            path = args.outfile_base + ".row_reduction.npz"
+            if os.path.exists(path):
+                old = np.load(path)["row_reduction"]
+                n = max(len(old), len(red))
+                acc = np.zeros(n, np.int64)
+                acc[:len(old)] += old
+                acc[:len(red)] += red
+                red = acc
+            np.savez_compressed(path, row_reduction=red)
+            log(f"row_diff stage 1: accumulated row reductions -> {path}")
         return
     if target == "brwt":
         from ..anno.brwt import build_brwt
@@ -1407,16 +1457,19 @@ def cmd_transform_anno(args):
             out.save(path)
             log(f"Serialized {target} annotation to {path}")
             return
+        rc, rr = _load_rd_artifacts(args.outfile_base)
         if target == "int_row_diff":
             from ..anno.row_diff import build_int_row_diff
             out_mat = build_int_row_diff(mat, g,
-                                         max_length=args.max_path_length)
+                                         max_length=args.max_path_length,
+                                         row_counts=rc, row_reduction=rr)
         else:
             from ..anno.row_diff import build_row_diff
             if not isinstance(mat, RowSparse):
                 mat = mat.to_row_sparse()
             out_mat = build_row_diff(mat, g,
-                                     max_length=args.max_path_length)
+                                     max_length=args.max_path_length,
+                                     row_counts=rc, row_reduction=rr)
     elif target == "row_diff_brwt":
         from ..anno.row_diff import build_row_diff_brwt
         assert args.infile_base, "row_diff_brwt requires the graph (-i)"

@@ -497,3 +497,45 @@ def test_protein_build_query(tmp_path, rng, capsys):
           "--discovery-fraction", "0.9", qfa])
     out = capsys.readouterr().out
     assert "seq2" in out
+
+
+def test_row_diff_staged_pipeline_matches_one_pass(workdir, capsys):
+    """Reference-shaped 3-invocation row-diff pipeline (stages 0 -> 1 ->
+    2, row_diff_builder.cpp:100-540): the .row_count/.row_reduction
+    artifacts are real, and the staged result is identical to the
+    one-pass stage-2 conversion."""
+    tmp, fa, seqs = workdir
+    out = str(tmp / "g")
+    main(["build", "-k", "11", "-o", out, fa])
+    main(["annotate", "-i", out, "-o", str(tmp / "a"), "--anno-header", fa])
+    col = str(tmp / "a.column.annodbg.npz")
+
+    # one-pass (no artifacts on disk)
+    main(["transform_anno", "--anno-type", "row_diff", "-i", out,
+          "-o", str(tmp / "solo"), col])
+    # staged: stage 0 writes .row_count, stage 1 .row_reduction, stage 2
+    # consumes both
+    main(["transform_anno", "--anno-type", "row_diff", "-i", out,
+          "--row-diff-stage", "0", "-o", str(tmp / "st"), col])
+    assert (tmp / "st.row_count.npz").exists()
+    main(["transform_anno", "--anno-type", "row_diff", "-i", out,
+          "--row-diff-stage", "1", "-o", str(tmp / "st"), col])
+    assert (tmp / "st.row_reduction.npz").exists()
+    main(["transform_anno", "--anno-type", "row_diff", "-i", out,
+          "--row-diff-stage", "2", "-o", str(tmp / "st"), col])
+
+    a = np.load(str(tmp / "solo.row_diff.annodbg.npz"))
+    b = np.load(str(tmp / "st.row_diff.annodbg.npz"))
+    assert sorted(a.files) == sorted(b.files)
+    for k in a.files:
+        assert np.array_equal(a[k], b[k]), k
+
+    # artifacts hold real data: counts sum to nnz, and a second stage-0
+    # invocation accumulates (the reference's column-batch behavior)
+    rc1 = np.load(str(tmp / "st.row_count.npz"))["row_count"]
+    ann = np.load(col)
+    main(["transform_anno", "--anno-type", "row_diff", "-i", out,
+          "--row-diff-stage", "0", "-o", str(tmp / "st"), col])
+    rc2 = np.load(str(tmp / "st.row_count.npz"))["row_count"]
+    assert rc1.sum() > 0
+    assert rc2.sum() == 2 * rc1.sum()
