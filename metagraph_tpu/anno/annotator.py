@@ -120,6 +120,12 @@ class Annotation:
             if "ur_codes" in keys:
                 from .unique_row import UniqueRow
                 mat = UniqueRow.from_npz_dict(d)
+            elif "irdb_anchor" in keys:
+                from .int_brwt import IntRowDiffBrwt
+                mat = IntRowDiffBrwt.from_npz_dict(d)
+            elif "ibrwt_ptr" in keys:
+                from .int_brwt import IntBrwt
+                mat = IntBrwt.from_npz_dict(d)
             elif "trd_anchor" in keys:
                 from .coords import TupleRowDiff
                 mat = TupleRowDiff.from_npz_dict(d)

@@ -1479,6 +1479,45 @@ def cmd_transform_anno(args):
         out_mat = build_row_diff_brwt(mat, g,
                                       max_length=args.max_path_length,
                                       subsample=args.num_rows_subsampled)
+    elif target == "row_diff_sparse":
+        # RowDiff over a RowSparse delta matrix (RowDiffRowSparse,
+        # static_annotators_def.hpp) — the delta store here is already
+        # RowSparse, so this is the row_diff build under its own name
+        from ..anno.row_diff import build_row_diff
+        assert args.infile_base, "row_diff_sparse requires the graph (-i)"
+        g = _load_graph(args.infile_base)
+        if not isinstance(mat, RowSparse):
+            mat = mat.to_row_sparse()
+        rc, rr = _load_rd_artifacts(args.outfile_base)
+        out_mat = build_row_diff(mat, g, max_length=args.max_path_length,
+                                 row_counts=rc, row_reduction=rr)
+    elif target == "int_brwt":
+        from ..anno.int_brwt import build_int_brwt
+        if not isinstance(mat, RowSparse):
+            mat = mat.to_row_sparse()
+        assert mat.values is not None, \
+            "int_brwt needs a count annotation (annotate --count-kmers)"
+        out_mat = build_int_brwt(mat, arity=args.arity,
+                                 subsample=args.num_rows_subsampled)
+    elif target in ("row_diff_int_brwt", "int_row_diff_brwt"):
+        from ..anno.int_brwt import build_int_row_diff_brwt
+        assert args.infile_base, f"{target} requires the graph (-i)"
+        g = _load_graph(args.infile_base)
+        if not isinstance(mat, RowSparse):
+            mat = mat.to_row_sparse()
+        assert mat.values is not None, \
+            f"{target} needs a count annotation (annotate --count-kmers)"
+        rc, rr = _load_rd_artifacts(args.outfile_base)
+        out_mat = build_int_row_diff_brwt(
+            mat, g, max_length=args.max_path_length, arity=args.arity,
+            subsample=args.num_rows_subsampled,
+            row_counts=rc, row_reduction=rr)
+        target = "row_diff_int_brwt"
+    elif target == "column_coord":
+        from ..anno.coords import CoordMatrix
+        assert isinstance(mat, CoordMatrix), \
+            "column_coord needs a coordinate annotation input"
+        out_mat = mat
     elif target in ("row_diff_coord", "tuple_row_diff"):
         from ..anno.coords import CoordMatrix, build_tuple_row_diff
         assert args.infile_base, "row_diff_coord requires the graph (-i)"
@@ -1498,8 +1537,17 @@ def cmd_transform_anno(args):
             mat = mat.to_row_sparse()
         out_mat = UniqueRow.from_row_sparse(mat).with_brwt_distinct(
             subsample=args.num_rows_subsampled)
-    elif target in ("column", "row_sparse", "flat"):
+    elif target in ("column", "row", "row_sparse", "flat"):
         out_mat = mat if isinstance(mat, RowSparse) else mat.to_row_sparse()
+    elif target in ("bin_rel_wt", "bin_rel_wt_sdsl"):
+        # binary-relation WT role: same query surface as the Multi-BRWT
+        # (VERDICT/COMPONENTS subsumption); accepted under the reference
+        # names and stored as a BRWT
+        from ..anno.brwt import build_brwt
+        if not isinstance(mat, RowSparse):
+            mat = mat.to_row_sparse()
+        out_mat = build_brwt(mat, arity=args.arity,
+                             subsample=args.num_rows_subsampled)
     else:
         raise SystemExit(f"unknown annotation type {target}")
     out = Annotation(matrix=out_mat, encoder=ann.encoder)
@@ -1863,10 +1911,14 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("-i", "--infile-base", default=None,
                     help="graph (required for row_diff)")
     sp.add_argument("--anno-type", default="column",
-                    choices=["column", "row_sparse", "flat", "brwt",
-                             "row_diff", "int_row_diff", "unique_row",
-                             "rbfish", "rb_brwt", "row_diff_brwt",
-                             "row_diff_coord", "tuple_row_diff"])
+                    choices=["column", "row", "row_sparse", "flat", "brwt",
+                             "bin_rel_wt", "bin_rel_wt_sdsl",
+                             "row_diff", "row_diff_sparse", "int_row_diff",
+                             "unique_row", "rbfish", "rb_brwt",
+                             "row_diff_brwt", "int_brwt",
+                             "row_diff_int_brwt", "int_row_diff_brwt",
+                             "column_coord", "row_diff_coord",
+                             "tuple_row_diff"])
     sp.add_argument("--max-path-length", type=int, default=64)
     sp.add_argument("--arity", type=int, default=2,
                     help="BRWT tree arity for the bottom-up build "

@@ -539,3 +539,63 @@ def test_row_diff_staged_pipeline_matches_one_pass(workdir, capsys):
     rc2 = np.load(str(tmp / "st.row_count.npz"))["row_count"]
     assert rc1.sum() > 0
     assert rc2.sum() == 2 * rc1.sum()
+
+
+def test_all_anno_types_save_load_query(workdir, capsys):
+    """Contract: every named --anno-type converts, serializes, reloads,
+    and answers the same label query (static_annotators_def.hpp:26-58
+    format matrix)."""
+    tmp, fa, seqs = workdir
+    out = str(tmp / "g")
+    main(["build", "-k", "11", "-o", out, fa])
+    main(["annotate", "-i", out, "-o", str(tmp / "a"), "--anno-header",
+          "--count-kmers", fa])
+    col = str(tmp / "a.column.annodbg.npz")
+    main(["annotate", "-i", out, "-o", str(tmp / "ac"), "--anno-header",
+          "--coordinates", fa])
+    coord_col = str(tmp / "ac.coord.annodbg.npz")
+    qfa = str(tmp / "q.fa")
+    with open(qfa, "w") as f:
+        f.write(f">q\n{seqs[1][20:120].decode()}\n")
+
+    main(["query", "-i", out, "-a", col, "--discovery-fraction", "0.9", qfa])
+    expect = capsys.readouterr().out
+    assert "seq1" in expect
+
+    binary_like = ["column", "row", "row_sparse", "flat", "brwt",
+                   "bin_rel_wt", "bin_rel_wt_sdsl", "unique_row", "rbfish",
+                   "rb_brwt", "row_diff", "row_diff_sparse",
+                   "row_diff_brwt", "int_row_diff", "int_brwt",
+                   "row_diff_int_brwt", "int_row_diff_brwt"]
+    needs_graph = {"row_diff", "row_diff_sparse", "row_diff_brwt",
+                   "int_row_diff", "row_diff_int_brwt",
+                   "int_row_diff_brwt"}
+    for t in binary_like:
+        dst = str(tmp / f"t_{t}")
+        cmd = ["transform_anno", "--anno-type", t, "-o", dst, col]
+        if t in needs_graph:
+            cmd[3:3] = ["-i", out]
+        main(cmd)
+        outs = [p for p in tmp.iterdir()
+                if p.name.startswith(f"t_{t}.") and
+                p.name.endswith(".annodbg.npz")]
+        assert outs, t
+        main(["query", "-i", out, "-a", str(outs[0]),
+              "--discovery-fraction", "0.9", qfa])
+        got = capsys.readouterr().out
+        assert got == expect, t
+
+    # coordinate formats keep their own query surface
+    for t in ["column_coord", "row_diff_coord", "tuple_row_diff"]:
+        dst = str(tmp / f"t_{t}")
+        cmd = ["transform_anno", "--anno-type", t, "-i", out, "-o", dst,
+               coord_col]
+        main(cmd)
+        outs = [p for p in tmp.iterdir()
+                if p.name.startswith(f"t_{t}.") and
+                p.name.endswith(".annodbg.npz")]
+        assert outs, t
+        main(["query", "-i", out, "-a", str(outs[0]), "--query-coords",
+              "--discovery-fraction", "0.9", qfa])
+        got = capsys.readouterr().out
+        assert "seq1" in got, t
