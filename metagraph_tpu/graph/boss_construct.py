@@ -91,6 +91,89 @@ def _collect_stage(codes, K: int, B: int, suffix, canonical: bool, complement):
     return _sort_unique_ones_body(lanes, count)
 
 
+def _rc_node(nk, K: int, B: int, complement):
+    """Reverse-complement of a node key. Node keys hold S_1..S_{K-1} in
+    PLAIN field order (S_{j+1} at field j) — unlike edge k-mers, whose
+    field 0 is the label — so this is a direct fieldwise reverse +
+    complement, not packing.reverse_complement."""
+    comp = jnp.asarray(np.array(complement, np.uint32))
+    fields = packed.to_fields(nk, K - 1, B)        # field j = S_{j+1}
+    rc = jnp.stack([comp[fields[K - 2 - j]] for j in range(K - 1)])
+    return packed.from_fields(rc, B, lanes=nk.shape[0])
+
+
+def _bounds_body(lanes_all, ok, K: int, B: int, cap_b: int):
+    """Boundary dummy-edge candidates from the raw (pre-compaction)
+    window array. A node can lack an outgoing (incoming) edge only if
+    every one of its occurrences sits at the end (start) of a maximal
+    valid window run — so the candidate sets are the per-run terminal
+    windows, O(#reads) of them, not O(#k-mers)
+    (replaces the full-size sorts of add_dummy_sink/source_kmers,
+    boss_chunk_construct.cpp:55-166, with O(#reads) probe sets).
+    Canonical closure adds the rc forms of the opposite boundary.
+    Returns (sink_cand, n_end, src_cand, n_start); candidates may
+    contain duplicates/false positives — the finish probes each against
+    the sorted edge set."""
+    nw = ok.shape[0]
+    L = lanes_all.shape[0]
+    ok_next = jnp.concatenate([ok[1:], jnp.zeros((1,), bool)])
+    ok_prev = jnp.concatenate([jnp.zeros((1,), bool), ok[:-1]])
+    end_mask = ok & ~ok_next
+    start_mask = ok & ~ok_prev
+    pos = jnp.arange(nw, dtype=jnp.uint32)[None, :]
+    pe, n_end, _ = pmerge.partition_compact(pos, end_mask, cap_b)
+    ps, n_start, _ = pmerge.partition_compact(pos, start_mask, cap_b)
+
+    def gather_nodes(p, n, project):
+        pc = jnp.minimum(p[0], nw - 1).astype(jnp.int32)
+        win = lanes_all[:, pc]
+        nodes = project(win)
+        v = packed.valid_mask(cap_b, jnp.minimum(n, cap_b))
+        return jnp.where(v[None, :], nodes, packed.full_pad(cap_b, L))
+
+    tgt = gather_nodes(pe, n_end,
+                       lambda w: packing.node_key(
+                           packing.to_next(w, K, B, 0), B))
+    src = gather_nodes(ps, n_start, lambda w: packing.node_key(w, B))
+    # the canonical rc closure of the candidates happens in the finish
+    # stage at the TIGHT capacity (the driver slices these buffers down
+    # to bucket(true count) first — at cap_b they would blow up the
+    # levels buffer, measured 4x the whole build)
+    return tgt, n_end, src, n_start
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "K", "B", "cap_b", "canonical", "complement"))
+def _collect_stage_bounds(codes, K: int, B: int, cap_b: int,
+                          canonical: bool, complement):
+    """_collect_stage + boundary dummy candidates in the same dispatch."""
+    from ..kmer.extractor import window_validity
+    n = codes.shape[0]
+    nw = n - K + 1
+    ok = window_validity(codes, K)
+    lanes_all = packing.pack_windows(codes, K, B)
+    sink_cand, n_end, src_cand, n_start = _bounds_body(
+        lanes_all, ok, K, B, cap_b)
+    lanes, count, _ = pmerge.partition_compact(lanes_all, ok, nw)
+    if canonical:
+        rc = packing.reverse_complement(lanes, K, B, complement)
+        valid = packed.valid_mask(nw, count)
+        take_rc = packed.lt(rc, lanes) & valid
+        lanes = jnp.where(take_rc[None, :], rc, lanes)
+    ulanes, ucounts, ucount = _sort_unique_ones_body(lanes, count)
+    cnts = jnp.stack([ucount.astype(jnp.int32),
+                      n_end.astype(jnp.int32), n_start.astype(jnp.int32)])
+    return ulanes, ucounts, cnts, (sink_cand, src_cand)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "n", "K", "B", "cap_b", "canonical", "complement"))
+def _collect_stage_bounds_packed(words, n: int, K: int, B: int, cap_b: int,
+                                 canonical: bool, complement):
+    return _collect_stage_bounds.__wrapped__(
+        _unpack_codes(words, n), K, B, cap_b, canonical, complement)
+
+
 def pack_codes_host(codes_np: np.ndarray) -> np.ndarray:
     """Host-side 4-bit packing of a char-code array (8 codes per uint32)
     for the h2d transfer: the remote-TPU link moves ~0.5-1 GB/s, so the
@@ -309,6 +392,105 @@ def _source_candidates(real, n_real, K: int, B: int, cap_out: int):
     return src, n_src
 
 
+_PAD_TOP = np.uint32(0x80000000)
+
+
+def _probe_sinks(real_m, cand, K: int, B: int):
+    """Dummy sink edges from boundary candidates: sort+dedupe the few
+    candidate target nodes, then ONE batched range probe each against
+    the sorted edge set (outgoing edges of node T are the contiguous
+    range [(T,0), (T,0xF)] in BOSS order). Replaces the full-size
+    sort+merge of _sink_candidates."""
+    capq = cand.shape[1]
+    cand_s, _ = packed.sort(cand)
+    first = packed.neighbor_ne(cand_s)
+    is_pad = cand_s[0] >= _PAD_TOP
+    lo_keys = packed.shift_left(cand_s, B)            # (T, $) sink edge
+    hi_keys = lo_keys.at[-1].set(lo_keys[-1] | np.uint32((1 << B) - 1))
+    lo = packed.searchsorted(real_m, lo_keys, side="left")
+    hi = packed.searchsorted(real_m, hi_keys, side="right")
+    keep = first & (hi == lo) & ~is_pad
+    sinks, n_sinks, _ = pmerge.partition_compact(lo_keys, keep, capq)
+    return sinks, n_sinks                              # sorted (stable)
+
+
+def _probe_sources(real_m, cand, K: int, B: int, sigma: int):
+    """Dummy-1 source edges from boundary candidates: for each candidate
+    source node S, incoming edges are the <= sigma-1 exact k-mers
+    (c, S_1..S_{K-1}); probe each with a batched binary search. Replaces
+    the two full-size sorts + merge of _source_candidates."""
+    capq = cand.shape[1]
+    cand_s, _ = packed.sort(cand)
+    first = packed.neighbor_ne(cand_s)
+    is_pad = cand_s[0] >= _PAD_TOP
+    # node-key layout: S_j at field j-1 (S_1 @ f0 .. S_{K-1} @ f_{K-2})
+    top = packed.get_field(cand_s, K - 2, B)           # S_{K-1}
+    body = packed.set_field(cand_s, K - 2,
+                            jnp.zeros((capq,), jnp.uint32), B)
+    # S_1..S_{K-2} up to fields 2..K-1; f0 = label S_{K-1}; f1 = $/probe
+    base = packed.set_field(packed.shift_left(body, 2 * B), 0, top, B)
+    present = jnp.zeros((capq,), bool)
+    for c in range(1, sigma):
+        q = packed.set_field(base, 1,
+                             jnp.full((capq,), c, jnp.uint32), B)
+        present = present | packed.isin_sorted(real_m, q)
+    keep = first & ~present & ~is_pad
+    # base with field 1 = $ IS the dummy edge ($ S_1..S_{K-2} | S_{K-1});
+    # its BOSS order differs from the candidate order — small sort after
+    src, n_src, _ = pmerge.partition_compact(base, keep, capq)
+    src_s, _ = packed.sort(src)                        # PAD tail intact
+    return src_s, n_src
+
+
+def _lut_stats(kept, n_kept):
+    """Search LUT over the padded kept buffer + max bucket (shared by
+    both finish variants; see _finish_stage notes)."""
+    top = (kept[0] >> 16).astype(jnp.uint32)
+    lut = jnp.searchsorted(top, jnp.arange(1 << 16, dtype=jnp.uint32),
+                           side="left").astype(jnp.int32)
+    lut = jnp.minimum(jnp.concatenate(
+        [lut, jnp.full((1,), kept.shape[1], jnp.int32)]), n_kept)
+    max_bucket = jnp.max(jnp.diff(lut))
+    return lut, max_bucket
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "K", "B", "alph_size", "max_count", "canonical", "complement"))
+def _finish_stage_bounds(real, counts, n_real, sink_cand, src_cand,
+                         K: int, B: int, alph_size: int, max_count: int,
+                         canonical: bool, complement):
+    """Finish using boundary dummy candidates: the sink/source phases
+    cost O(#candidates log n) probes instead of O(n log n) sorts.
+    Candidates never overflow here (their capacity was fixed at collect
+    time); one host sync at the end, as in _finish_stage."""
+    if canonical:
+        real, counts, n_real = _add_rc_stage.__wrapped__(
+            real, counts, n_real, K, B, complement)
+    L = real.shape[0]
+    cap = real.shape[1]
+    real_m = jnp.where(packed.valid_mask(cap, n_real)[None, :], real,
+                       packed.full_pad(cap, L))
+    if canonical:
+        def rc_masked(x):
+            r = _rc_node(x, K, B, complement)
+            pad = x[0] >= _PAD_TOP
+            return jnp.where(pad[None, :],
+                             packed.full_pad(x.shape[1], L), r)
+        tgt_c, src_c = sink_cand, src_cand
+        sink_cand = jnp.concatenate([tgt_c, rc_masked(src_c)], axis=1)
+        src_cand = jnp.concatenate([src_c, rc_masked(tgt_c)], axis=1)
+    sinks, n_sinks = _probe_sinks(real_m, sink_cand, K, B)
+    src, n_src = _probe_sources(real_m, src_cand, K, B, alph_size)
+    levels, n_levels_total = _levels_phase.__wrapped__(src, n_src, K, B)
+    kept, n_kept, W, last, F, weights = _merge_emit_body(
+        real, counts, n_real, sinks, n_sinks, src, n_src, levels,
+        n_levels_total, K, B, alph_size, max_count)
+    lut, max_bucket = _lut_stats(kept, n_kept)
+    stats = jnp.stack([n_kept, n_sinks, n_src, n_levels_total, n_real,
+                       max_bucket])
+    return kept, W, last, F, weights, lut, stats
+
+
 @functools.partial(jax.jit, static_argnames=("K", "B"))
 def _levels_phase(src, n_src, K: int, B: int):
     """All dummy-source levels 2..K-1 in one dispatch: an on-device loop
@@ -489,13 +671,15 @@ def collect_kmers(
     canonical: bool = False,
     suffix: Tuple[int, ...] = (),
     extra_codes: Optional[np.ndarray] = None,
-) -> Tuple[jax.Array, jax.Array, int]:
+    with_bounds: bool = False,
+):
     """Extract, sort, dedupe and count all k-mers of the input.
 
     Returns (sorted unique lanes, per-kmer counts, n_unique) at a
-    power-of-two capacity. ``extra_codes`` allows feeding pre-encoded
-    sequence codes directly (e.g. from KMC input).
-    """
+    power-of-two capacity — plus, with ``with_bounds``, the boundary
+    dummy-candidate arrays (sink_cand, src_cand) for the probe-based
+    finish. ``extra_codes`` allows feeding pre-encoded sequence codes
+    directly (e.g. from KMC input)."""
     B = alphabet.bits_per_char
     codes_np = encode_sequences(seqs, alphabet) if extra_codes is None else extra_codes
     if codes_np.shape[0] < K:
@@ -506,17 +690,45 @@ def collect_kmers(
     if codes_np.shape[0] < target:
         codes_np = np.concatenate(
             [codes_np, np.full(target - codes_np.shape[0], INVALID_CODE, np.uint8)])
+    n = codes_np.shape[0]
     if B == 4:
-        words = jnp.asarray(pack_codes_host(codes_np))
-        ulanes, ucounts, ucount = _collect_stage_packed(
-            words, codes_np.shape[0], K, B, tuple(suffix), canonical,
-            alphabet.complement)
+        dev_in = jnp.asarray(pack_codes_host(codes_np))
     else:
-        codes = jnp.asarray(codes_np)
+        dev_in = jnp.asarray(codes_np)
+    if with_bounds and not suffix:
+        nw = n - K + 1
+        cap_b = _bucket(max(4096, min(nw >> 4, 8 << 20)))
+        while True:
+            if B == 4:
+                ulanes, ucounts, cnts, bounds = _collect_stage_bounds_packed(
+                    dev_in, n, K, B, cap_b, canonical, alphabet.complement)
+            else:
+                ulanes, ucounts, cnts, bounds = _collect_stage_bounds(
+                    dev_in, K, B, cap_b, canonical, alphabet.complement)
+            cnts = np.asarray(cnts)               # ONE host sync
+            n_u, n_end, n_start = int(cnts[0]), int(cnts[1]), int(cnts[2])
+            if n_end <= cap_b and n_start <= cap_b:
+                break
+            cap_b = _bucket(max(n_end, n_start))
+        sink_cand, src_cand = bounds
+        # slice the candidate buffers (front-compacted, PAD tails) down
+        # to the true-count bucket: every downstream buffer (probes,
+        # levels, dummy merge) scales with this capacity
+        capq = min(_bucket(max(n_end, n_start, 1)), cap_b)
+        sink_cand = sink_cand[:, :capq]
+        src_cand = src_cand[:, :capq]
+        cap = max(_bucket(n_u), 1)
+        return ulanes[:, :cap], ucounts[:cap], n_u, (sink_cand, src_cand)
+    if B == 4:
+        ulanes, ucounts, ucount = _collect_stage_packed(
+            dev_in, n, K, B, tuple(suffix), canonical, alphabet.complement)
+    else:
         ulanes, ucounts, ucount = _collect_stage(
-            codes, K, B, tuple(suffix), canonical, alphabet.complement)
+            dev_in, K, B, tuple(suffix), canonical, alphabet.complement)
     n_u = int(ucount)
     cap = _bucket(n_u)
+    if with_bounds:
+        return ulanes[:, :max(cap, 1)], ucounts[:max(cap, 1)], n_u, None
     return ulanes[:, :max(cap, 1)], ucounts[:max(cap, 1)], n_u
 
 
@@ -630,24 +842,43 @@ def build_boss_from_kmers(
     mode: str = MODE_BASIC,
     bits_per_count: int = 0,
     keep_kmer_index: bool = True,
+    bounds=None,
 ) -> Boss:
     """Generate dummy edges, merge, and emit the BOSS arrays.
 
     ONE device dispatch (+ the caller's collect) and ONE host sync: on the
     remote-dispatch runtime, host round trips dominate wall time, so the
     whole post-collection pipeline is fused and dummy buffers use a
-    static capacity with a host-side overflow check + retry."""
+    static capacity with a host-side overflow check + retry.
+
+    ``bounds`` (from ``collect_kmers(with_bounds=True)``) switches the
+    dummy phases to the boundary-probe formulation — O(#reads) probes
+    instead of O(#k-mers) sorts, the single biggest cost of the old
+    finish at scale."""
     B = alphabet.bits_per_char
     if mode == MODE_CANONICAL and not alphabet.complement:
         raise ValueError(
             f"canonical mode needs a complemented alphabet; "
             f"{alphabet.name} has no complement table (reference restricts "
             f"canonical graphs to DNA alphabets, alphabets.hpp)")
+    max_count = (1 << bits_per_count) - 1 if bits_per_count else (1 << 31) - 1
+    if bounds is not None and real.shape[1] <= LARGE_FINISH_CAP:
+        sink_cand, src_cand = bounds
+        kept, W, last, F, weights, lut, stats = _finish_stage_bounds(
+            real, counts, jnp.int32(n_real), sink_cand, src_cand, K, B,
+            alphabet.size, max_count, mode == MODE_CANONICAL,
+            alphabet.complement)
+        stats = np.asarray(stats)          # the single host sync
+        return Boss.from_finish(
+            k=K - 1, alph_size=alphabet.size, bits_per_char=B,
+            kept=kept, W=W, last=last, F=F, n_kept=int(stats[0]),
+            weights=weights if bits_per_count else None,
+            keep_kmer_index=keep_kmer_index,
+            lut=lut, max_bucket=int(stats[5]))
     if real.shape[1] > LARGE_FINISH_CAP:
         return _build_boss_from_kmers_large(
             real, counts, n_real, K, alphabet, mode, bits_per_count,
             keep_kmer_index)
-    max_count = (1 << bits_per_count) - 1 if bits_per_count else (1 << 31) - 1
     cap_d = max(real.shape[1] >> 6, 4096)
     while True:
         kept, W, last, F, weights, lut, stats = _finish_stage(
@@ -684,22 +915,21 @@ def build_boss_from_codes(
         codes_np = np.concatenate(
             [codes_np,
              np.full(target - codes_np.shape[0], INVALID_CODE, np.uint8)])
-    B = alphabet.bits_per_char
-    if B == 4:
-        words = jnp.asarray(pack_codes_host(codes_np))
-        ulanes, ucounts, ucount = _collect_stage_packed(
-            words, codes_np.shape[0], k, B, (), canonical,
-            alphabet.complement)
+    # primary folds orientations, so boundary reasoning over the raw
+    # reads no longer bounds the dummy sets — old path for primary
+    use_bounds = mode != MODE_PRIMARY
+    if use_bounds:
+        ulanes, ucounts, n_u, bounds = collect_kmers(
+            [], k, alphabet, canonical=canonical, extra_codes=codes_np,
+            with_bounds=True)
     else:
-        ulanes, ucounts, ucount = _collect_stage(
-            jnp.asarray(codes_np), k, B, (), canonical,
-            alphabet.complement)
-    n_u = int(ucount)
-    cap = _bucket(n_u)
+        ulanes, ucounts, n_u = collect_kmers(
+            [], k, alphabet, canonical=canonical, extra_codes=codes_np)
+        bounds = None
     return build_boss_from_kmers(
-        ulanes[:, :cap], ucounts[:cap], n_u, k, alphabet,
+        ulanes, ucounts, n_u, k, alphabet,
         mode=MODE_CANONICAL if mode == MODE_CANONICAL else MODE_BASIC,
-        bits_per_count=bits_per_count)
+        bits_per_count=bits_per_count, bounds=bounds)
 
 
 def build_boss(
@@ -718,10 +948,17 @@ def build_boss(
         raise ValueError(
             f"canonical/primary mode needs a complemented alphabet; "
             f"{alphabet.name} has no complement table")
-    real, counts, n_real = collect_kmers(
-        seqs, k, alphabet, canonical=canonical, suffix=suffix)
+    use_bounds = mode != MODE_PRIMARY and not suffix
+    if use_bounds:
+        real, counts, n_real, bounds = collect_kmers(
+            seqs, k, alphabet, canonical=canonical, suffix=suffix,
+            with_bounds=True)
+    else:
+        real, counts, n_real = collect_kmers(
+            seqs, k, alphabet, canonical=canonical, suffix=suffix)
+        bounds = None
     # PRIMARY keeps only the canonical forms; CANONICAL adds the closure
     return build_boss_from_kmers(
         real, counts, n_real, k, alphabet,
         mode=MODE_CANONICAL if mode == MODE_CANONICAL else MODE_BASIC,
-        bits_per_count=bits_per_count)
+        bits_per_count=bits_per_count, bounds=bounds)
