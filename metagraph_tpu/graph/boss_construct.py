@@ -154,11 +154,14 @@ def _collect_stage_bounds(codes, K: int, B: int, cap_b: int,
     lanes_all = packing.pack_windows(codes, K, B)
     sink_cand, n_end, src_cand, n_start = _bounds_body(
         lanes_all, ok, K, B, cap_b)
-    lanes, count, _ = pmerge.partition_compact(lanes_all, ok, nw)
+    # no pre-sort compaction: invalid windows become PAD and the big
+    # sort moves them to the tail anyway (saves a full partition pass)
+    L = lanes_all.shape[0]
+    lanes = jnp.where(ok[None, :], lanes_all, packed.full_pad(nw, L))
+    count = jnp.sum(ok.astype(jnp.int32))
     if canonical:
         rc = packing.reverse_complement(lanes, K, B, complement)
-        valid = packed.valid_mask(nw, count)
-        take_rc = packed.lt(rc, lanes) & valid
+        take_rc = packed.lt(rc, lanes) & ok
         lanes = jnp.where(take_rc[None, :], rc, lanes)
     ulanes, ucounts, ucount = _sort_unique_ones_body(lanes, count)
     cnts = jnp.stack([ucount.astype(jnp.int32),
@@ -395,51 +398,56 @@ def _source_candidates(real, n_real, K: int, B: int, cap_out: int):
 _PAD_TOP = np.uint32(0x80000000)
 
 
-def _probe_sinks(real_m, cand, K: int, B: int):
-    """Dummy sink edges from boundary candidates: sort+dedupe the few
-    candidate target nodes, then ONE batched range probe each against
-    the sorted edge set (outgoing edges of node T are the contiguous
-    range [(T,0), (T,0xF)] in BOSS order). Replaces the full-size
-    sort+merge of _sink_candidates."""
-    capq = cand.shape[1]
-    cand_s, _ = packed.sort(cand)
-    first = packed.neighbor_ne(cand_s)
-    is_pad = cand_s[0] >= _PAD_TOP
-    lo_keys = packed.shift_left(cand_s, B)            # (T, $) sink edge
+def _probe_dummies(real_m, sink_cand, src_cand, K: int, B: int,
+                   sigma: int):
+    """Dummy sink + dummy-1 source edges from boundary candidates, with
+    ALL probes fused into ONE batched binary search (each searchsorted
+    round is latency-bound on the remote runtime — 150 rounds of
+    separate probes measured 70 ms; fused: 25).
+
+    Sinks: outgoing edges of node T are the contiguous range
+    [(T,0), (T,0xF)] of the BOSS order — absent iff both bounds land on
+    the same position (no real label exceeds 0xF-1, so side='left' works
+    for the upper bound too).
+    Sources: incoming edges of node S are the <= sigma-1 exact k-mers
+    (c, S_1..S_{K-1}) — absent iff no probe hits exactly."""
+    capk = sink_cand.shape[1]
+    capr = src_cand.shape[1]
+    ks, _ = packed.sort(sink_cand)
+    first_k = packed.neighbor_ne(ks)
+    pad_k = ks[0] >= _PAD_TOP
+    lo_keys = packed.shift_left(ks, B)                # (T, $) sink edge
     hi_keys = lo_keys.at[-1].set(lo_keys[-1] | np.uint32((1 << B) - 1))
-    lo = packed.searchsorted(real_m, lo_keys, side="left")
-    hi = packed.searchsorted(real_m, hi_keys, side="right")
-    keep = first & (hi == lo) & ~is_pad
-    sinks, n_sinks, _ = pmerge.partition_compact(lo_keys, keep, capq)
-    return sinks, n_sinks                              # sorted (stable)
 
-
-def _probe_sources(real_m, cand, K: int, B: int, sigma: int):
-    """Dummy-1 source edges from boundary candidates: for each candidate
-    source node S, incoming edges are the <= sigma-1 exact k-mers
-    (c, S_1..S_{K-1}); probe each with a batched binary search. Replaces
-    the two full-size sorts + merge of _source_candidates."""
-    capq = cand.shape[1]
-    cand_s, _ = packed.sort(cand)
-    first = packed.neighbor_ne(cand_s)
-    is_pad = cand_s[0] >= _PAD_TOP
+    rs, _ = packed.sort(src_cand)
+    first_r = packed.neighbor_ne(rs)
+    pad_r = rs[0] >= _PAD_TOP
     # node-key layout: S_j at field j-1 (S_1 @ f0 .. S_{K-1} @ f_{K-2})
-    top = packed.get_field(cand_s, K - 2, B)           # S_{K-1}
-    body = packed.set_field(cand_s, K - 2,
-                            jnp.zeros((capq,), jnp.uint32), B)
+    top = packed.get_field(rs, K - 2, B)              # S_{K-1}
+    body = packed.set_field(rs, K - 2,
+                            jnp.zeros((capr,), jnp.uint32), B)
     # S_1..S_{K-2} up to fields 2..K-1; f0 = label S_{K-1}; f1 = $/probe
     base = packed.set_field(packed.shift_left(body, 2 * B), 0, top, B)
-    present = jnp.zeros((capq,), bool)
-    for c in range(1, sigma):
-        q = packed.set_field(base, 1,
-                             jnp.full((capq,), c, jnp.uint32), B)
-        present = present | packed.isin_sorted(real_m, q)
-    keep = first & ~present & ~is_pad
-    # base with field 1 = $ IS the dummy edge ($ S_1..S_{K-2} | S_{K-1});
-    # its BOSS order differs from the candidate order — small sort after
-    src, n_src, _ = pmerge.partition_compact(base, keep, capq)
+    probes = [packed.set_field(base, 1,
+                               jnp.full((capr,), c, jnp.uint32), B)
+              for c in range(1, sigma)]
+
+    queries = jnp.concatenate([lo_keys, hi_keys] + probes, axis=1)
+    pos = packed.searchsorted(real_m, queries, side="left")
+    lo, hi = pos[:capk], pos[capk:2 * capk]
+    keep_k = first_k & (hi == lo) & ~pad_k
+    sinks, n_sinks, _ = pmerge.partition_compact(lo_keys, keep_k, capk)
+
+    n = real_m.shape[1]
+    present = jnp.zeros((capr,), bool)
+    for ci in range(sigma - 1):
+        sl = pos[2 * capk + ci * capr:2 * capk + (ci + 1) * capr]
+        p = jnp.minimum(sl, n - 1)
+        present = present | packed.eq(real_m[:, p], probes[ci])
+    keep_r = first_r & ~present & ~pad_r
+    src, n_src, _ = pmerge.partition_compact(base, keep_r, capr)
     src_s, _ = packed.sort(src)                        # PAD tail intact
-    return src_s, n_src
+    return sinks, n_sinks, src_s, n_src
 
 
 def _lut_stats(kept, n_kept):
@@ -479,8 +487,8 @@ def _finish_stage_bounds(real, counts, n_real, sink_cand, src_cand,
         tgt_c, src_c = sink_cand, src_cand
         sink_cand = jnp.concatenate([tgt_c, rc_masked(src_c)], axis=1)
         src_cand = jnp.concatenate([src_c, rc_masked(tgt_c)], axis=1)
-    sinks, n_sinks = _probe_sinks(real_m, sink_cand, K, B)
-    src, n_src = _probe_sources(real_m, src_cand, K, B, alph_size)
+    sinks, n_sinks, src, n_src = _probe_dummies(
+        real_m, sink_cand, src_cand, K, B, alph_size)
     levels, n_levels_total = _levels_phase.__wrapped__(src, n_src, K, B)
     kept, n_kept, W, last, F, weights = _merge_emit_body(
         real, counts, n_real, sinks, n_sinks, src, n_src, levels,
@@ -631,18 +639,33 @@ def _emit_body(merged, counts, n_total, K, B, alph_size, max_count):
     ktopc = packing.top_char(kept, K, B)
 
     # minus flags: not the first occurrence of the (target node, label)
-    # key; computed with a sort + sort-back (scatters are slow on TPU).
-    # The edge index rides as an extra KEY lane so the unstable Pallas
-    # sort still puts the smallest edge index first within each group —
-    # "first occurrence" must mean first in BOSS order (boss_chunk.cpp:95)
-    tkeys = packing.target_key(kept, B)
-    idx = jnp.arange(cap, dtype=jnp.uint32)
-    tki = jnp.concatenate([tkeys, idx[None, :]], axis=0)
-    tki_s, _ = packed.sort(tki, stable=False)
-    first_s = packed.neighbor_ne(tki_s[:-1])
-    back, (flags_b,) = packed.sort(
-        tki_s[-1:], (~first_s).astype(jnp.uint32), stable=False)
-    minus = flags_b.astype(bool)
+    # key in BOSS order (boss_chunk.cpp:95). Two edges share a target
+    # key iff they agree on (u_2..u_{K-1}, label) — i.e. they sit in the
+    # same contiguous block of the sort order (identical top K-2 compare
+    # fields) and differ only in (u_1, label). A block holds at most
+    # sigma^2 DISTINCT keys, so every collision lies within a window of
+    # sigma^2 - 1 positions: sigma^2-1 shifted compares replace the old
+    # sort + sort-back round trip (measured 326 ms -> ~15 ms at 33M).
+    D = alph_size * alph_size - 1
+    if D <= 36:
+        bk = packed.shift_right(kept, 2 * B)      # u_2..u_{K-1} block id
+        minus = jnp.zeros((cap,), bool)
+        for d in range(1, D + 1):
+            m = packed.eq(bk[:, d:], bk[:, :-d]) \
+                & (klabels[d:] == klabels[:-d])
+            minus = minus | jnp.concatenate(
+                [jnp.zeros((d,), bool), m])
+    else:
+        # wide alphabets (protein): the windowed formulation would need
+        # sigma^2-1 passes — keep the sort + sort-back
+        tkeys = packing.target_key(kept, B)
+        idx = jnp.arange(cap, dtype=jnp.uint32)
+        tki = jnp.concatenate([tkeys, idx[None, :]], axis=0)
+        tki_s, _ = packed.sort(tki, stable=False)
+        first_s = packed.neighbor_ne(tki_s[:-1])
+        back, (flags_b,) = packed.sort(
+            tki_s[-1:], (~first_s).astype(jnp.uint32), stable=False)
+        minus = flags_b.astype(bool)
     minus = minus & (klabels != 0) & kvalid
 
     W = jnp.where(minus, klabels + alph_size, klabels).astype(jnp.int32)
