@@ -422,12 +422,19 @@ def main():
         except Exception as e:
             log(f"kernel bench failed: {e}")
 
-    if os.environ.get("METAGRAPH_TPU_BENCH_EXTRA") and boss is not None:
+    # Align + query are headline metrics (VERDICT r4 #3): the north star
+    # names aligned reads/sec/chip, so the driver must capture them.
+    if boss is not None:
         try:
             out["query_reads_per_sec"] = round(bench_query(boss, seqs), 1)
+        except Exception as e:
+            log(f"query bench failed: {e}")
+            traceback.print_exc(file=sys.stderr)
+        try:
             out["align_reads_per_sec"] = round(bench_align_batch(boss, seqs), 1)
         except Exception as e:
-            log(f"secondary benches failed: {e}")
+            log(f"align bench failed: {e}")
+            traceback.print_exc(file=sys.stderr)
 
     print(json.dumps(out))
 
