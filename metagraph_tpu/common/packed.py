@@ -229,7 +229,7 @@ def searchsorted(keys: jax.Array, queries: jax.Array, side: str = "left",
     lo = jnp.zeros((q,), jnp.int32) if lo0 is None else lo0.astype(jnp.int32)
     hi = jnp.full((q,), n, jnp.int32) if hi0 is None else hi0.astype(jnp.int32)
 
-    def body(_, state):
+    def step(state):
         lo, hi = state
         active = lo < hi
         mid = (lo + hi) >> 1
@@ -242,7 +242,13 @@ def searchsorted(keys: jax.Array, queries: jax.Array, side: str = "left",
         hi = jnp.where(active & ~go_right, mid, hi)
         return lo, hi
 
-    lo, hi = jax.lax.fori_loop(0, steps, body, (lo, hi))
+    if steps == 0:
+        # run-until-converged: for callers that narrow [lo0, hi0) with a
+        # LUT whose worst-case bucket size is data-dependent
+        lo, hi = jax.lax.while_loop(
+            lambda s: jnp.any(s[0] < s[1]), step, (lo, hi))
+    else:
+        lo, hi = jax.lax.fori_loop(0, steps, lambda _, s: step(s), (lo, hi))
     return lo
 
 

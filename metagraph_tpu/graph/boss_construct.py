@@ -207,12 +207,79 @@ def _unpack_codes(words: jax.Array, n: int) -> jax.Array:
     return jnp.where(c == 15, jnp.uint8(INVALID_CODE), c)
 
 
+def pack_codes2_host(codes_np: np.ndarray, max_inval: Optional[int] = None):
+    """2-bit host pack for 4-letter alphabets: codes 1..4 become 2-bit
+    fields (the h2d link moves ~30-50 MB/s, so halving the bytes vs the
+    nibble pack is wall time); positions outside 1..4 (record
+    separators, stray chars) ride a sparse int32 index sidecar that the
+    device scatters back to INVALID. Returns (words, inval_idx) or None
+    when invalids exceed ``max_inval`` (dense-invalid inputs pack worse
+    this way — callers fall back to the nibble pack)."""
+    from ..native.loader import pack2_codes_native
+    n = codes_np.shape[0]
+    npad = -(-n // 16) * 16
+    if max_inval is None:
+        max_inval = max(4096, n >> 4)
+    if npad != n:
+        codes_np = np.concatenate(
+            [codes_np, np.full(npad - n, INVALID_CODE, np.uint8)])
+    res = pack2_codes_native(codes_np, max_inval + (npad - n))
+    if res is not None:
+        words, inval = res
+    else:
+        bad = (codes_np - 1) > 3           # uint8 wraps: 0 and >4 are bad
+        inval = np.nonzero(bad)[0]
+        if inval.shape[0] > max_inval + (npad - n):
+            return None
+        v = np.where(bad, 1, codes_np).reshape(16, npad // 16)
+        words = (v[0].astype(np.uint32) - 1) & 3
+        for i in range(1, 16):
+            words |= ((v[i].astype(np.uint32) - 1) & 3) << np.uint32(2 * i)
+    # NB: block layout means inval holds BLOCK positions i*nwords+j ==
+    # original positions (identity: code[p] maps to field p//nwords of
+    # word p%nwords... block layout index i*nwords+j IS the original
+    # position p). Pad to a bucket with an out-of-range index (dropped
+    # by the device scatter) for stable compile shapes.
+    capi = _bucket(max(int(inval.shape[0]), 1), lo=1024)
+    idx = np.full(capi, 1 << 30, np.int32)
+    idx[:inval.shape[0]] = inval.astype(np.int32)
+    return words, idx
+
+
+def _unpack_codes2(words: jax.Array, inval_idx: jax.Array, n: int
+                   ) -> jax.Array:
+    """Device-side inverse of pack_codes2_host -> (n,) uint8 codes."""
+    rows = [((words >> jnp.uint32(2 * i)) & jnp.uint32(3)
+             ).astype(jnp.uint8) for i in range(16)]
+    c = jnp.concatenate(rows) + jnp.uint8(1)
+    c = c.at[inval_idx].set(jnp.uint8(INVALID_CODE), mode="drop")
+    return c[:n]
+
+
 @functools.partial(jax.jit, static_argnames=(
     "n", "K", "B", "suffix", "canonical", "complement"))
 def _collect_stage_packed(words, n: int, K: int, B: int, suffix,
                           canonical: bool, complement):
     return _collect_stage.__wrapped__(
         _unpack_codes(words, n), K, B, suffix, canonical, complement)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "n", "K", "B", "cap_b", "canonical", "complement"))
+def _collect_stage_bounds_packed2(words, inval_idx, n: int, K: int, B: int,
+                                  cap_b: int, canonical: bool, complement):
+    return _collect_stage_bounds.__wrapped__(
+        _unpack_codes2(words, inval_idx, n), K, B, cap_b, canonical,
+        complement)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "n", "K", "B", "suffix", "canonical", "complement"))
+def _collect_stage_packed2(words, inval_idx, n: int, K: int, B: int, suffix,
+                           canonical: bool, complement):
+    return _collect_stage.__wrapped__(
+        _unpack_codes2(words, inval_idx, n), K, B, suffix, canonical,
+        complement)
 
 
 def _sort_unique_ones_body(lanes, count):
@@ -433,7 +500,18 @@ def _probe_dummies(real_m, sink_cand, src_cand, K: int, B: int,
               for c in range(1, sigma)]
 
     queries = jnp.concatenate([lo_keys, hi_keys] + probes, axis=1)
-    pos = packed.searchsorted(real_m, queries, side="left")
+    # top-16-bit LUT narrows every probe's range: the binary search runs
+    # log2(max bucket) rounds instead of log2(n) — each round is a
+    # latency-bound tiny gather (measured 65 ms -> ~25 ms at 33.5M)
+    lut16 = jnp.searchsorted(real_m[0] >> 16,
+                             jnp.arange(1 << 16, dtype=jnp.uint32),
+                             side="left").astype(jnp.int32)
+    tq = (queries[0] >> 16).astype(jnp.int32)
+    lo0 = lut16[tq]
+    hi0 = jnp.where(tq + 1 < (1 << 16), lut16[jnp.minimum(tq + 1, (1 << 16) - 1)],
+                    real_m.shape[1])
+    pos = packed.searchsorted(real_m, queries, side="left",
+                              lo0=lo0, hi0=hi0, steps=0)
     lo, hi = pos[:capk], pos[capk:2 * capk]
     keep_k = first_k & (hi == lo) & ~pad_k
     sinks, n_sinks, _ = pmerge.partition_compact(lo_keys, keep_k, capk)
@@ -492,7 +570,8 @@ def _finish_stage_bounds(real, counts, n_real, sink_cand, src_cand,
     levels, n_levels_total = _levels_phase.__wrapped__(src, n_src, K, B)
     kept, n_kept, W, last, F, weights = _merge_emit_body(
         real, counts, n_real, sinks, n_sinks, src, n_src, levels,
-        n_levels_total, K, B, alph_size, max_count)
+        n_levels_total, K, B, alph_size, max_count,
+        skip_redundant_sinks=False)
     lut, max_bucket = _lut_stats(kept, n_kept)
     stats = jnp.stack([n_kept, n_sinks, n_src, n_levels_total, n_real,
                        max_bucket])
@@ -580,11 +659,15 @@ def _merge_emit_stage(real, counts, n_real, sinks, n_sinks, src, n_src,
 def _merge_emit_body(real, counts, n_real, sinks, n_sinks, src, n_src,
                      levels, n_levels_total, K: int, B: int,
                      alph_size: int, max_count: int,
-                     with_sentinel: bool = True):
+                     with_sentinel: bool = True,
+                     skip_redundant_sinks: bool = True):
     """Sort the (small) dummy side, merge it into the (already sorted)
     real side in one linear pass, then the initialize_chunk emit.
     ``with_sentinel=False`` skips the $^K row (out-of-core / sharded
-    emits add it on the lowest-colex shard only)."""
+    emits add it on the lowest-colex shard only).
+    ``skip_redundant_sinks=False`` asserts the sink set is exact (the
+    probe-based finish only emits a sink for nodes with no real
+    outgoing edge), eliding the full-width compaction pass."""
     L = real.shape[0]
 
     def masked(lanes, n):
@@ -608,25 +691,33 @@ def _merge_emit_body(real, counts, n_real, sinks, n_sinks, src, n_src,
                + (1 if with_sentinel else 0))
     mcounts = jnp.where(packed.valid_mask(merged.shape[1], n_total),
                         mcounts, 0)
-    return _emit_body(merged, mcounts, n_total, K, B, alph_size, max_count)
+    return _emit_body(merged, mcounts, n_total, K, B, alph_size, max_count,
+                      skip_redundant_sinks)
 
 
-def _emit_body(merged, counts, n_total, K, B, alph_size, max_count):
+def _emit_body(merged, counts, n_total, K, B, alph_size, max_count,
+               skip_redundant_sinks: bool = True):
     """The initialize_chunk scan (reference: boss_chunk.cpp:33-130),
     vectorized: last bits and redundant-sink skips from neighbor node-key
     compares; minus flags from a first-occurrence pass over target keys."""
     cap = merged.shape[1]
     valid = packed.valid_mask(cap, n_total)
-    nodes = packing.node_key(merged, B)
-    same_next = jnp.concatenate([
-        packed.eq(nodes[:, :-1], nodes[:, 1:]), jnp.zeros((1,), bool)])
-    same_next = same_next & valid & jnp.concatenate([valid[1:], jnp.zeros((1,), bool)])
-    labels = packing.label(merged, B)
-    topc = packing.top_char(merged, K, B)
-    skip = same_next & (labels == 0) & (topc != 0)
-    keep = valid & ~skip
-    kept, n_kept, (kcounts,) = pmerge.partition_compact(
-        merged, keep, cap, counts)
+    if skip_redundant_sinks:
+        nodes = packing.node_key(merged, B)
+        same_next = jnp.concatenate([
+            packed.eq(nodes[:, :-1], nodes[:, 1:]), jnp.zeros((1,), bool)])
+        same_next = same_next & valid & jnp.concatenate(
+            [valid[1:], jnp.zeros((1,), bool)])
+        labels = packing.label(merged, B)
+        topc = packing.top_char(merged, K, B)
+        skip = same_next & (labels == 0) & (topc != 0)
+        keep = valid & ~skip
+        kept, n_kept, (kcounts,) = pmerge.partition_compact(
+            merged, keep, cap, counts)
+    else:
+        # exact dummy-sink sets (probe-based finish) never produce a
+        # redundant sink, so the full-width compaction pass is elided
+        kept, n_kept, kcounts = merged, n_total, counts
 
     kvalid = packed.valid_mask(cap, n_kept)
     knodes = packing.node_key(kept, B)
@@ -642,30 +733,23 @@ def _emit_body(merged, counts, n_total, K, B, alph_size, max_count):
     # key in BOSS order (boss_chunk.cpp:95). Two edges share a target
     # key iff they agree on (u_2..u_{K-1}, label) — i.e. they sit in the
     # same contiguous block of the sort order (identical top K-2 compare
-    # fields) and differ only in (u_1, label). A block holds at most
-    # sigma^2 DISTINCT keys, so every collision lies within a window of
-    # sigma^2 - 1 positions: sigma^2-1 shifted compares replace the old
-    # sort + sort-back round trip (measured 326 ms -> ~15 ms at 33M).
-    D = alph_size * alph_size - 1
-    if D <= 36:
-        bk = packed.shift_right(kept, 2 * B)      # u_2..u_{K-1} block id
-        minus = jnp.zeros((cap,), bool)
-        for d in range(1, D + 1):
-            m = packed.eq(bk[:, d:], bk[:, :-d]) \
-                & (klabels[d:] == klabels[:-d])
-            minus = minus | jnp.concatenate(
-                [jnp.zeros((d,), bool), m])
-    else:
-        # wide alphabets (protein): the windowed formulation would need
-        # sigma^2-1 passes — keep the sort + sort-back
-        tkeys = packing.target_key(kept, B)
-        idx = jnp.arange(cap, dtype=jnp.uint32)
-        tki = jnp.concatenate([tkeys, idx[None, :]], axis=0)
-        tki_s, _ = packed.sort(tki, stable=False)
-        first_s = packed.neighbor_ne(tki_s[:-1])
-        back, (flags_b,) = packed.sort(
-            tki_s[-1:], (~first_s).astype(jnp.uint32), stable=False)
-        minus = flags_b.astype(bool)
+    # fields) and differ only in (u_1, label). Per real label c, "first
+    # occurrence of c in my block" falls out of one global cumsum of the
+    # label mask + a forward-filled block-start count (segmented first):
+    # sigma-1 cumsum passes instead of the old sort + sort-back
+    # (326 ms -> ~25 ms at 33M) or the sigma^2-1 shifted compares
+    # (~190 ms: each compares full keys).
+    bk = packed.shift_right(kept, 2 * B)          # u_2..u_{K-1} block id
+    block_first = packed.neighbor_ne(bk)
+    minus = jnp.zeros((cap,), bool)
+    for c in range(1, alph_size):
+        mask_c = (klabels == c) & kvalid
+        cnt = packed.blocked_cumsum(mask_c.astype(jnp.int32))
+        # count at my block's start (exclusive): cnt is nondecreasing,
+        # so a running max of the run-start snapshots forward-fills it
+        start_excl = packed.blocked_cummax(
+            jnp.where(block_first, cnt - mask_c.astype(jnp.int32), 0))
+        minus = minus | (mask_c & ((cnt - start_excl) > 1))
     minus = minus & (klabels != 0) & kvalid
 
     W = jnp.where(minus, klabels + alph_size, klabels).astype(jnp.int32)
@@ -714,7 +798,12 @@ def collect_kmers(
         codes_np = np.concatenate(
             [codes_np, np.full(target - codes_np.shape[0], INVALID_CODE, np.uint8)])
     n = codes_np.shape[0]
-    if B == 4:
+    pack2 = None
+    if B == 4 and alphabet.size <= 5:
+        pack2 = pack_codes2_host(codes_np)
+    if pack2 is not None:
+        dev_in = (jnp.asarray(pack2[0]), jnp.asarray(pack2[1]))
+    elif B == 4:
         dev_in = jnp.asarray(pack_codes_host(codes_np))
     else:
         dev_in = jnp.asarray(codes_np)
@@ -722,7 +811,11 @@ def collect_kmers(
         nw = n - K + 1
         cap_b = _bucket(max(4096, min(nw >> 4, 8 << 20)))
         while True:
-            if B == 4:
+            if pack2 is not None:
+                ulanes, ucounts, cnts, bounds = _collect_stage_bounds_packed2(
+                    dev_in[0], dev_in[1], n, K, B, cap_b, canonical,
+                    alphabet.complement)
+            elif B == 4:
                 ulanes, ucounts, cnts, bounds = _collect_stage_bounds_packed(
                     dev_in, n, K, B, cap_b, canonical, alphabet.complement)
             else:
@@ -742,7 +835,11 @@ def collect_kmers(
         src_cand = src_cand[:, :capq]
         cap = max(_bucket(n_u), 1)
         return ulanes[:, :cap], ucounts[:cap], n_u, (sink_cand, src_cand)
-    if B == 4:
+    if pack2 is not None:
+        ulanes, ucounts, ucount = _collect_stage_packed2(
+            dev_in[0], dev_in[1], n, K, B, tuple(suffix), canonical,
+            alphabet.complement)
+    elif B == 4:
         ulanes, ucounts, ucount = _collect_stage_packed(
             dev_in, n, K, B, tuple(suffix), canonical, alphabet.complement)
     else:

@@ -84,3 +84,49 @@ long fasta_encode(const unsigned char *data, long n,
     *n_recs_out = recs;
     return o;
 }
+
+/* 2-bit pack of a code array (codes 1..4 -> fields 0..3) with a sparse
+ * invalid-position sidecar. Block layout: 2-bit field i of word j holds
+ * code[i*nwords + j] - 1, so the device unpack is 16 contiguous
+ * shift/mask slices with no transpose. Positions whose code is outside
+ * 1..4 (separators, N bases, padding) are recorded in inval_idx and
+ * packed as field 0; the device patches them back to the INVALID code.
+ *
+ * n must be a multiple of 16 (caller pads). Returns the number of
+ * invalid positions found, or -1 if it exceeds max_inval (caller falls
+ * back to the 4-bit pack).
+ */
+long pack2_codes(const unsigned char *codes, long n, unsigned int *words,
+                 long *inval_idx, long max_inval)
+{
+    long nwords = n / 16;
+    long ninv = 0;
+    for (int i = 0; i < 16; i++) {
+        const unsigned char *src = codes + (long)i * nwords;
+        unsigned int sh = 2 * i;
+        if (i == 0) {
+            for (long j = 0; j < nwords; j++) {
+                unsigned int c = src[j];
+                unsigned int bad = (c - 1u) > 3u;
+                if (bad) {
+                    if (ninv >= max_inval) return -1;
+                    inval_idx[ninv++] = (long)i * nwords + j;
+                    c = 1;
+                }
+                words[j] = (c - 1u) & 3u;
+            }
+        } else {
+            for (long j = 0; j < nwords; j++) {
+                unsigned int c = src[j];
+                unsigned int bad = (c - 1u) > 3u;
+                if (bad) {
+                    if (ninv >= max_inval) return -1;
+                    inval_idx[ninv++] = (long)i * nwords + j;
+                    c = 1;
+                }
+                words[j] |= ((c - 1u) & 3u) << sh;
+            }
+        }
+    }
+    return ninv;
+}

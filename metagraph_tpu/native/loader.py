@@ -50,6 +50,14 @@ def _build() -> Optional[ctypes.CDLL]:
             ctypes.c_long,
             ctypes.POINTER(ctypes.c_long),
         ]
+        lib.pack2_codes.restype = ctypes.c_long
+        lib.pack2_codes.argtypes = [
+            np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+            ctypes.c_long,
+            np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+            ctypes.c_long,
+        ]
         _lib = lib
     except Exception:
         _lib = None
@@ -78,3 +86,23 @@ def fasta_encode_native(data: bytes, table: np.ndarray, sep_code: int = 255
     if written < 0:
         return None
     return out[:written], offsets[:n_recs.value].copy()
+
+
+def pack2_codes_native(codes: np.ndarray, max_inval: int
+                       ) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    """2-bit block pack of a code array (len divisible by 16) with a
+    sparse invalid-position sidecar. Returns (words uint32, inval_idx
+    int64) or None when the codec is unavailable or invalids overflow
+    ``max_inval`` (callers fall back to the 4-bit pack)."""
+    lib = _build()
+    if lib is None:
+        return None
+    n = codes.shape[0]
+    assert n % 16 == 0
+    words = np.empty(n // 16, np.uint32)
+    inval = np.empty(max(max_inval, 1), np.int64)
+    ninv = lib.pack2_codes(np.ascontiguousarray(codes), n, words, inval,
+                           max_inval)
+    if ninv < 0:
+        return None
+    return words, inval[:ninv].copy()

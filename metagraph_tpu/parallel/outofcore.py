@@ -384,7 +384,13 @@ def build_boss_out_of_core(
         nonlocal fill
         if fill == 0:
             return
-        if B == 4:
+        pack2 = (bc.pack_codes2_host(buf)
+                 if B == 4 and alphabet.size <= 5 else None)
+        if pack2 is not None:
+            ulanes, ucounts, ucount = bc._collect_stage_packed2(
+                jnp.asarray(pack2[0]), jnp.asarray(pack2[1]), chunk_codes,
+                K, B, (), False, alphabet.complement)
+        elif B == 4:
             words = jnp.asarray(bc.pack_codes_host(buf))
             ulanes, ucounts, ucount = bc._collect_stage_packed(
                 words, chunk_codes, K, B, (), False, alphabet.complement)
