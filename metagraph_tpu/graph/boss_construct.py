@@ -235,15 +235,15 @@ def pack_codes2_host(codes_np: np.ndarray, max_inval: Optional[int] = None):
         words = (v[0].astype(np.uint32) - 1) & 3
         for i in range(1, 16):
             words |= ((v[i].astype(np.uint32) - 1) & 3) << np.uint32(2 * i)
-    # NB: block layout means inval holds BLOCK positions i*nwords+j ==
-    # original positions (identity: code[p] maps to field p//nwords of
-    # word p%nwords... block layout index i*nwords+j IS the original
-    # position p). Pad to a bucket with an out-of-range index (dropped
-    # by the device scatter) for stable compile shapes.
+    # Block-layout index i*nwords+j IS the original position, and the
+    # pack loops emit them in ascending order, so ``inval`` is sorted.
+    # Pad to a bucket with an out-of-range index (dropped by the device
+    # scatter) for stable compile shapes; the raw sorted list rides
+    # along for host-side boundary derivation.
     capi = _bucket(max(int(inval.shape[0]), 1), lo=1024)
     idx = np.full(capi, 1 << 30, np.int32)
     idx[:inval.shape[0]] = inval.astype(np.int32)
-    return words, idx
+    return words, idx, inval
 
 
 def _unpack_codes2(words: jax.Array, inval_idx: jax.Array, n: int
@@ -271,6 +271,58 @@ def _collect_stage_bounds_packed2(words, inval_idx, n: int, K: int, B: int,
     return _collect_stage_bounds.__wrapped__(
         _unpack_codes2(words, inval_idx, n), K, B, cap_b, canonical,
         complement)
+
+
+def host_boundary_windows(inval_sorted: np.ndarray, n: int, K: int
+                          ) -> Tuple[np.ndarray, np.ndarray]:
+    """Window positions of the per-run boundaries, computed on the HOST
+    from the sorted invalid-code positions (the pack2 sidecar): a
+    maximal valid run [a, b) of length >= K contributes its first
+    window (source candidate) and its last (sink candidate). Exact —
+    replaces the device-side O(nw) mask + two full-width compaction
+    passes of _bounds_body (measured ~140 ms at 33.5M windows) with
+    O(#runs) host arithmetic + a device gather."""
+    iv = np.concatenate([[-1], inval_sorted.astype(np.int64), [n]])
+    a = iv[:-1] + 1                    # run start (code index)
+    b = iv[1:]                         # run end (exclusive)
+    ok = (b - a) >= K
+    return (b[ok] - K).astype(np.int64), a[ok].astype(np.int64)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "n", "K", "B", "canonical", "complement"))
+def _collect_stage_bounds_pos(words, inval_idx, end_pos, n_end, start_pos,
+                              n_start, n: int, K: int, B: int,
+                              canonical: bool, complement):
+    """_collect_stage + boundary candidates GATHERED at host-computed
+    window positions (see host_boundary_windows) in one dispatch."""
+    from ..kmer.extractor import window_validity
+    codes = _unpack_codes2(words, inval_idx, n)
+    nw = n - K + 1
+    ok = window_validity(codes, K)
+    lanes_all = packing.pack_windows(codes, K, B)
+    L = lanes_all.shape[0]
+    capq = end_pos.shape[0]
+
+    def gather_nodes(pos, cnt, project):
+        win = lanes_all[:, pos]
+        nodes = project(win)
+        v = packed.valid_mask(capq, cnt)
+        return jnp.where(v[None, :], nodes, packed.full_pad(capq, L))
+
+    sink_cand = gather_nodes(
+        end_pos, n_end,
+        lambda w: packing.node_key(packing.to_next(w, K, B, 0), B))
+    src_cand = gather_nodes(start_pos, n_start,
+                            lambda w: packing.node_key(w, B))
+    lanes = jnp.where(ok[None, :], lanes_all, packed.full_pad(nw, L))
+    count = jnp.sum(ok.astype(jnp.int32))
+    if canonical:
+        rc = packing.reverse_complement(lanes, K, B, complement)
+        take_rc = packed.lt(rc, lanes) & ok
+        lanes = jnp.where(take_rc[None, :], rc, lanes)
+    ulanes, ucounts, ucount = _sort_unique_ones_body(lanes, count)
+    return ulanes, ucounts, ucount, (sink_cand, src_cand)
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -500,18 +552,10 @@ def _probe_dummies(real_m, sink_cand, src_cand, K: int, B: int,
               for c in range(1, sigma)]
 
     queries = jnp.concatenate([lo_keys, hi_keys] + probes, axis=1)
-    # top-16-bit LUT narrows every probe's range: the binary search runs
-    # log2(max bucket) rounds instead of log2(n) — each round is a
-    # latency-bound tiny gather (measured 65 ms -> ~25 ms at 33.5M)
-    lut16 = jnp.searchsorted(real_m[0] >> 16,
-                             jnp.arange(1 << 16, dtype=jnp.uint32),
-                             side="left").astype(jnp.int32)
-    tq = (queries[0] >> 16).astype(jnp.int32)
-    lo0 = lut16[tq]
-    hi0 = jnp.where(tq + 1 < (1 << 16), lut16[jnp.minimum(tq + 1, (1 << 16) - 1)],
-                    real_m.shape[1])
-    pos = packed.searchsorted(real_m, queries, side="left",
-                              lo0=lo0, hi0=hi0, steps=0)
+    # (a top-16-bit LUT narrowing was tried here and measured SLOWER:
+    # the 65k-entry lut searchsorted costs ~26 ms, more than the whole
+    # log2(n)-round fused search below, ~9 ms at 33.5M keys)
+    pos = packed.searchsorted(real_m, queries, side="left")
     lo, hi = pos[:capk], pos[capk:2 * capk]
     keep_k = first_k & (hi == lo) & ~pad_k
     sinks, n_sinks, _ = pmerge.partition_compact(lo_keys, keep_k, capk)
@@ -807,15 +851,30 @@ def collect_kmers(
         dev_in = jnp.asarray(pack_codes_host(codes_np))
     else:
         dev_in = jnp.asarray(codes_np)
+    if with_bounds and not suffix and pack2 is not None:
+        # boundary candidate positions are a pure function of the
+        # invalid-code positions, already on the host from the pack2
+        # sidecar — no device-side window masks or compaction passes
+        idx_np = pack2[2]
+        end_pos, start_pos = host_boundary_windows(idx_np, n, K)
+        n_end, n_start = len(end_pos), len(start_pos)
+        capq = _bucket(max(n_end, n_start, 1))
+        ep = np.zeros(capq, np.int32)
+        ep[:n_end] = end_pos
+        sp = np.zeros(capq, np.int32)
+        sp[:n_start] = start_pos
+        ulanes, ucounts, ucount, bounds = _collect_stage_bounds_pos(
+            dev_in[0], dev_in[1], jnp.asarray(ep), jnp.int32(n_end),
+            jnp.asarray(sp), jnp.int32(n_start), n, K, B, canonical,
+            alphabet.complement)
+        n_u = int(ucount)                         # ONE host sync
+        cap = max(_bucket(n_u), 1)
+        return ulanes[:, :cap], ucounts[:cap], n_u, bounds
     if with_bounds and not suffix:
         nw = n - K + 1
         cap_b = _bucket(max(4096, min(nw >> 4, 8 << 20)))
         while True:
-            if pack2 is not None:
-                ulanes, ucounts, cnts, bounds = _collect_stage_bounds_packed2(
-                    dev_in[0], dev_in[1], n, K, B, cap_b, canonical,
-                    alphabet.complement)
-            elif B == 4:
+            if B == 4:
                 ulanes, ucounts, cnts, bounds = _collect_stage_bounds_packed(
                     dev_in, n, K, B, cap_b, canonical, alphabet.complement)
             else:

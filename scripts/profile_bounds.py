@@ -72,7 +72,7 @@ nn = codes_np.shape[0]
 
 t0 = time.time()
 pk2 = bc.pack_codes2_host(codes_np)
-words_np, idx_np = pk2
+words_np, idx_np = pk2[0], pk2[1]
 print(f"{'host 2-bit pack':34s} {(time.time()-t0)*1e3:9.1f} ms", flush=True)
 
 words = t("h2d packed words", lambda: jax.device_put(words_np))

@@ -57,7 +57,7 @@ if codes_np.shape[0] < target:
     codes_np = np.concatenate(
         [codes_np, np.full(target - codes_np.shape[0], 255, np.uint8)])
 nn = codes_np.shape[0]
-words_np, idx_np = bc.pack_codes2_host(codes_np)
+words_np, idx_np, _ = bc.pack_codes2_host(codes_np)
 words = jax.device_put(words_np)
 idx = jax.device_put(idx_np)
 force((words, idx))
