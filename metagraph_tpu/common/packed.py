@@ -252,6 +252,29 @@ def searchsorted(keys: jax.Array, queries: jax.Array, side: str = "left",
     return lo
 
 
+def expand2to4(lanes2: jax.Array, K: int) -> jax.Array:
+    """(L2, n) 2-bit-packed k-mers (chars stored as c-1) -> (L4, n)
+    4-bit-packed (chars c), same field order. The per-field map c-1 -> c
+    is monotone, so 2-bit big-int order == 4-bit big-int order — sorts
+    and uniques run on the narrow form and expand once afterwards.
+    Bit-twiddling spread: three shift/mask rounds per output lane."""
+    n = lanes2.shape[1]
+    L2 = lanes2.shape[0]
+    L4 = (K * 4 + 31) // 32
+    outs = []
+    for i4 in range(L4):                  # least-significant lane first
+        i2 = i4 // 2
+        src = lanes2[L2 - 1 - i2]
+        half = (src >> jnp.uint32(16 * (i4 % 2))) & jnp.uint32(0xFFFF)
+        u = (half | (half << 8)) & jnp.uint32(0x00FF00FF)
+        u = (u | (u << 4)) & jnp.uint32(0x0F0F0F0F)
+        u = (u | (u << 2)) & jnp.uint32(0x33333333)
+        m = min(8, K - 8 * i4)            # valid fields in this lane
+        u = u + jnp.uint32(0x11111111 & ((1 << (4 * m)) - 1))
+        outs.append(u)
+    return jnp.stack(outs[::-1])
+
+
 def isin_sorted(keys: jax.Array, queries: jax.Array) -> jax.Array:
     """(Q,) bool: query present in sorted keys. Batched set-membership."""
     n = keys.shape[1]

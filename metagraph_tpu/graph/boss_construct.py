@@ -295,33 +295,56 @@ def _collect_stage_bounds_pos(words, inval_idx, end_pos, n_end, start_pos,
                               n_start, n: int, K: int, B: int,
                               canonical: bool, complement):
     """_collect_stage + boundary candidates GATHERED at host-computed
-    window positions (see host_boundary_windows) in one dispatch."""
+    window positions (see host_boundary_windows) in one dispatch.
+
+    The big sort runs in the 2-BIT domain: real k-mers never contain
+    the sentinel, the per-field map c -> c-1 is monotone (identical
+    big-int order), and `lax.sort` cost scales with the operand count —
+    2 key lanes instead of 3 for k=20. The sorted-unique survivors
+    expand back to the 4-bit domain in one bit-twiddling pass
+    (packed.expand2to4)."""
     from ..kmer.extractor import window_validity
+    assert B == 4
     codes = _unpack_codes2(words, inval_idx, n)
     nw = n - K + 1
     ok = window_validity(codes, K)
-    lanes_all = packing.pack_windows(codes, K, B)
-    L = lanes_all.shape[0]
+    # 2-bit window lanes (chars stored as c-1; invalid windows masked)
+    codes2 = (codes - jnp.uint8(1)) & jnp.uint8(3)
+    lanes2 = packing.pack_windows(codes2, K, 2)
+    if (2 * K) % 32 == 0:
+        # full top lane: an all-T k-mer would equal the PAD pattern —
+        # one zero top lane keeps PAD strictly above every real key
+        lanes2 = jnp.concatenate(
+            [jnp.zeros((1, nw), jnp.uint32), lanes2])
+    L2 = lanes2.shape[0]
     capq = end_pos.shape[0]
 
     def gather_nodes(pos, cnt, project):
-        win = lanes_all[:, pos]
+        win2 = lanes2[:, pos]                       # (L2, capq) tiny
+        win = packed.expand2to4(win2[L2 - packed.num_lanes(K, 2):], K)
         nodes = project(win)
         v = packed.valid_mask(capq, cnt)
-        return jnp.where(v[None, :], nodes, packed.full_pad(capq, L))
+        return jnp.where(v[None, :], nodes,
+                         packed.full_pad(capq, nodes.shape[0]))
 
     sink_cand = gather_nodes(
         end_pos, n_end,
         lambda w: packing.node_key(packing.to_next(w, K, B, 0), B))
     src_cand = gather_nodes(start_pos, n_start,
                             lambda w: packing.node_key(w, B))
-    lanes = jnp.where(ok[None, :], lanes_all, packed.full_pad(nw, L))
+    lanes = jnp.where(ok[None, :], lanes2, packed.full_pad(nw, L2))
     count = jnp.sum(ok.astype(jnp.int32))
     if canonical:
-        rc = packing.reverse_complement(lanes, K, B, complement)
+        comp2 = tuple(complement[c + 1] - 1 for c in range(4))
+        rc = packing.reverse_complement(lanes, K, 2, comp2)
         take_rc = packed.lt(rc, lanes) & ok
         lanes = jnp.where(take_rc[None, :], rc, lanes)
-    ulanes, ucounts, ucount = _sort_unique_ones_body(lanes, count)
+    ulanes2, ucounts, ucount = _sort_unique_ones_body(lanes, count)
+    ulanes = packed.expand2to4(ulanes2[L2 - packed.num_lanes(K, 2):], K)
+    # expansion garbles the PAD tail (0xFF.. 2-bit pads are valid-looking
+    # 4-bit chars) — restore it positionally
+    ulanes = jnp.where(packed.valid_mask(nw, ucount)[None, :], ulanes,
+                       packed.full_pad(nw, ulanes.shape[0]))
     return ulanes, ucounts, ucount, (sink_cand, src_cand)
 
 
