@@ -59,6 +59,12 @@ def cmd_build(args):
     from ..kmer.alphabets import ALPHABETS
     from ..parallel.sharded_build import build_boss_sharded
 
+    if not args.fnames and not sys.stdin.isatty():
+        # reference workflow: `find . -name "*.fa" | metagraph build ...`
+        # reads the input file list from stdin (quick_start.rst:53)
+        args.fnames = [ln.strip() for ln in sys.stdin if ln.strip()]
+    assert args.fnames, "no input files (arguments or stdin list)"
+
     DNA = ALPHABETS[args.alphabet]
 
     mode = args.mode
@@ -217,8 +223,13 @@ def cmd_build(args):
         # on-disk chunk tier (SortedSetDisk role)
         from ..parallel.streaming import build_boss_streaming
         swap_dir = args.disk_swap if os.path.isdir(args.disk_swap) else None
+        # --mem-cap-gb bounds the in-HBM collection chunk (reference
+        # quick_start.rst:91 pairs it with --disk-swap)
+        chunk = min(max(int(args.mem_cap_gb * (1 << 30) / 16), 1 << 20),
+                    1 << 26)
         boss = build_boss_streaming(seqs, args.k, alphabet=DNA, mode=mode,
                                     bits_per_count=bits_per_count,
+                                    chunk_codes=chunk,
                                     disk_dir=swap_dir)
     elif args.num_shards > 1 and mode == "basic":
         # out-of-core sharded finish: device working set shrinks by
@@ -338,6 +349,41 @@ def cmd_stats(args):
         pairs = ", ".join(f"'{letters[i]}': {int(counts[i])}"
                           for i in range(boss.alph_size))
         print("W stats: {" + pairs + "}")
+        if getattr(args, "print_internal", False):
+            # reference BOSS::print_internal_representation (boss.cpp)
+            W = np.asarray(boss.W)
+            last = np.asarray(boss.last)
+            print("F:", " ".join(str(int(x)) for x in np.asarray(boss.F)))
+            for i in range(1, boss.num_edges + 1):
+                print(f"{i}\t{int(last[i])}\t{int(W[i])}")
+        if getattr(args, "print_graph", False):
+            # reference BOSS::print: one row per edge with the decoded
+            # source-node string, W char (minus-flagged lower-case) and
+            # the last bit (boss.cpp print)
+            import jax.numpy as jnp
+            W = np.asarray(boss.W)
+            last = np.asarray(boss.last)
+            rows = np.arange(1, boss.num_edges + 1)
+            chars = np.asarray(boss.node_chars_ranksel(jnp.asarray(rows))) \
+                if boss.edge_lanes is None else None
+            print("index\tnode\tW\tlast")
+            for i in range(1, boss.num_edges + 1):
+                if chars is not None:
+                    node_str = "".join(
+                        "$" if c == 0 else letters[c]
+                        for c in chars[i - 1][:-1])
+                else:
+                    from ..kmer.packing import unpack_to_chars
+                    lane = boss.edge_lanes[:, i - 1:i]
+                    cs = np.asarray(unpack_to_chars(
+                        lane, boss.k + 1, boss.bits_per_char))[0]
+                    node_str = "".join("$" if c == 0 else letters[c]
+                                       for c in cs[:-1])
+                w = int(W[i])
+                wc = ("$" if w == 0 else
+                      letters[w % boss.alph_size].lower() if w >= boss.alph_size
+                      else letters[w])
+                print(f"{i}\t{node_str}\t{wc}\t{int(last[i])}")
         F = np.asarray(boss.F)
         fparts = []
         for i in range(1, boss.alph_size):
@@ -1621,6 +1667,38 @@ def cmd_worker(args):
 # argument parsing
 # ---------------------------------------------------------------------------
 
+# Reference options (config.cpp:100-420) accepted on every subcommand
+# for script compatibility but with no effect here: threading/caching
+# knobs the XLA runtime owns, the Bloom prefilter (subsumed: batched
+# searchsorted has uniform hit/miss cost), and niche experimental modes.
+# Setting one logs a warning naming it (see main()).
+_PARITY_INERT = [
+    ("--threads", dict(type=int, default=None,
+                       help="thread count (XLA-managed here)")),
+    ("--parallel-nodes", dict(type=int, default=None)),
+    ("--bins-per-thread", dict(type=int, default=None)),
+    ("--sequentially", dict(action="store_true")),
+    ("--cache", dict(type=int, default=None)),
+    ("--cache-size", dict(type=int, default=None)),
+    ("--disk-cap-gb", dict(type=int, default=None)),
+    ("--bloom-bpk", dict(type=float, default=None)),
+    ("--bloom-max-num-hash-functions", dict(type=int, default=None)),
+    ("--dynamic", dict(action="store_true")),
+    ("--complete", dict(action="store_true")),
+    ("--sparse", dict(action="store_true")),
+    ("--num-kmers-in-seq", dict(type=int, default=None)),
+    ("--frequency", dict(type=int, default=None)),
+    ("--distance", dict(type=int, default=None)),
+    ("--coord-binsize", dict(type=int, default=None)),
+    ("--align-length", dict(type=int, default=None)),
+    ("--filter-by-kmer", dict(action="store_true")),
+    ("--intersected-anno", dict(default=None)),
+    ("--annotator", dict(default=None)),
+]
+_INERT_ATTRS = [(f.lstrip("-").replace("-", "_"), f)
+                for f, _ in _PARITY_INERT]
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="metagraph",
                                 description="TPU-native MetaGraph")
@@ -1639,6 +1717,12 @@ def build_parser() -> argparse.ArgumentParser:
         # XLA runtime manages its own threading)
         sp.add_argument("-v", "--verbose", action="store_true")
         sp.add_argument("-p", "--parallel", type=int, default=1)
+        sp.add_argument("--debug", action="store_true",
+                        help="verbose logging (reference --debug)")
+        # remaining reference options (config.cpp:100-420) accepted for
+        # script compatibility; inert ones warn at dispatch
+        for flag, fkw in _PARITY_INERT:
+            sp.add_argument(flag, **fkw)
         _subparsers.append(sp)
         return sp
 
@@ -1673,17 +1757,24 @@ def build_parser() -> argparse.ArgumentParser:
                     choices=["DNA", "DNA5", "Protein"])
     sp.add_argument("--fwd-and-reverse", action="store_true")
     sp.add_argument("--state", choices=["fast", "small"], default="fast")
+    sp.add_argument("--mem-cap-gb", type=float, default=1.0,
+                    help="in-HBM buffer cap for --disk-swap collection")
     sp.add_argument("--parts-total", type=int, default=1,
                     help="split the suffix buckets across this many "
                          "independent build invocations")
     sp.add_argument("--part-idx", type=int, default=0,
                     help="which bucket subset this invocation builds")
     common_out(sp)
-    sp.add_argument("fnames", nargs="+")
+    sp.add_argument("fnames", nargs="*")
     sp.set_defaults(func=cmd_build)
 
     sp = sub.add_parser("stats")
     sp.add_argument("--count-dummy", action="store_true")
+    sp.add_argument("--print", dest="print_graph", action="store_true",
+                    help="print the decoded BOSS table")
+    sp.add_argument("--print-internal", dest="print_internal",
+                    action="store_true",
+                    help="print the internal W/last/F representation")
     sp.add_argument("--print-col-names", action="store_true")
     sp.add_argument("--validate", action="store_true",
                     help="check BOSS structural invariants")
@@ -1759,6 +1850,8 @@ def build_parser() -> argparse.ArgumentParser:
     sp = sub.add_parser("assemble")
     sp.add_argument("-i", "--infile-base", default=None)
     sp.add_argument("fnames", nargs="*")
+    sp.add_argument("--enumerate", action="store_true",
+                    help="number output sequences (always on here)")
     common_out(sp)
     sp.add_argument("--unitigs", action="store_true")
     sp.add_argument("--to-gfa", action="store_true")
@@ -1870,6 +1963,8 @@ def build_parser() -> argparse.ArgumentParser:
     sp = sub.add_parser("transform")
     sp.add_argument("-i", "--infile-base", default=None)
     sp.add_argument("fnames", nargs="*")
+    sp.add_argument("--enumerate", action="store_true",
+                    help="number output sequences (always on here)")
     common_out(sp)
     sp.add_argument("--to-fasta", action="store_true")
     sp.add_argument("--primary-kmers", action="store_true")
@@ -2000,9 +2095,17 @@ def main(argv: Optional[Sequence[str]] = None):
         except Exception:
             pass
     args = build_parser().parse_args(argv)
+    if getattr(args, "debug", False):
+        args.verbose = True
     if getattr(args, "verbose", False):
         from ..common import telemetry
         telemetry.VERBOSE = True
+    # warn on accepted-but-inert reference options (see _PARITY_INERT)
+    for attr, flag in _INERT_ATTRS:
+        v = getattr(args, attr, None)
+        if v not in (None, False):
+            log(f"WARNING: {flag} is accepted for reference-script "
+                f"compatibility but has no effect in this implementation")
     args.func(args)
 
 

@@ -599,3 +599,35 @@ def test_all_anno_types_save_load_query(workdir, capsys):
               "--discovery-fraction", "0.9", qfa])
         got = capsys.readouterr().out
         assert "seq1" in got, t
+
+
+def test_reference_quickstart_invocations(workdir, capsys, monkeypatch):
+    """The reference's documented quick-start command lines run
+    unmodified (quick_start.rst:40-135): full flag surface parity."""
+    tmp, fa, seqs = workdir
+    out = str(tmp / "graph")
+    # quick_start.rst:40 (long flags) and :45 (short flags)
+    main(["build", "--verbose", "--parallel", "4", "-k", "31",
+          "--outfile-base", out, fa])
+    main(["build", "-v", "-p", "4", "-k", "31", "-o", out, fa])
+    # :91 disk-swap build with --disk-cap-gb (accepted, warned)
+    main(["build", "-v", "-k", "31", "-o", out + "_ds", "-p", "36",
+          "--disk-swap", str(tmp), "--disk-cap-gb", "4", fa])
+    # :100 small-state transform, :104 to-fasta transform
+    main(["transform", "-v", "--state", "small", "-p", "4",
+          "-o", out + "_small", out])
+    main(["transform", "-v", "--to-fasta", "-o", str(tmp / "contigs"),
+          "-p", "4", out])
+    # :53 stdin file list
+    import io
+    monkeypatch.setattr("sys.stdin", io.StringIO(fa + "\n"))
+    main(["build", "-v", "-p", "4", "-k", "31", "-o", out + "_stdin"])
+    capsys.readouterr()
+    main(["stats", out + "_stdin"])
+    cap = capsys.readouterr().out
+    n1 = [l for l in cap.splitlines() if l.startswith("nodes (k):")]
+    capsys.readouterr()
+    main(["stats", out])
+    cap2 = capsys.readouterr().out
+    n2 = [l for l in cap2.splitlines() if l.startswith("nodes (k):")]
+    assert n1 == n2 and n1
