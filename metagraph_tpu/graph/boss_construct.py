@@ -581,7 +581,9 @@ def _probe_dummies(real_m, sink_cand, src_cand, K: int, B: int,
     pos = packed.searchsorted(real_m, queries, side="left")
     lo, hi = pos[:capk], pos[capk:2 * capk]
     keep_k = first_k & (hi == lo) & ~pad_k
-    sinks, n_sinks, _ = pmerge.partition_compact(lo_keys, keep_k, capk)
+    # candidate widths are tiny (O(#reads)): sort-based compaction is
+    # one cheap lax.sort vs the Pallas partition kernel's fixed cost
+    sinks, n_sinks, _ = packed.compact(lo_keys, keep_k, capk)
 
     n = real_m.shape[1]
     present = jnp.zeros((capr,), bool)
@@ -590,7 +592,7 @@ def _probe_dummies(real_m, sink_cand, src_cand, K: int, B: int,
         p = jnp.minimum(sl, n - 1)
         present = present | packed.eq(real_m[:, p], probes[ci])
     keep_r = first_r & ~present & ~pad_r
-    src, n_src, _ = pmerge.partition_compact(base, keep_r, capr)
+    src, n_src, _ = packed.compact(base, keep_r, capr)
     src_s, _ = packed.sort(src)                        # PAD tail intact
     return sinks, n_sinks, src_s, n_src
 
@@ -822,11 +824,13 @@ def _emit_body(merged, counts, n_total, K, B, alph_size, max_count,
     W = jnp.where(minus, klabels + alph_size, klabels).astype(jnp.int32)
     W = jnp.where(kvalid, W, 0)
 
-    tc = jnp.where(kvalid, ktopc, alph_size)
-    hist = jnp.stack([jnp.sum((tc == c).astype(jnp.int32))
-                      for c in range(alph_size)])
-    F = jnp.concatenate([jnp.zeros((1,), jnp.int32),
-                         jnp.cumsum(hist)[:-1].astype(jnp.int32)])
+    # kept is sorted with the top char as the most significant compare
+    # field, so topc is NONDECREASING over the valid prefix (PAD tail
+    # decodes above any real char): F comes from one batched binary
+    # search instead of alph_size full-width reductions
+    tc = jnp.where(kvalid, ktopc, jnp.uint32(alph_size)).astype(jnp.uint32)
+    F = jnp.searchsorted(tc, jnp.arange(alph_size, dtype=jnp.uint32),
+                         side="left").astype(jnp.int32)
 
     kfirst = packing.first_char(kept, B)
     weights = jnp.where((kcounts > 0) & (klabels != 0) & (kfirst != 0),
