@@ -190,6 +190,7 @@ def cmd_build(args):
 
     seqs = []
     codes_direct = None
+    streamed = False
     if (len(args.fnames) == 1
             and not args.fnames[0].endswith((".vcf", ".vcf.gz"))
             and not args.disk_swap and args.suffix_len == 0
@@ -199,6 +200,23 @@ def cmd_build(args):
         from ..seqio.fasta import read_and_encode
         codes_direct = read_and_encode(args.fnames[0], DNA)
         log(f"Encoded {len(codes_direct) / 1e6:.1f} M chars (native codec)")
+    elif ((args.disk_swap or (args.num_shards > 1 and args.mode == "basic"))
+            and not any(f.endswith((".vcf", ".vcf.gz"))
+                        for f in args.fnames)
+            and not args.fwd_and_reverse and args.suffix_len == 0):
+        # out-of-core / disk-swap ingest: STREAM records through a
+        # parse-ahead thread so host parsing overlaps device collection
+        # (reference kmer_collector.cpp:170-200 overlaps the same way);
+        # these builders consume the sequence iterable exactly once
+        from ..seqio.fasta import BatchFeeder, parse_records
+
+        def _gen():
+            for f in args.fnames:
+                for r in parse_records(f):
+                    yield r.seq
+
+        seqs = BatchFeeder(_gen(), depth=64)
+        streamed = True
     else:
         for f in args.fnames:
             if f.endswith((".vcf", ".vcf.gz")):
@@ -236,7 +254,8 @@ def cmd_build(args):
         # ~num_shards; the preferred scale path on one chip
         from ..parallel.outofcore import build_boss_out_of_core
         with telemetry.span("construct_ooc",
-                            items=sum(map(len, seqs)), unit="chars"):
+                            items=0 if streamed
+                            else sum(map(len, seqs)), unit="chars"):
             boss, valid_mask = build_boss_out_of_core(
                 seqs, args.k, alphabet=DNA, n_shards=args.num_shards,
                 bits_per_count=bits_per_count,
