@@ -64,26 +64,28 @@ def main():
         per_shard = lanes.shape[1] // n_dev if n_dev else lanes.shape[1]
         rows.append((n_dev, warm, cold, ok))
         print(f"build n_dev={n_dev}: warm {warm:.2f}s cold {cold:.2f}s "
-              f"bit-identical={ok}", flush=True)
+              f"bit-identical={ok} per-shard buffer "
+              f"{per_shard * lanes.shape[0] * 4 / 1e6:.1f} MB "
+              f"(x1/{n_dev})", flush=True)
 
     # column-sharded query step
-    from metagraph_tpu.anno.matrix import RowSparse
+    from metagraph_tpu.parallel.distributed import shard_annotation_coo
     num_rows, num_cols = 1 << 16, 64
     nnz = 1 << 18
-    r = np.sort(rng.integers(0, num_rows, nnz))
-    c = rng.integers(0, num_cols, nnz)
-    m = RowSparse.from_coo(r, c, num_rows, num_cols)
-    q = rng.integers(0, num_rows, 1 << 14).astype(np.int32)
+    r = np.sort(rng.integers(0, num_rows, nnz)).astype(np.int32)
+    c = rng.integers(0, num_cols, nnz).astype(np.int32)
+    q = np.sort(rng.integers(0, num_rows, 1 << 14)).astype(np.int32)
     w = np.ones(len(q), np.int32)
     for n_dev in (1, 2, 4, 8):
         mesh = make_mesh(n_dev)
-        step = build_distributed_query_step(mesh, num_rows, num_cols,
-                                            np.asarray(m.rows),
-                                            np.asarray(m.cols))
-        out = np.asarray(step(jnp.asarray(q), jnp.asarray(w)))  # compile
+        rs, cs = shard_annotation_coo(r, c, num_rows, num_cols, n_dev)
+        step = build_distributed_query_step(
+            mesh, num_rows, num_cols, rs.shape[0] // n_dev, len(q))
+        qd, wd, rd, cd = map(jnp.asarray, (q, w, rs, cs))
+        out = np.asarray(step(rd, cd, qd, wd))       # compile
         t0 = time.time()
         for _ in range(5):
-            out = np.asarray(step(jnp.asarray(q), jnp.asarray(w)))
+            out = np.asarray(step(rd, cd, qd, wd))
         warm = (time.time() - t0) / 5
         print(f"query n_dev={n_dev}: {warm*1e3:.1f} ms per 16k-row batch",
               flush=True)
