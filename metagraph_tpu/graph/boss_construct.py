@@ -207,29 +207,37 @@ def _unpack_codes(words: jax.Array, n: int) -> jax.Array:
     return jnp.where(c == 15, jnp.uint8(INVALID_CODE), c)
 
 
-def pack_codes2_host(codes_np: np.ndarray, max_inval: Optional[int] = None):
+def pack_codes2_host(codes_np: np.ndarray, max_inval: Optional[int] = None,
+                     n_valid: Optional[int] = None):
     """2-bit host pack for 4-letter alphabets: codes 1..4 become 2-bit
     fields (the h2d link moves ~30-50 MB/s, so halving the bytes vs the
     nibble pack is wall time); positions outside 1..4 (record
     separators, stray chars) ride a sparse int32 index sidecar that the
-    device scatters back to INVALID. Returns (words, inval_idx) or None
-    when invalids exceed ``max_inval`` (dense-invalid inputs pack worse
-    this way — callers fall back to the nibble pack)."""
+    device scatters back to INVALID. ``n_valid`` marks a contiguous
+    INVALID padding tail (positions >= n_valid) that the device masks
+    with one iota compare instead — it is excluded from the sidecar and
+    from the ``max_inval`` budget. Returns (words, inval_idx,
+    inval_sorted) or None when true invalids exceed ``max_inval``
+    (dense-invalid inputs pack worse this way — callers fall back to
+    the nibble pack)."""
     from ..native.loader import pack2_codes_native
     n = codes_np.shape[0]
+    if n_valid is None:
+        n_valid = n
     npad = -(-n // 16) * 16
     if max_inval is None:
         max_inval = max(4096, n >> 4)
+    tail = (npad - n) + (n - n_valid)
     if npad != n:
         codes_np = np.concatenate(
             [codes_np, np.full(npad - n, INVALID_CODE, np.uint8)])
-    res = pack2_codes_native(codes_np, max_inval + (npad - n))
+    res = pack2_codes_native(codes_np, max_inval + tail)
     if res is not None:
         words, inval = res
     else:
         bad = (codes_np - 1) > 3           # uint8 wraps: 0 and >4 are bad
         inval = np.nonzero(bad)[0]
-        if inval.shape[0] > max_inval + (npad - n):
+        if inval.shape[0] > max_inval + tail:
             return None
         v = np.where(bad, 1, codes_np).reshape(16, npad // 16)
         words = (v[0].astype(np.uint32) - 1) & 3
@@ -237,23 +245,32 @@ def pack_codes2_host(codes_np: np.ndarray, max_inval: Optional[int] = None):
             words |= ((v[i].astype(np.uint32) - 1) & 3) << np.uint32(2 * i)
     # Block-layout index i*nwords+j IS the original position, and the
     # pack loops emit them in ascending order, so ``inval`` is sorted.
-    # Pad to a bucket with an out-of-range index (dropped by the device
-    # scatter) for stable compile shapes; the raw sorted list rides
-    # along for host-side boundary derivation.
+    # Drop the padding-tail entries (device masks those positionally),
+    # then pad to a bucket with an out-of-range index (dropped by the
+    # device scatter) for stable compile shapes; the raw sorted list
+    # rides along for host-side boundary derivation.
+    inval = inval[:np.searchsorted(inval, n_valid)]
+    if inval.shape[0] > max_inval:
+        return None
     capi = _bucket(max(int(inval.shape[0]), 1), lo=1024)
     idx = np.full(capi, 1 << 30, np.int32)
     idx[:inval.shape[0]] = inval.astype(np.int32)
     return words, idx, inval
 
 
-def _unpack_codes2(words: jax.Array, inval_idx: jax.Array, n: int
-                   ) -> jax.Array:
-    """Device-side inverse of pack_codes2_host -> (n,) uint8 codes."""
+def _unpack_codes2(words: jax.Array, inval_idx: jax.Array, n: int,
+                   n_valid=None) -> jax.Array:
+    """Device-side inverse of pack_codes2_host -> (n,) uint8 codes.
+    ``n_valid`` (device scalar): positions >= n_valid become INVALID
+    via one iota compare (the contiguous padding tail)."""
     rows = [((words >> jnp.uint32(2 * i)) & jnp.uint32(3)
              ).astype(jnp.uint8) for i in range(16)]
     c = jnp.concatenate(rows) + jnp.uint8(1)
     c = c.at[inval_idx].set(jnp.uint8(INVALID_CODE), mode="drop")
-    return c[:n]
+    c = c[:n]
+    if n_valid is not None:
+        c = jnp.where(jnp.arange(n) < n_valid, c, jnp.uint8(INVALID_CODE))
+    return c
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -266,11 +283,12 @@ def _collect_stage_packed(words, n: int, K: int, B: int, suffix,
 
 @functools.partial(jax.jit, static_argnames=(
     "n", "K", "B", "cap_b", "canonical", "complement"))
-def _collect_stage_bounds_packed2(words, inval_idx, n: int, K: int, B: int,
-                                  cap_b: int, canonical: bool, complement):
+def _collect_stage_bounds_packed2(words, inval_idx, n_valid, n: int, K: int,
+                                  B: int, cap_b: int, canonical: bool,
+                                  complement):
     return _collect_stage_bounds.__wrapped__(
-        _unpack_codes2(words, inval_idx, n), K, B, cap_b, canonical,
-        complement)
+        _unpack_codes2(words, inval_idx, n, n_valid), K, B, cap_b,
+        canonical, complement)
 
 
 def host_boundary_windows(inval_sorted: np.ndarray, n: int, K: int
@@ -291,8 +309,8 @@ def host_boundary_windows(inval_sorted: np.ndarray, n: int, K: int
 
 @functools.partial(jax.jit, static_argnames=(
     "n", "K", "B", "canonical", "complement"))
-def _collect_stage_bounds_pos(words, inval_idx, end_pos, n_end, start_pos,
-                              n_start, n: int, K: int, B: int,
+def _collect_stage_bounds_pos(words, inval_idx, n_valid, end_pos, n_end,
+                              start_pos, n_start, n: int, K: int, B: int,
                               canonical: bool, complement):
     """_collect_stage + boundary candidates GATHERED at host-computed
     window positions (see host_boundary_windows) in one dispatch.
@@ -305,7 +323,7 @@ def _collect_stage_bounds_pos(words, inval_idx, end_pos, n_end, start_pos,
     (packed.expand2to4)."""
     from ..kmer.extractor import window_validity
     assert B == 4
-    codes = _unpack_codes2(words, inval_idx, n)
+    codes = _unpack_codes2(words, inval_idx, n, n_valid)
     nw = n - K + 1
     ok = window_validity(codes, K)
     # 2-bit window lanes (chars stored as c-1; invalid windows masked)
@@ -350,11 +368,11 @@ def _collect_stage_bounds_pos(words, inval_idx, end_pos, n_end, start_pos,
 
 @functools.partial(jax.jit, static_argnames=(
     "n", "K", "B", "suffix", "canonical", "complement"))
-def _collect_stage_packed2(words, inval_idx, n: int, K: int, B: int, suffix,
-                           canonical: bool, complement):
+def _collect_stage_packed2(words, inval_idx, n_valid, n: int, K: int,
+                           B: int, suffix, canonical: bool, complement):
     return _collect_stage.__wrapped__(
-        _unpack_codes2(words, inval_idx, n), K, B, suffix, canonical,
-        complement)
+        _unpack_codes2(words, inval_idx, n, n_valid), K, B, suffix,
+        canonical, complement)
 
 
 def _sort_unique_ones_body(lanes, count):
@@ -865,13 +883,18 @@ def collect_kmers(
             [codes_np, np.full(K - codes_np.shape[0], INVALID_CODE, np.uint8)])
     # pad to bucket so the extract kernel compiles per size class
     target = _bucket(codes_np.shape[0])
-    if codes_np.shape[0] < target:
+    pad_tail = max(target - codes_np.shape[0], 0)
+    if pad_tail:
         codes_np = np.concatenate(
-            [codes_np, np.full(target - codes_np.shape[0], INVALID_CODE, np.uint8)])
+            [codes_np, np.full(pad_tail, INVALID_CODE, np.uint8)])
     n = codes_np.shape[0]
+    n_valid = n - pad_tail
     pack2 = None
     if B == 4 and alphabet.size <= 5:
-        pack2 = pack_codes2_host(codes_np)
+        # the contiguous bucket-padding tail (up to ~25% of n) is masked
+        # positionally on device (n_valid iota), NOT via the sparse
+        # sidecar — otherwise the pad alone forces the nibble fallback
+        pack2 = pack_codes2_host(codes_np, n_valid=n_valid)
     if pack2 is not None:
         dev_in = (jnp.asarray(pack2[0]), jnp.asarray(pack2[1]))
     elif B == 4:
@@ -883,7 +906,7 @@ def collect_kmers(
         # invalid-code positions, already on the host from the pack2
         # sidecar — no device-side window masks or compaction passes
         idx_np = pack2[2]
-        end_pos, start_pos = host_boundary_windows(idx_np, n, K)
+        end_pos, start_pos = host_boundary_windows(idx_np, n_valid, K)
         n_end, n_start = len(end_pos), len(start_pos)
         capq = _bucket(max(n_end, n_start, 1))
         ep = np.zeros(capq, np.int32)
@@ -891,9 +914,9 @@ def collect_kmers(
         sp = np.zeros(capq, np.int32)
         sp[:n_start] = start_pos
         ulanes, ucounts, ucount, bounds = _collect_stage_bounds_pos(
-            dev_in[0], dev_in[1], jnp.asarray(ep), jnp.int32(n_end),
-            jnp.asarray(sp), jnp.int32(n_start), n, K, B, canonical,
-            alphabet.complement)
+            dev_in[0], dev_in[1], jnp.int32(n_valid), jnp.asarray(ep),
+            jnp.int32(n_end), jnp.asarray(sp), jnp.int32(n_start), n, K,
+            B, canonical, alphabet.complement)
         n_u = int(ucount)                         # ONE host sync
         cap = max(_bucket(n_u), 1)
         return ulanes[:, :cap], ucounts[:cap], n_u, bounds
@@ -923,8 +946,8 @@ def collect_kmers(
         return ulanes[:, :cap], ucounts[:cap], n_u, (sink_cand, src_cand)
     if pack2 is not None:
         ulanes, ucounts, ucount = _collect_stage_packed2(
-            dev_in[0], dev_in[1], n, K, B, tuple(suffix), canonical,
-            alphabet.complement)
+            dev_in[0], dev_in[1], jnp.int32(n_valid), n, K, B,
+            tuple(suffix), canonical, alphabet.complement)
     elif B == 4:
         ulanes, ucounts, ucount = _collect_stage_packed(
             dev_in, n, K, B, tuple(suffix), canonical, alphabet.complement)

@@ -384,12 +384,13 @@ def build_boss_out_of_core(
         nonlocal fill
         if fill == 0:
             return
-        pack2 = (bc.pack_codes2_host(buf)
+        pack2 = (bc.pack_codes2_host(buf, n_valid=fill)
                  if B == 4 and alphabet.size <= 5 else None)
         if pack2 is not None:
             ulanes, ucounts, ucount = bc._collect_stage_packed2(
-                jnp.asarray(pack2[0]), jnp.asarray(pack2[1]), chunk_codes,
-                K, B, (), False, alphabet.complement)
+                jnp.asarray(pack2[0]), jnp.asarray(pack2[1]),
+                jnp.int32(fill), chunk_codes, K, B, (), False,
+                alphabet.complement)
         elif B == 4:
             words = jnp.asarray(bc.pack_codes_host(buf))
             ulanes, ucounts, ucount = bc._collect_stage_packed(
