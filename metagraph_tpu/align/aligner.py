@@ -101,7 +101,8 @@ class AlignerConfig:
                                           # (reference config.cpp:237)
     max_ram_mb: Optional[float] = None    # DP memory budget -> extension
                                           # sub-batch cap (config.cpp:255)
-    beam_width: int = 32
+    beam_width: int = 8         # batch beam entries per read (validated:
+                                # 8 misses 0/1000 vs 64, align_validate)
     max_seeds_per_read: int = 4        # anchors extended per read/strand
     max_seeds_per_locus: int = 16      # suffix-seed candidates per locus
                                        # (reference --align-max-num-seeds-
@@ -496,11 +497,13 @@ class Aligner:
             bwd_start[bi] = nodes[rs]
             seed_info.append((i, nodes, rs, re, seed_len, qb, qe))
         f_scores, f_chars, f_nodes = beam_extend_batch(
-            g, fwd_start, fwd_tails, fwd_lens, cfg, backward=False,
-            adj_tab=self._adjacency_table(False), sub_tt=self._sub_tt)
+            g, fwd_start, fwd_tails, fwd_lens, cfg, beam=cfg.beam_width,
+            backward=False, adj_tab=self._adjacency_table(False),
+            sub_tt=self._sub_tt)
         b_scores, b_chars, b_nodes = beam_extend_batch(
-            g, bwd_start, bwd_tails, bwd_lens, cfg, backward=True,
-            adj_tab=self._adjacency_table(True), sub_tt=self._sub_tt)
+            g, bwd_start, bwd_tails, bwd_lens, cfg, beam=cfg.beam_width,
+            backward=True, adj_tab=self._adjacency_table(True),
+            sub_tt=self._sub_tt)
         # 3) batched CIGAR recovery over the winning paths
         def pack(tails, lens, chars):
             LQ = tails.shape[1]
@@ -603,8 +606,9 @@ class Aligner:
             lens[bi] = len(fwd)
             starts[bi] = node
         scores, chars_l, nodes_l = beam_extend_batch(
-            self.graph, starts, tails, lens, cfg, backward=False,
-            adj_tab=self._adjacency_table(False), sub_tt=self._sub_tt)
+            self.graph, starts, tails, lens, cfg, beam=cfg.beam_width,
+            backward=False, adj_tab=self._adjacency_table(False),
+            sub_tt=self._sub_tt)
         LR = max([len(c) for c in chars_l] + [1])
         r = np.zeros((nb, LR), np.int32)
         rl = np.zeros(nb, np.int32)

@@ -302,26 +302,37 @@ def _beam_extend_group(graph, start_nodes, tails, tlens, cfg, beam,
                   if getattr(cfg, "min_cell_score", None) is not None
                   else NEG),
         sub_tt=sub_tt, sigma=graph.alphabet.size)
+    # traceback ON DEVICE: the raw (steps, B, W) histories are ~11 MB a
+    # scan and the d2h link moves ~40 MB/s — walking the parent pointers
+    # in a reverse scan ships only the (B, steps) winning paths
+    out_chars_d, out_nodes_d = _traceback_scan(parents, chars, nodes_hist,
+                                               best_step, best_beam)
     best = np.asarray(best)[:B]
     best_step = np.asarray(best_step)[:B]
-    best_beam = np.asarray(best_beam)[:B]
-    parents = np.asarray(parents)[:, :B]      # (steps, B, W)
-    chars = np.asarray(chars)[:, :B]
-    nodes_hist = np.asarray(nodes_hist)[:, :B]
-    # vectorized traceback across all reads: walk from (best_step, beam)
-    max_t = int(best_step.max()) if len(best_step) else -1
-    out_chars = np.zeros((B, max(max_t + 1, 0)), np.int32)
-    out_nodes = np.zeros((B, max(max_t + 1, 0)), np.int32)
-    cur_beam = best_beam.copy()
-    bidx = np.arange(B)
-    for t in range(max_t, -1, -1):
-        active = best_step >= t
-        out_chars[active, t] = chars[t, bidx[active], cur_beam[active]]
-        out_nodes[active, t] = nodes_hist[t, bidx[active], cur_beam[active]]
-        cur_beam = np.where(active, parents[t, bidx, cur_beam], cur_beam)
+    out_chars = np.asarray(out_chars_d)[:B]
+    out_nodes = np.asarray(out_nodes_d)[:B]
     char_paths = [out_chars[b, :best_step[b] + 1] for b in range(B)]
     node_paths = [out_nodes[b, :best_step[b] + 1] for b in range(B)]
     return best.astype(np.int64), char_paths, node_paths
+
+
+@jax.jit
+def _traceback_scan(parents, chars, nodes_hist, best_step, best_beam):
+    """(B, steps) winning char/node paths from the per-step (parent,
+    char, node) histories, walked backward from each read's best step."""
+    steps, B, W = parents.shape
+    bidx = jnp.arange(B)
+
+    def step(cur_beam, t):
+        active = best_step >= t
+        ch = jnp.where(active, chars[t, bidx, cur_beam], 0)
+        nd = jnp.where(active, nodes_hist[t, bidx, cur_beam], 0)
+        nxt = jnp.where(active, parents[t, bidx, cur_beam], cur_beam)
+        return nxt, (ch, nd)
+
+    _, (cs, ns) = jax.lax.scan(
+        step, best_beam, jnp.arange(steps - 1, -1, -1, dtype=jnp.int32))
+    return cs[::-1].T, ns[::-1].T
 
 
 # ---------------------------------------------------------------------------
