@@ -101,8 +101,9 @@ class AlignerConfig:
                                           # (reference config.cpp:237)
     max_ram_mb: Optional[float] = None    # DP memory budget -> extension
                                           # sub-batch cap (config.cpp:255)
-    beam_width: int = 8         # batch beam entries per read (validated:
-                                # 8 misses 0/1000 vs 64, align_validate)
+    beam_width: int = 4         # batch beam entries per read (validated:
+                                # 4 misses 0/1000 vs 64 on 2-SNP+indel
+                                # reads, scripts/align_validate.py)
     max_seeds_per_read: int = 4        # anchors extended per read/strand
     max_seeds_per_locus: int = 16      # suffix-seed candidates per locus
                                        # (reference --align-max-num-seeds-
