@@ -180,6 +180,21 @@ class GraphAlignment:
         }
 
 
+_OP_CHARS = np.array(["", "=", "X", "D", "I"])
+_EQ = np.int8(1)
+
+
+def _compress_ops_codes(a: np.ndarray) -> str:
+    """RLE cigar from an int op-code array (1 = '=', 2 = 'X', 3 = 'D',
+    4 = 'I') — numpy run detection, one join over the few runs."""
+    if len(a) == 0:
+        return ""
+    b = np.nonzero(np.diff(a))[0]
+    starts = np.concatenate([[0], b + 1])
+    lens = np.diff(np.concatenate([starts, [len(a)]]))
+    return "".join(f"{l}{_OP_CHARS[a[s]]}" for s, l in zip(starts, lens))
+
+
 def _compress_cigar(ops: Sequence[str]) -> str:
     out: List[List] = []
     for op in ops:
@@ -551,14 +566,14 @@ class Aligner:
         for bi, (i, nodes, rs, re, seed_len, qb, qe) in enumerate(seed_info):
             seq = seqs[i]
             score = int(self._diag[codes_l[i][qb:qe]].sum())
-            ops = ["="] * seed_len
+            ops = [np.full(seed_len, _EQ, np.int8)]
             parts = [np.asarray(nodes[rs:re], np.int64)]
             if fwd_lens[bi] and f_scores[bi] > 0:
                 s2, q_end, r_end, dops = f_cig[bi]
                 score += s2
                 parts.append(np.asarray(f_nodes[bi][:r_end], np.int64))
                 if dops is not None:
-                    ops += dops
+                    ops.append(dops)
                 qe += q_end
             if bwd_lens[bi] and b_scores[bi] > 0:
                 s2, q_end, r_end, dops = b_cig[bi]
@@ -566,11 +581,11 @@ class Aligner:
                 parts.insert(0, np.asarray(b_nodes[bi][:r_end],
                                            np.int64)[::-1])
                 if dops is not None:
-                    ops = dops[::-1] + ops
+                    ops.insert(0, dops[::-1])
                 qb -= q_end
             path = np.concatenate(parts) if len(parts) > 1 else parts[0]
             if with_cigar:
-                cig = _compress_cigar(ops)
+                cig = _compress_ops_codes(np.concatenate(ops))
             else:
                 # aligned-span placeholder (consumers of the score-only
                 # path read .sequence/.score, never the cigar)
@@ -631,7 +646,7 @@ class Aligner:
         for bi, (i, node, s_len) in enumerate(entries):
             seq = seqs[i]
             score = int(self._diag[codes_l[i][:s_len]].sum())
-            ops = ["="] * s_len
+            ops = [np.full(s_len, _EQ, np.int8)]
             path = np.asarray([node], np.int64)
             qe = s_len
             if lens[bi] and scores[bi] > 0:
@@ -641,9 +656,10 @@ class Aligner:
                                        np.asarray(nodes_l[bi][:r_end],
                                                   np.int64)])
                 if dops is not None:
-                    ops += dops
+                    ops.append(dops)
                 qe += q_end
-            cs = _compress_cigar(ops) if with_cigar else f"{qe}M"
+            cs = (_compress_ops_codes(np.concatenate(ops))
+                  if with_cigar else f"{qe}M")
             if qe < len(seq):
                 cs = cs + f"{len(seq) - qe}S"
             finals.append((i, score, cs, qe, path, s_len))

@@ -519,11 +519,10 @@ def batched_cigars(q: np.ndarray, r: np.ndarray, qlens: np.ndarray,
                                   open_p=open_p, ext_p=ext_p, sub_tt=sub_tt)
     ends = np.asarray(ends_d)
     ops_arr = np.asarray(ops_d)                       # (steps, B)
-    OPS = np.array(["", "=", "X", "D", "I"])
     out = []
     for b in range(B):
         col = ops_arr[:, b]
-        nz = col[col != 0]
+        nz = col[col != 0][::-1]                      # op CODES 1..4
         out.append((int(ends[b, 0]), int(ends[b, 2]), int(ends[b, 1]),
-                    list(OPS[nz[::-1]])))
+                    nz.astype(np.int8)))
     return out

@@ -231,7 +231,9 @@ def test_device_traceback_matches_host_gold(rng):
             cfg.gap_opening_penalty, cfg.gap_extension_penalty)
         gs, gqe, gre, gops = got[b]
         assert (gs, gqe, gre) == (ws, wqe, wre), b
-        assert gops == wops, (b, gops, wops)
+        # batched_cigars returns op CODES (1..4); map to chars to compare
+        op_chars = np.array(["", "=", "X", "D", "I"])
+        assert list(op_chars[np.asarray(gops)]) == wops, (b, gops, wops)
 
 
 def test_small_state_align(ref_graph, tmp_path):
