@@ -135,16 +135,41 @@ class BitRank:
         return np.nonzero(self.bits_host())[0]
 
 
+_WPB = _BS // 4            # uint32 words per block (4 chars per word)
+_WPB_LOG = _BS_LOG - 2
+# popcount masks for "first m bytes of a word": m -> 0x80 bit per byte
+_BYTE_MASKS = np.array([0x00000000, 0x00000080, 0x00008080,
+                        0x00808080, 0x80808080], np.uint32)
+
+
+def _match_bits(words: jax.Array, c: jax.Array) -> jax.Array:
+    """0x80 bit per byte of ``words`` equal to symbol ``c`` — SWAR
+    zero-byte detect, EXACT for byte values < 128: per-byte x + 0x7F
+    stays < 0x100, so no cross-byte carries (the classic
+    (x-0x01..)&~x form false-positives on 0x01 bytes above a zero)."""
+    x = words ^ (c.astype(jnp.uint32) * jnp.uint32(0x01010101))
+    return (~((x + jnp.uint32(0x7F7F7F7F)) | x)) & jnp.uint32(0x80808080)
+
+
 @dataclass(frozen=True)
 class SymbolRank:
     """Per-symbol blocked rank/select over a small-alphabet sequence
-    (wavelet-tree replacement for the BOSS W array). The sequence itself
-    lives only in ``seq_pad`` (padded to the block size) — no duplicate
-    copy."""
-    seq_pad: jax.Array  # (nb * _BS,) int8 padded with an out-of-range code
-    blocks: jax.Array   # (nb + 1, sigma) int32 exclusive counts per block
+    (wavelet-tree replacement for the BOSS W array). The sequence lives
+    byte-packed in uint32 words (byte b of word w = char 4w+b): TPU
+    gathers of (Q, 32) uint32 block rows run ~10x faster than the
+    (Q, 128) int8 rows of the round-1 layout, and the in-block counts
+    become SWAR popcounts."""
+    seq_words: jax.Array  # (nb * _WPB,) uint32, pad char = sigma
+    blocks: jax.Array     # (nb + 1, sigma) int32 exclusive counts per block
     sigma: int
     n_seq: int
+
+    @staticmethod
+    def pack_words(seq_pad: jax.Array) -> jax.Array:
+        """(nb*_BS,) int8/int32 chars -> (nb*_WPB,) uint32 words."""
+        v = seq_pad.astype(jnp.uint32).reshape(-1, 4)
+        return (v[:, 0] | (v[:, 1] << 8) | (v[:, 2] << 16)
+                | (v[:, 3] << 24))
 
     @staticmethod
     def build(seq: jax.Array, sigma: int) -> "SymbolRank":
@@ -160,7 +185,16 @@ class SymbolRank:
         hist = jnp.stack(hist, axis=1)                 # (nb, sigma)
         blocks = jnp.concatenate(
             [jnp.zeros((1, sigma), jnp.int32), jnp.cumsum(hist, axis=0)])
-        return SymbolRank(seq_pad=pad, blocks=blocks, sigma=sigma, n_seq=n)
+        return SymbolRank(seq_words=SymbolRank.pack_words(pad),
+                          blocks=blocks, sigma=sigma, n_seq=n)
+
+    @property
+    def seq_pad(self) -> jax.Array:
+        """(nb*_BS,) int8 unpacked view (compat; build-time/host use)."""
+        w = self.seq_words
+        parts = jnp.stack([(w >> (8 * b)) & 0xFF for b in range(4)],
+                          axis=1)
+        return parts.reshape(-1).astype(jnp.int8)
 
     @property
     def seq(self) -> jax.Array:
@@ -170,10 +204,10 @@ class SymbolRank:
     def n(self) -> int:
         return self.n_seq
 
-    def _row(self, blk: jax.Array) -> jax.Array:
-        """(Q, _BS) int8 block contents."""
-        idx = (blk[:, None] << _BS_LOG) + jnp.arange(_BS, dtype=jnp.int32)
-        return self.seq_pad[idx]
+    def _rows(self, blk: jax.Array) -> jax.Array:
+        """(Q, _WPB) uint32 block contents — a whole-row 1D gather of the
+        (nb, _WPB) view, ~2.7x faster on TPU than a 2D index grid."""
+        return self.seq_words.reshape(-1, _WPB)[blk]
 
     def rank(self, c: jax.Array, i: jax.Array) -> jax.Array:
         """#occurrences of symbol c in seq[0..i] (inclusive)."""
@@ -183,12 +217,17 @@ class SymbolRank:
         i = i.reshape(-1)
         p = jnp.clip(i + 1, 0, self.n)                 # exclusive position
         blk = (p >> _BS_LOG).astype(jnp.int32)
-        base = self.blocks[blk, c]
+        base = self.blocks.reshape(-1)[blk * self.sigma + c]
         rem = (p & (_BS - 1)).astype(jnp.int32)
-        row = self._row(blk)
-        j = jnp.arange(_BS, dtype=jnp.int32)[None, :]
-        cnt = jnp.sum((row == c[:, None].astype(jnp.int8))
-                      & (j < rem[:, None]), axis=1, dtype=jnp.int32)
+        v = self._rows(blk)
+        hz = _match_bits(v, c[:, None])
+        # bytes of word j valid iff 4j + b < rem: clamp(rem - 4j, 0, 4)
+        vj = jnp.clip(rem[:, None]
+                      - 4 * jnp.arange(_WPB, dtype=jnp.int32)[None, :],
+                      0, 4)
+        masks = jnp.asarray(_BYTE_MASKS)[vj]
+        cnt = jnp.sum(jax.lax.population_count(hz & masks),
+                      axis=1).astype(jnp.int32)
         return (base + cnt).reshape(shape)
 
     def select(self, c: jax.Array, r: jax.Array) -> jax.Array:
@@ -198,6 +237,8 @@ class SymbolRank:
         c = c.reshape(-1).astype(jnp.int32)
         r = r.reshape(-1).astype(jnp.int32)
         nb = self.blocks.shape[0] - 1
+        sigma = self.sigma
+        bflat = self.blocks.reshape(-1)
         steps = max(1, int(np.ceil(np.log2(nb + 2))))
         lo = jnp.zeros_like(r)              # invariant: blocks[lo, c] < r
         hi = jnp.full_like(r, nb)
@@ -205,28 +246,40 @@ class SymbolRank:
         def body(_, state):
             lo, hi = state
             mid = (lo + hi + 1) >> 1
-            go_up = self.blocks[mid, c] < r
+            go_up = bflat[mid * sigma + c] < r
             lo = jnp.where(go_up, mid, lo)
             hi = jnp.where(go_up, hi, mid - 1)
             return lo, hi
 
         lo, hi = jax.lax.fori_loop(0, steps, body, (lo, hi))
-        rr = r - self.blocks[lo, c]
-        row = self._row(lo)
-        is_c = (row == c[:, None].astype(jnp.int8)).astype(jnp.int32)
-        cum = jnp.cumsum(is_c, axis=1)
-        pos = jnp.argmax((cum == rr[:, None]) & (is_c == 1), axis=1)
-        return ((lo << _BS_LOG) + pos.astype(jnp.int32)).reshape(shape)
+        rr = r - bflat[lo * sigma + c]
+        v = self._rows(lo)
+        hz = _match_bits(v, c[:, None])
+        mcnt = jax.lax.population_count(hz).astype(jnp.int32)  # per word
+        cum = jnp.cumsum(mcnt, axis=1)
+        j = jnp.argmax(cum >= rr[:, None], axis=1).astype(jnp.int32)
+        rr_w = rr - (cum[jnp.arange(cum.shape[0]), j]
+                     - mcnt[jnp.arange(cum.shape[0]), j])
+        hz_w = hz[jnp.arange(hz.shape[0]), j]
+        mb = jnp.stack([(hz_w >> (8 * b + 7)) & 1 for b in range(4)],
+                       axis=1).astype(jnp.int32)
+        cb = jnp.cumsum(mb, axis=1)
+        b = jnp.argmax(cb >= rr_w[:, None], axis=1).astype(jnp.int32)
+        pos = (lo << _BS_LOG) + 4 * j + b
+        return pos.reshape(shape)
 
     def __getitem__(self, i):
-        return self.seq_pad[i].astype(jnp.int32)
+        i = jnp.asarray(i)
+        w = self.seq_words[i >> 2]
+        return ((w >> ((i & 3).astype(jnp.uint32) * 8))
+                & jnp.uint32(0xFF)).astype(jnp.int32)
 
 
 def register_pytrees():
     jax.tree_util.register_dataclass(
         BitRank, ["words", "brank", "total"], ["n"])
     jax.tree_util.register_dataclass(
-        SymbolRank, ["seq_pad", "blocks"], ["sigma", "n_seq"])
+        SymbolRank, ["seq_words", "blocks"], ["sigma", "n_seq"])
 
 
 register_pytrees()

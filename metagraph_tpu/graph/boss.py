@@ -70,10 +70,10 @@ class Boss:
         # remote-dispatch runtime)
         n = int(last.shape[0])
         sigma = 2 * alph_size
-        (lw, lbr, ltot, seq_pad, blocks, NF) = _finalize_ranks(
+        (lw, lbr, ltot, seq_words, blocks, NF) = _finalize_ranks(
             W, last, F, sigma=sigma, n=n)
         last_rank = BitRank(words=lw, brank=lbr, total=ltot, n=n)
-        W_rank = SymbolRank(seq_pad=seq_pad, blocks=blocks, sigma=sigma,
+        W_rank = SymbolRank(seq_words=seq_words, blocks=blocks, sigma=sigma,
                             n_seq=n)
         if edge_lanes is not None and edge_lanes.shape[1] > 0:
             lut, max_bucket = _build_lut(edge_lanes)
@@ -100,14 +100,14 @@ class Boss:
         ``lut``/``max_bucket`` come precomputed from the finish stage
         (max_bucket rides the stats sync the builder already pays)."""
         sigma = 2 * alph_size
-        (lw, lbr, ltot, seq_pad, blocks, NF, F32, w_full, lanes) = \
+        (lw, lbr, ltot, seq_words, blocks, NF, F32, w_full, lanes) = \
             _finalize_full(
                 kept, W, last, F, weights, sigma=sigma, n_kept=n_kept,
                 has_weights=weights is not None,
                 with_lanes=keep_kmer_index)
         n = n_kept + 1
         last_rank = BitRank(words=lw, brank=lbr, total=ltot, n=n)
-        W_rank = SymbolRank(seq_pad=seq_pad, blocks=blocks, sigma=sigma,
+        W_rank = SymbolRank(seq_words=seq_words, blocks=blocks, sigma=sigma,
                             n_seq=n)
         if keep_kmer_index and lut is not None and n_kept > 0:
             lut_steps = max(1, int(np.ceil(np.log2(max_bucket + 1))))
@@ -144,8 +144,7 @@ class Boss:
         return self.k + 1
 
     def get_W(self, i: jax.Array) -> jax.Array:
-        return self.W_rank.seq_pad[
-            jnp.clip(i, 0, self.W_rank.n_seq - 1)].astype(jnp.int32)
+        return self.W_rank[jnp.clip(i, 0, self.W_rank.n_seq - 1)]
 
     def get_last(self, i: jax.Array) -> jax.Array:
         return self.last_rank.bit(i)
@@ -231,16 +230,22 @@ class Boss:
         # HLO, which ballooned compile time and could crash XLA:CPU's
         # compiler outright on long suites
         def tighten(i, state):
+            # the two rank_W and two select_last queries of each step
+            # ride ONE fused call each: the primitives are latency-bound
+            # gathers, so call count — not query count — is the cost
             ok, rl, ru = state
             col = jax.lax.dynamic_slice_in_dim(chars, i, 1, axis=1)[:, 0]
             s = jnp.clip(col, 0, alph - 1)
-            rk_rl = self.rank_W(rl - 1, s) + 1
-            rk_ru = self.rank_W(ru, s)
+            rk = self.rank_W(jnp.concatenate([rl - 1, ru]),
+                             jnp.concatenate([s, s]))
+            rk_rl = rk[:Q] + 1
+            rk_ru = rk[Q:]
             step_ok = rk_rl <= rk_ru
             safe_rl = jnp.maximum(self.NF[s] + rk_rl - 1, 1)
             safe_ru = jnp.maximum(self.NF[s] + rk_ru, 1)
-            nrl = self.select_last(safe_rl) + 1
-            nru = self.select_last(safe_ru)
+            sl = self.select_last(jnp.concatenate([safe_rl, safe_ru]))
+            nrl = sl[:Q] + 1
+            nru = sl[Q:]
             ok = ok & step_ok
             return (ok, jnp.where(ok, nrl, rl), jnp.where(ok, nru, ru))
 
@@ -249,14 +254,11 @@ class Boss:
         # or c + alph (boss.hpp pick_edge)
         c = jnp.clip(chars[:, k], 0, alph - 1)
         lo = self.pred_last(ru - 1) + 1
-
-        def probe(cc):
-            r = self.rank_W(ru, cc)
-            pos = self.select_W(jnp.maximum(r, 1), cc)
-            return jnp.where((r >= 1) & (pos >= lo), pos, 0)
-
-        p1 = probe(c)
-        p2 = probe(c + alph)
+        cc = jnp.concatenate([c, c + alph])     # unflagged + flagged probe
+        rr = self.rank_W(jnp.concatenate([ru, ru]), cc)
+        pos = self.select_W(jnp.maximum(rr, 1), cc)
+        p1 = jnp.where((rr[:Q] >= 1) & (pos[:Q] >= lo), pos[:Q], 0)
+        p2 = jnp.where((rr[Q:] >= 1) & (pos[Q:] >= lo), pos[Q:], 0)
         res = jnp.where(p1 > 0, p1, p2)
         return jnp.where(ok, res, 0).astype(jnp.int32)
 
@@ -413,6 +415,8 @@ def _finalize_ranks(W, last, F, sigma: int, n: int):
     nb = max((n + _BS - 1) // _BS, 1)
     seq_pad = jnp.full((nb * _BS,), sigma, jnp.int8).at[:n].set(
         W.astype(jnp.int8))
+    from ..common.ranksel import SymbolRank as _SR
+    seq_words = _SR.pack_words(seq_pad)
     hist = jnp.stack([
         jnp.sum((seq_pad == c).reshape(nb, _BS), axis=1, dtype=jnp.int32)
         for c in range(sigma)], axis=1)
@@ -426,7 +430,7 @@ def _finalize_ranks(W, last, F, sigma: int, n: int):
                                      - (ic & 31).astype(jnp.uint32))
     NF = jnp.where(i < 0, 0, brank[wi] + jax.lax.population_count(
         words[wi] & low).astype(jnp.int32))
-    return words, brank, total, seq_pad, blocks, NF
+    return words, brank, total, seq_words, blocks, NF
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -442,10 +446,10 @@ def _finalize_full(kept, W, last, F, weights, sigma: int, n_kept: int,
     w_full = (jnp.concatenate([zero, weights[:n_kept].astype(jnp.int32)])
               if has_weights else None)
     n = n_kept + 1
-    lw, lbr, ltot, seq_pad, blocks, NF = _finalize_ranks.__wrapped__(
+    lw, lbr, ltot, seq_words, blocks, NF = _finalize_ranks.__wrapped__(
         W_full, last_full, F32, sigma=sigma, n=n)
     lanes = kept[:, :n_kept] if (with_lanes and n_kept > 0) else None
-    return (lw, lbr, ltot, seq_pad, blocks, NF, F32, w_full, lanes)
+    return (lw, lbr, ltot, seq_words, blocks, NF, F32, w_full, lanes)
 
 
 @jax.jit

@@ -104,32 +104,53 @@ class DbgSuccinct:
         return jnp.where(ok, nodes, 0)
 
     @functools.partial(jax.jit, static_argnames=("rounds",))
-    def _map_reads_small_walk(self, chars2d, rounds: int = 3):
+    def _map_reads_small_walk(self, chars2d, rounds: int = 2):
         """Incremental small-state read mapping: anchor the first
         unresolved window of each read with ONE k-step tightening
-        search, then follow the BOSS fwd edge per subsequent window —
-        O(1) rank/select per window instead of O(k) (the reference maps
-        consecutive k-mers by traversal the same way, boss.hpp fwd).
-        Absent windows are *known* zeros; windows right after an absent
-        one re-anchor on the next round. Returns (edges (R, nw),
-        known (R, nw), n_unknown) — the host resolves stragglers (only
-        miss-heavy reads) through the flat full search."""
+        search, then follow the BOSS fwd transition per subsequent
+        window (the reference maps consecutive k-mers by traversal the
+        same way, boss.hpp fwd).
+
+        The scan carries each read's (node, edge-row range) instead of
+        an edge row: the per-step transition is then ONE fused rank_W
+        call (4 queries/read) + ONE fused select_last call (2/read) —
+        the primitives are latency-bound, so CALL count is wall time —
+        and the select_W lookups that materialize the actual edge rows
+        are deferred to one batched pass at the end. Absent windows are
+        *known* zeros; windows right after an absent one re-anchor on
+        the next round. Returns (edges (R, nw), known (R, nw),
+        n_unknown) — the host resolves stragglers (only miss-heavy
+        reads) through the flat batched search."""
         boss = self.boss
         K = self.k
         R, Lr = chars2d.shape
         nw = Lr - K + 1
         alph = self.alphabet.size
+        NF = boss.NF
         chars2d = chars2d.astype(jnp.int32)
         bad = ((chars2d < 1) | (chars2d >= alph)).astype(jnp.int32)
         pref = jnp.concatenate(
             [jnp.zeros((R, 1), jnp.int32), jnp.cumsum(bad, axis=1)], axis=1)
         win_ok = (pref[:, K:] - pref[:, :-K]) == 0        # (R, nw)
-        edges = jnp.zeros((R, nw), jnp.int32)
+        edges = jnp.zeros((R, nw), jnp.int32)   # anchor-resolved rows
+        rsel = jnp.zeros((R, nw), jnp.int32)    # walk-resolved: W rank
+        ssel = jnp.ones((R, nw), jnp.int32)     # walk-resolved: W symbol
+        via_walk = jnp.zeros((R, nw), bool)
         known = ~win_ok                                   # invalid = known 0
         rows = jnp.arange(R)
         offs = jnp.arange(K)
-        # per-position next chars, scan-major: (nw-1, R)
+        # per-position window-label chars, scan-major: (nw-1, R)
         nxt_chars = chars2d[:, K:].T
+
+        def node_range(T, valid):
+            """(lo, ru) inclusive edge-row range of node T (1-based)."""
+            Tc = jnp.maximum(T, 1)
+            sl = boss.select_last(
+                jnp.concatenate([Tc, jnp.maximum(Tc - 1, 1)]))
+            ru = jnp.where(valid, sl[:R], 0)
+            lo = jnp.where(T > 1, sl[R:] + 1, 1)
+            return lo, ru
+
         for _ in range(rounds):
             unk = ~known
             has = jnp.any(unk, axis=1)
@@ -140,22 +161,66 @@ class DbgSuccinct:
             e_a = jnp.where(has, e_a, 0)
             edges = edges.at[rows, a].set(
                 jnp.where(has, e_a, edges[rows, a]))
+            via_walk = via_walk.at[rows, a].set(
+                jnp.where(has, False, via_walk[rows, a]))
             known = known.at[rows, a].set(known[rows, a] | has)
+            # anchor carry state: the target node of e_a and its range
+            w = boss.get_W(jnp.maximum(e_a, 1))
+            cp = jnp.clip(w % alph, 0, alph - 1)
+            T_a = jnp.where(e_a > 0, NF[cp] + boss.rank_W(e_a, cp), 0)
+            lo_a, ru_a = node_range(T_a, e_a > 0)
+            aT = jnp.zeros((R, nw), jnp.int32).at[rows, a].set(
+                jnp.where(has, T_a, 0))
+            aLo = jnp.zeros((R, nw), jnp.int32).at[rows, a].set(lo_a)
+            aRu = jnp.zeros((R, nw), jnp.int32).at[rows, a].set(ru_a)
+            aSet = jnp.zeros((R, nw), bool).at[rows, a].set(has)
 
             def step(carry, x):
-                known_p, e_p = carry
-                ch, e0, k0, wok = x
-                cand = boss.follow_edge(e_p, ch)
-                use = (~k0) & known_p & (e_p > 0) & wok
-                e_new = jnp.where(use, cand, e0)
-                k_new = k0 | use
-                return (k_new, e_new), (k_new, e_new)
+                T, lo, ru, live = carry
+                ch, k0, wok, aT_i, aLo_i, aRu_i, aSet_i = x
+                c = jnp.clip(ch, 1, alph - 1)
+                active = live & ~k0 & wok
+                rk = boss.rank_W(
+                    jnp.concatenate([ru, lo - 1, ru, lo - 1]),
+                    jnp.concatenate([c, c, c + alph, c + alph]))
+                rhc, rlc = rk[:R], rk[R:2 * R]
+                rhf, rlf = rk[2 * R:3 * R], rk[3 * R:]
+                pres_c = rhc > rlc
+                present = pres_c | (rhf > rlf)
+                resolved = active & present
+                absent = active & ~present
+                T2 = NF[c] + rhc          # target (flag-invariant: the
+                # flagged edge's unflagged twin precedes lo, so
+                # rank_W(ru, c) == rank_W(e, c) either way)
+                lo2, ru2 = node_range(T2, resolved)
+                T_n = jnp.where(aSet_i, aT_i, jnp.where(resolved, T2, 0))
+                lo_n = jnp.where(aSet_i, aLo_i, lo2)
+                ru_n = jnp.where(aSet_i, aRu_i, ru2)
+                live_n = (aSet_i & (aT_i > 0)) | resolved
+                y = (resolved, absent,
+                     jnp.where(pres_c, rhc, rhf),
+                     jnp.where(pres_c, c, c + alph))
+                return (T_n, lo_n, ru_n, live_n), y
 
-            xs = (nxt_chars, edges[:, 1:].T, known[:, 1:].T, win_ok[:, 1:].T)
-            (_, _), (ks, es) = jax.lax.scan(
-                step, (known[:, 0], edges[:, 0]), xs)
-            edges = jnp.concatenate([edges[:, :1], es.T], axis=1)
-            known = jnp.concatenate([known[:, :1], ks.T], axis=1)
+            xs = (nxt_chars, known[:, 1:].T, win_ok[:, 1:].T,
+                  aT[:, 1:].T, aLo[:, 1:].T, aRu[:, 1:].T, aSet[:, 1:].T)
+            init = (aT[:, 0], aLo[:, 0], aRu[:, 0],
+                    aSet[:, 0] & (aT[:, 0] > 0))
+            _, (res_s, abs_s, r_s, s_s) = jax.lax.scan(step, init, xs)
+            res_w = jnp.concatenate(
+                [jnp.zeros((R, 1), bool), res_s.T], axis=1)
+            abs_w = jnp.concatenate(
+                [jnp.zeros((R, 1), bool), abs_s.T], axis=1)
+            rsel = jnp.where(res_w, jnp.concatenate(
+                [jnp.zeros((R, 1), jnp.int32), r_s.T], axis=1), rsel)
+            ssel = jnp.where(res_w, jnp.concatenate(
+                [jnp.ones((R, 1), jnp.int32), s_s.T], axis=1), ssel)
+            via_walk = via_walk | res_w
+            known = known | res_w | abs_w
+        # ONE batched select materializes every walk-resolved edge row
+        e_w = boss.select_W(jnp.maximum(rsel.reshape(-1), 1),
+                            ssel.reshape(-1)).reshape(R, nw)
+        edges = jnp.where(via_walk, e_w.astype(jnp.int32), edges)
         n_unknown = jnp.sum((~known).astype(jnp.int32))
         nodes = jnp.where(win_ok & known & (edges > 0),
                           self.edge_to_node(edges), 0)
