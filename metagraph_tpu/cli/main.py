@@ -211,11 +211,20 @@ def cmd_build(args):
         from ..seqio.fasta import BatchFeeder, parse_records
 
         def _gen():
+            # hand the feeder BATCHES: per-item queue overhead is ~6 us,
+            # which at short-read scale would cost ~20 s/GB
+            batch = []
             for f in args.fnames:
                 for r in parse_records(f):
-                    yield r.seq
+                    batch.append(r.seq)
+                    if len(batch) >= 1024:
+                        yield batch
+                        batch = []
+            if batch:
+                yield batch
 
-        seqs = BatchFeeder(_gen(), depth=64)
+        seqs = (s for chunk in BatchFeeder(_gen(), depth=8)
+                for s in chunk)
         streamed = True
     else:
         for f in args.fnames:
