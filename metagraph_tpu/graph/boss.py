@@ -262,31 +262,6 @@ class Boss:
         res = jnp.where(p1 > 0, p1, p2)
         return jnp.where(ok, res, 0).astype(jnp.int32)
 
-    def follow_edge(self, e: jax.Array, c: jax.Array) -> jax.Array:
-        """Edge row for (target node of edge e, label c) — ONE O(1)
-        rank/select step (reference boss.hpp fwd + pick_edge) instead of
-        the k-step tightening search. For a flagged W[e] = cp + alph,
-        rank_W(e, cp) already counts the earlier unflagged edge with the
-        same target, so fwd is correct unmodified. Returns 0 when the
-        target node has no outgoing edge labeled c. Rows with e == 0
-        return garbage — callers mask."""
-        alph = self.alph_size
-        w = self.get_W(jnp.maximum(e, 1))
-        cp = jnp.clip(w % alph, 0, alph - 1)
-        ru = self.fwd(jnp.maximum(e, 1), cp)
-        lo = self.pred_last(ru - 1) + 1
-
-        def probe(cc):
-            r = self.rank_W(ru, cc)
-            pos = self.select_W(jnp.maximum(r, 1), cc)
-            return jnp.where((r >= 1) & (pos >= lo), pos, 0)
-
-        p1 = probe(c)
-        p2 = probe(c + alph)
-        res = jnp.where(p1 > 0, p1, p2)
-        return jnp.where((e > 0) & (c >= 1) & (c < alph), res,
-                         0).astype(jnp.int32)
-
     @jax.jit
     def suffix_range_ranksel(self, pattern: jax.Array
                              ) -> Tuple[jax.Array, jax.Array, jax.Array]:
