@@ -290,17 +290,23 @@ class _RunStore:
         self.runs: List[Tuple[str, str, int]] = []
         self._seq = 0
 
-    def add(self, lanes: np.ndarray, counts: np.ndarray):
+    def add(self, lanes: np.ndarray, counts: Optional[np.ndarray]):
+        """``counts=None`` marks a weightless run (bits_per_count == 0):
+        nothing is spilled and nothing crosses the d2h tunnel for it."""
         lp = os.path.join(self.dir, f"run{self._seq}.lanes.npy")
         cp = os.path.join(self.dir, f"run{self._seq}.counts.npy")
         self._seq += 1
         np.save(lp, np.ascontiguousarray(lanes))
-        np.save(cp, np.ascontiguousarray(counts.astype(np.int32)))
+        if counts is not None:
+            np.save(cp, np.ascontiguousarray(counts.astype(np.int32)))
+        else:
+            cp = None
         self.runs.append((lp, cp, lanes.shape[1]))
 
     def load(self, i):
         lp, cp, n = self.runs[i]
-        return np.load(lp, mmap_mode="r"), np.load(cp, mmap_mode="r")
+        return (np.load(lp, mmap_mode="r"),
+                np.load(cp, mmap_mode="r") if cp is not None else None)
 
     def cleanup(self):
         import shutil
@@ -366,15 +372,21 @@ def build_boss_out_of_core(
     max_count = (1 << bits_per_count) - 1 if bits_per_count else (1 << 31) - 1
     store = _RunStore(tmp_dir)
 
+    import time as _time
+    _t_start = _time.time()
+
     def log(msg):
         if verbose:
             import sys
-            print(f"[ooc] {msg}", file=sys.stderr, flush=True)
+            print(f"[ooc +{_time.time() - _t_start:7.1f}s] {msg}",
+                  file=sys.stderr, flush=True)
 
     # ---- pass 1: collect sorted unique runs --------------------------------
     if runs is not None:
         for lanes_np, counts_np in runs:
-            store.add(np.asarray(lanes_np), np.asarray(counts_np))
+            store.add(np.asarray(lanes_np),
+                      np.asarray(counts_np) if bits_per_count
+                      and counts_np is not None else None)
         seqs = ()
     tbl = alphabet.encode_table()
     buf = np.full(chunk_codes, INVALID_CODE, np.uint8)
@@ -399,7 +411,10 @@ def build_boss_out_of_core(
             ulanes, ucounts, ucount = bc._collect_stage(
                 jnp.asarray(buf), K, B, (), False, alphabet.complement)
         n = int(ucount)
-        store.add(_d2h_tight(ulanes, n), np.asarray(ucounts[:n]))
+        # counts exist only to become weights; with bits_per_count == 0
+        # they never cross the (slow) d2h link or touch disk
+        store.add(_d2h_tight(ulanes, n),
+                  np.asarray(ucounts[:n]) if bits_per_count else None)
         buf.fill(INVALID_CODE)
         fill = 0
 
@@ -447,28 +462,35 @@ def build_boss_out_of_core(
             lo, hi = run_bounds[i][s], run_bounds[i][s + 1]
             if hi > lo:
                 parts_l.append(np.asarray(lanes[:, lo:hi]))
-                parts_c.append(np.asarray(counts[lo:hi]))
+                if counts is not None:
+                    parts_c.append(np.asarray(counts[lo:hi]))
         if not parts_l:
             shard_ins.append((np.zeros((L, 0), U32), np.zeros(0, np.int32)))
         else:
             shard_ins.append((np.concatenate(parts_l, axis=1),
-                              np.concatenate(parts_c)))
+                              np.concatenate(parts_c) if parts_c
+                              else None))
     cap2 = bc._bucket(max(max(c[0].shape[1] for c in shard_ins), 1))
     for s in range(S):
         cat, ccat = shard_ins[s]
         n_in = cat.shape[1]
         if n_in == 0:
             shard_lanes.append(np.zeros((L, 0), U32))
-            shard_counts.append(np.zeros(0, np.int32))
+            shard_counts.append(None if ccat is None
+                                else np.zeros(0, np.int32))
             continue
+        if ccat is None:
+            # device-created zeros: no h2d bytes for the dead counts
+            counts_in = jnp.zeros(cap2, jnp.int32)
+        else:
+            counts_in = jnp.asarray(np.concatenate(
+                [ccat, np.zeros(cap2 - n_in, np.int32)]))
         ul, uc, un = bc._sort_unique_stage(
-            jnp.asarray(_pad_lanes_np(cat, cap2)),
-            jnp.asarray(np.concatenate(
-                [ccat, np.zeros(cap2 - n_in, np.int32)])),
+            jnp.asarray(_pad_lanes_np(cat, cap2)), counts_in,
             jnp.int32(n_in))
         n_u = int(un)
         shard_lanes.append(_d2h_tight(ul, n_u))
-        shard_counts.append(np.asarray(uc[:n_u]))
+        shard_counts.append(None if ccat is None else np.asarray(uc[:n_u]))
         shard_ins[s] = None
     del shard_ins
     store.cleanup()
@@ -512,6 +534,8 @@ def build_boss_out_of_core(
             if piece.shape[1]:
                 srcq_buckets[d].append((piece, np.full(
                     piece.shape[1], s, np.int32), pidx))
+
+    log("hostgen: query buckets built")
 
     # ---- pass 3: device joins (uniform caps: one compile per kernel) -------
     sink_edges: List[np.ndarray] = [np.zeros((L, 0), U32)] * S
@@ -570,6 +594,7 @@ def build_boss_out_of_core(
                 m = qorg == o
                 verdicts_by_origin[int(o)].append((qidx[m], verd[m]))
     del sq_cat, rt_cat, qt_cat, qt_org, qt_idx
+    log("pass3: membership joins done")
 
     # ---- host: route dummy-1 sources home, then iterate levels -------------
     for s in range(S):
@@ -643,10 +668,14 @@ def build_boss_out_of_core(
         cap = cap4
         cap_d = cap4_d
         lev_cap = cap4_lev
+        if counts is None:
+            counts_in = jnp.zeros(cap, jnp.int32)
+        else:
+            counts_in = jnp.asarray(np.concatenate(
+                [counts, np.zeros(cap - n_real, np.int32)]))
         kept, n_kept_d, W, last, hist, weights, vreal = _emit_hist_jit(
             jnp.asarray(_pad_lanes_np(real, cap)),
-            jnp.asarray(np.concatenate(
-                [counts, np.zeros(cap - n_real, np.int32)])),
+            counts_in,
             jnp.int32(n_real),
             jnp.asarray(_pad_lanes_np(sinks, cap_d)),
             jnp.int32(sinks.shape[1]),

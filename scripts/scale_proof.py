@@ -60,6 +60,13 @@ def main():
     log(f"BUILD: {edges / 1e6:.1f}M edges in {build_s:.1f}s "
         f"({(n - K + 1) / build_s / 1e6:.2f} Mk-mers/s), "
         f"peak RSS {rss_gb():.1f} GB")
+    _root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(_root, "SCALE_PROOF.json"), "a") as f:
+        f.write('{"edges": %d, "build_s": %.1f, "mkmers_per_s": %.2f, '
+                '"peak_rss_gb": %.1f, "n_log2": %d, "n_shards": %d, '
+                '"stage": "build"}\n'
+                % (edges, build_s, (n - K + 1) / build_s / 1e6,
+                   rss_gb(), N_LOG2, SHARDS))
     g = DbgSuccinct.from_boss(boss, DNA, "basic", valid=valid)
     idx_bytes = graph_io.index_bytes(g)
     log(f"small-state index: {idx_bytes / 1e9:.2f} GB "
@@ -88,12 +95,19 @@ def main():
     log(f"QUERY: {len(reads)} reads ({n_windows / 1e6:.2f}M windows) in "
         f"{q_s:.3f}s -> {len(reads) / q_s:.0f} reads/s small-state "
         f"incremental walk ({hit_windows} present windows)")
-    print(
+    line = (
         '{"edges": %d, "build_s": %.1f, "mkmers_per_s": %.2f, '
         '"peak_rss_gb": %.1f, "bytes_per_edge": %.2f, '
-        '"query_reads_per_s": %.0f}'
+        '"query_reads_per_s": %.0f, "n_log2": %d, "n_shards": %d}'
         % (edges, build_s, (n - K + 1) / build_s / 1e6, rss_gb(),
-           idx_bytes / edges, len(reads) / q_s), flush=True)
+           idx_bytes / edges, len(reads) / q_s, N_LOG2, SHARDS))
+    print(line, flush=True)
+    # persist at the repo root so a long run that finishes after the
+    # interactive session still lands in the round snapshot
+    out = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "SCALE_PROOF.json")
+    with open(out, "a") as f:
+        f.write(line + "\n")
 
 
 if __name__ == "__main__":
