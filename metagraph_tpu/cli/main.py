@@ -1782,7 +1782,7 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--reference", default=None,
                     help="reference FASTA for VCF inputs")
     sp.add_argument("--alphabet", default="DNA",
-                    choices=["DNA", "DNA5", "Protein"])
+                    choices=["DNA", "DNA5", "DNACaseSent", "Protein"])
     sp.add_argument("--fwd-and-reverse", action="store_true")
     sp.add_argument("--state", choices=["fast", "small"], default="fast")
     sp.add_argument("--mem-cap-gb", type=float, default=1.0,

@@ -26,6 +26,7 @@ class Alphabet:
     letters: str              # includes leading '$' sentinel
     bits_per_char: int        # nibble-aligned: 4 or 8
     complement: Tuple[int, ...] = ()   # code -> complement code ('' = none)
+    case_sensitive: bool = False       # upper/lower case are distinct codes
 
     @property
     def size(self) -> int:
@@ -40,7 +41,8 @@ class Alphabet:
         tbl = np.full(256, INVALID_CODE, np.uint8)
         for code, ch in enumerate(self.letters):
             tbl[ord(ch)] = code
-            tbl[ord(ch.lower())] = code
+            if not self.case_sensitive:
+                tbl[ord(ch.lower())] = code
         return tbl
 
     def decode(self, codes) -> str:
@@ -64,6 +66,19 @@ DNA5 = Alphabet(
     complement=(0, 4, 3, 2, 1, 5),
 )
 
+# DNACaseSent: case-sensitive DNA — upper and lower case are distinct
+# codes (reference kBOSSAlphabetDNACaseSent "$ACGTNacgt",
+# alphabets.hpp:46-59; complement map 1..9 -> 9..1: A<->t, C<->g,
+# G<->c, T<->a, N<->N). Used to mask soft-masked (repeat) regions
+# while keeping them in the graph.
+DNA_CASE_SENT = Alphabet(
+    name="DNACaseSent",
+    letters="$ACGTNacgt",
+    bits_per_char=4,
+    complement=(0, 9, 8, 7, 6, 5, 4, 3, 2, 1),
+    case_sensitive=True,
+)
+
 # Protein (reference kAlphabetProtein, 26 letters + sentinel → 8-bit fields).
 PROTEIN = Alphabet(
     name="Protein",
@@ -71,4 +86,5 @@ PROTEIN = Alphabet(
     bits_per_char=8,
 )
 
-ALPHABETS: Dict[str, Alphabet] = {a.name: a for a in (DNA, DNA5, PROTEIN)}
+ALPHABETS: Dict[str, Alphabet] = {
+    a.name: a for a in (DNA, DNA5, DNA_CASE_SENT, PROTEIN)}

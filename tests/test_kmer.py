@@ -128,3 +128,33 @@ def test_extractor_suffix_filter(rng):
     assert n > 0
     np.testing.assert_array_equal(got[:, K - 3], 2)
     np.testing.assert_array_equal(got[:, K - 2], 3)
+
+
+def test_dna_case_sensitive_alphabet():
+    """DNACaseSent keeps upper/lower case distinct (reference
+    alphabets.hpp:46-59) while plain DNA folds case."""
+    from metagraph_tpu.kmer.alphabets import DNA_CASE_SENT, DNA
+    tbl = DNA_CASE_SENT.encode_table()
+    assert tbl[ord("A")] == 1 and tbl[ord("a")] == 6
+    assert tbl[ord("T")] == 4 and tbl[ord("t")] == 9
+    assert tbl[ord("N")] == 5 and tbl[ord("n")] == 255  # lower n unmapped
+    # complement: A<->t, C<->g, G<->c, T<->a, N self
+    comp = DNA_CASE_SENT.complement
+    assert comp[1] == 9 and comp[9] == 1
+    assert comp[2] == 8 and comp[8] == 2
+    assert comp[5] == 5
+    # plain DNA folds case: 'a' == 'A'
+    dt = DNA.encode_table()
+    assert dt[ord("a")] == dt[ord("A")] == 1
+
+
+def test_dna_case_sensitive_build():
+    """Mixed-case input yields case-distinct k-mers under DNACaseSent
+    but identical k-mers under DNA."""
+    from metagraph_tpu.kmer.alphabets import DNA_CASE_SENT, DNA
+    from metagraph_tpu.graph.boss_construct import build_boss
+    seqs = [b"ACGTACGTACGT", b"acgtacgtacgt"]
+    b_cs = build_boss(seqs, 5, alphabet=DNA_CASE_SENT)
+    b_fold = build_boss(seqs, 5, alphabet=DNA)
+    # case-sensitive: the two strings share no k-mers -> ~2x the edges
+    assert b_cs.num_edges > b_fold.num_edges * 3 // 2
