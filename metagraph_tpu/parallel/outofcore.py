@@ -169,6 +169,22 @@ def _rec(x: np.ndarray):
                               for j in range(x.shape[0])])
 
 
+def h_owner_tkey(x: np.ndarray, splitters: np.ndarray,
+                 B: int) -> np.ndarray:
+    """Shard owner for TARGET keys (h_target_key layout: label@0,
+    e_2@1..e_{K-1}@{K-2}, 0@{K-1}).
+
+    A tkey's top field is always zero, so routing it through
+    ``h_owner`` directly compares below every splitter and sends ALL
+    source-join traffic to shard 0 — silently correct (both join
+    sides skew identically) but catastrophically unbalanced: at 268M
+    edges the single-shard join OOMs a 16 GB chip. Shifting left one
+    field aligns e_2..e_{K-1} with slots 2..{K-1} — the exact bit
+    positions the edge group-key splitters were sampled from — so
+    tkeys distribute like edges."""
+    return h_owner(h_shift_left(x, B), splitters, B)
+
+
 def h_owner(x: np.ndarray, splitters: np.ndarray, B: int) -> np.ndarray:
     """Shard owner per column: #splitters <= group_key(x).
 
@@ -519,7 +535,8 @@ def build_boss_out_of_core(
                 sinkq_buckets[d].append(piece)
         ref_tk = h_target_key(real, B)
         for d, (piece,) in enumerate(
-                _bucket_by_owner(ref_tk, h_owner(ref_tk, splitters, B), S)):
+                _bucket_by_owner(ref_tk, h_owner_tkey(ref_tk, splitters, B),
+                                 S)):
             if piece.shape[1]:
                 reftk_buckets[d].append(piece)
         nk = h_node_key(real, B)
@@ -528,7 +545,7 @@ def build_boss_out_of_core(
         idx = np.nonzero(node_first)[0].astype(np.int64)
         prev = h_to_prev(real[:, node_first], K, B)
         q_tk = h_target_key(prev, B)
-        own = h_owner(q_tk, splitters, B)
+        own = h_owner_tkey(q_tk, splitters, B)
         for d, (piece, pidx) in enumerate(
                 _bucket_by_owner(q_tk, own, S, idx)):
             if piece.shape[1]:
@@ -564,6 +581,7 @@ def build_boss_out_of_core(
     sq_cap = bc._bucket(max(max(x.shape[1] for x in sq_cat), 1))
     rcap = bc._bucket(max(max(x.shape[1] for x in rt_cat), 1))
     qt_cap = bc._bucket(max(max(x.shape[1] for x in qt_cat), 1))
+    log(f"pass3 caps: keys={kcap} sinkq={sq_cap} ref={rcap} srcq={qt_cap}")
     for s in range(S):
         real = shard_lanes[s]
         n_keys = real.shape[1]
