@@ -305,10 +305,18 @@ def build_distributed_full_step(mesh: Mesh, K: int, B: int = 4,
     n_dev = mesh.devices.size
     L = packing.lanes_for(K, B)
 
-    def route(lanes, mask, *extras):
+    def route(lanes, mask, *extras, tkey=False):
         """all_to_all by owner; returns (lanes (L, n_dev*per),
-        extras..., max_send (overflow check))."""
-        owner = _owner_split(lanes, _route_splitters[0], B, n_dev)
+        extras..., max_send (overflow check)).
+
+        ``tkey=True``: the lanes are target keys (label@0, node chars
+        at slots 1..K-2, top field ZERO). Routing them raw compares
+        below every splitter — all traffic lands on device 0. Shift
+        one field left so the node chars align with the edge group-key
+        bit positions the splitters were sampled from; both join sides
+        route through the same transform, so the join stays exact."""
+        okey = packed.shift_left(lanes, B) if tkey else lanes
+        owner = _owner_split(okey, _route_splitters[0], B, n_dev)
         send = packed.full_pad(n_dev * per, L).reshape(L, n_dev, per) \
             .transpose(1, 0, 2)
         send_e = [jnp.zeros((n_dev, per), e.dtype) for e in extras]
@@ -394,10 +402,10 @@ def build_distributed_full_step(mesh: Mesh, K: int, B: int = 4,
                            packed.full_pad(capL, L))
         q_tk = packing.target_key(prev, B)
         # join shard = owner of the tkey (same function both sides)
-        ref_flat, _, ov1 = route(ref_tk, valid)
+        ref_flat, _, ov1 = route(ref_tk, valid, tkey=True)
         q_flat, (q_src_idx,), ov2 = route(
             q_tk, node_first,
-            jnp.arange(capL, dtype=jnp.int32))
+            jnp.arange(capL, dtype=jnp.int32), tkey=True)
         overflow = jnp.maximum(overflow, jnp.maximum(ov1, ov2))
         qnp = ~jnp.all(q_flat == packed.PAD_LANE, axis=0)
         rnp = ~jnp.all(ref_flat == packed.PAD_LANE, axis=0)
