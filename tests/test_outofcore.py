@@ -155,3 +155,35 @@ def test_small_state_batch_query(rng):
             bq = BatchQuery(AnnotatedDbg(graph=g, annotation=ann))
             outs.append(bq.get_labels_batch(reads, ratio))
         assert outs[0] == outs[1], ratio
+
+
+def test_tkey_routing_balance():
+    """Target-key routing must spread across shards (the raw tkey's top
+    field is zero, which once routed ALL source-join traffic to shard
+    0 — OOM at 268M edges)."""
+    import numpy as np
+    from metagraph_tpu.parallel import outofcore as oc
+    from metagraph_tpu.kmer import packing
+    from metagraph_tpu.kmer.alphabets import DNA
+    import jax.numpy as jnp
+    from metagraph_tpu.graph import boss_construct as bc
+
+    K, B = 20, DNA.bits_per_char
+    rng = np.random.default_rng(3)
+    codes = rng.integers(1, 5, 200_000).astype(np.uint8)
+    real = np.asarray(packing.pack_windows(jnp.asarray(codes), K, B))
+    order = np.argsort(oc._rec(oc.h_group_key(real, B)), kind="stable")
+    real = real[:, order]
+    # splitters from edge group keys (like the build)
+    store = oc._RunStore(None)
+    store.add(real, None)
+    S = 8
+    sp = oc._sample_splitters_from_runs(store, real.shape[0], B, S)
+    store.cleanup()
+    tk = oc.h_target_key(real, B)
+    own = oc.h_owner_tkey(tk, sp, B)
+    counts = np.bincount(own, minlength=S)
+    assert counts.max() < 2.5 * counts.mean(), counts
+    # the raw-tkey owner is the degenerate case this guards against
+    raw = oc.h_owner(tk, sp, B)
+    assert np.bincount(raw, minlength=S).max() == len(raw)  # documents the trap
